@@ -1,0 +1,15 @@
+"""Root conftest: force tests onto a virtual 8-device CPU mesh.
+
+The real TPU chip is reserved for bench.py; unit tests must be
+deterministic and runnable anywhere.  Env vars must be set before the
+first `import jax` anywhere in the test session, which this root
+conftest guarantees.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
