@@ -1,0 +1,97 @@
+"""Scalar quantisation / inverse quantisation (H.265 8.6.3), bit-exact
+with the reference's TComTrQuant::xQuant (:1126) / xDeQuant paths with
+flat (default) scaling lists.
+
+Batched over TU stacks: all shapes (..., N, N) int32.  RDOQ lives in
+ops/rdoq.py; this module is the plain-quant path and the dequant used by
+both encoder reconstruction and the decoder oracle.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hmtpu.common import spec_tables as st
+
+QUANT_SHIFT = 14
+IQUANT_SHIFT = 6
+MAX_TR_DYNAMIC_RANGE = 15
+COEFF_MIN = -(1 << 15)
+COEFF_MAX = (1 << 15) - 1
+
+_QUANT_SCALES = tuple(int(x) for x in st.QUANT_SCALES)
+_INV_QUANT_SCALES = tuple(int(x) for x in st.INV_QUANT_SCALES)
+
+
+def transform_shift(log2_size: int, bit_depth: int) -> int:
+    return MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+
+
+@partial(jax.jit, static_argnames=("qp", "log2_size", "bit_depth", "is_intra"))
+def quantize(coeff: jax.Array, qp: int, log2_size: int, bit_depth: int = 8,
+             is_intra: bool = True) -> jax.Array:
+    """Forward quant with HM's deadzone offsets (171/512 intra, 85/512
+    inter).  coeff int32 (..., N, N) -> levels int32."""
+    per, rem = qp // 6, qp % 6
+    qbits = QUANT_SHIFT + per + transform_shift(log2_size, bit_depth)
+    add = (171 if is_intra else 85) << (qbits - 9)
+    scale = _QUANT_SCALES[rem]
+    # int32 safe: |coeff| <= 2^15, scale < 2^15 -> product < 2^30
+    mag = (jnp.abs(coeff) * scale + add) >> qbits
+    mag = jnp.minimum(mag, COEFF_MAX).astype(jnp.int32)
+    return jnp.where(coeff < 0, -mag, mag)
+
+
+@partial(jax.jit, static_argnames=("qp", "log2_size", "bit_depth"))
+def dequantize(level: jax.Array, qp: int, log2_size: int,
+               bit_depth: int = 8) -> jax.Array:
+    """Inverse quant (flat scaling list), spec 8.6.3 clip to 16-bit."""
+    per, rem = qp // 6, qp % 6
+    shift = IQUANT_SHIFT - transform_shift(log2_size, bit_depth)
+    base = _INV_QUANT_SCALES[rem]
+    # factor the <<per out of the rounding shift so int32 never
+    # overflows: (lv*g<<per + 1<<(s-1)) >> s  ==  see cases below
+    prod = level * base  # |lv| <= 2^15, g <= 72 -> < 2^22
+    if shift > per:
+        s = shift - per
+        out = (prod + (1 << (s - 1))) >> s
+    else:
+        # bits shifted out are zero; pre-clamp keeps int32 while
+        # preserving the final 16-bit clip
+        out = jnp.clip(prod, -(1 << 26), 1 << 26) << (per - shift)
+    return jnp.clip(out, COEFF_MIN, COEFF_MAX).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# scalar references (test oracle only)
+
+def quantize_ref(coeff: np.ndarray, qp: int, log2_size: int,
+                 bit_depth: int = 8, is_intra: bool = True) -> np.ndarray:
+    per, rem = qp // 6, qp % 6
+    qbits = QUANT_SHIFT + per + transform_shift(log2_size, bit_depth)
+    add = (171 if is_intra else 85) << (qbits - 9)
+    out = np.empty_like(coeff)
+    it = np.nditer(coeff, flags=["multi_index"])
+    for c in it:
+        c = int(c)
+        mag = (abs(c) * _QUANT_SCALES[rem] + add) >> qbits
+        mag = min(mag, COEFF_MAX)
+        out[it.multi_index] = -mag if c < 0 else mag
+    return out
+
+
+def dequantize_ref(level: np.ndarray, qp: int, log2_size: int,
+                   bit_depth: int = 8) -> np.ndarray:
+    per, rem = qp // 6, qp % 6
+    shift = IQUANT_SHIFT - transform_shift(log2_size, bit_depth)
+    scale = _INV_QUANT_SCALES[rem] << per
+    out = np.empty_like(level)
+    it = np.nditer(level, flags=["multi_index"])
+    for lv in it:
+        v = int(lv) * scale
+        v = ((v + (1 << (shift - 1))) >> shift) if shift > 0 else (v << -shift)
+        out[it.multi_index] = min(max(v, COEFF_MIN), COEFF_MAX)
+    return out
