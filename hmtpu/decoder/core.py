@@ -1,0 +1,207 @@
+"""HEVC decoder for the encoder's capability envelope — the in-repo
+verification oracle (the reference decoder build is the out-of-repo
+one).
+
+Capability parity with TLibDecoder's slice/CTU reconstruction path
+(TDecSlice.cpp:69, TDecCu.cpp:135/155, TDecTop.cpp:725): Annex-B parse,
+parameter-set activation, CABAC parse of the intra coding tree, inverse
+quant/transform, intra reconstruction, decoded-picture-hash check.
+Shares every reconstruction op with the encoder (single source of
+truth for the math; bit-exactness vs HM is established by the external
+oracle tests).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from hmtpu.common.constants import (
+    DC_IDX,
+    NalUnitType,
+    SEI_DECODED_PICTURE_HASH,
+    SliceType,
+)
+from hmtpu.common.geometry import decode_rem_mode, mpm_list, ref_availability
+from hmtpu.common.params import Pps, Sps
+from hmtpu.common.scan import intra_scan_idx
+from hmtpu.common.spec_tables import chroma_qp_from_luma
+from hmtpu.entropy.cabac import CabacDecoder
+from hmtpu.entropy.contexts import OFF, make_contexts
+from hmtpu.entropy.headers import parse_pps, parse_slice_header, parse_sps
+from hmtpu.entropy.residual import decode_residual
+from hmtpu.io.bitstream import strip_emulation_prevention
+from hmtpu.io.hashsei import parse_sei_messages, picture_md5
+from hmtpu.io.nal import split_annexb
+from hmtpu.io.yuv import Frame
+from hmtpu.ops.intra_pred import predict_all_modes_np
+from hmtpu.ops.intra_ref import filter_reference, substitute_unavailable
+from hmtpu.ops.quant import dequantize_np
+from hmtpu.ops.transform import inverse_np
+from hmtpu.encoder.intra import gather_ref_line
+
+
+@dataclass
+class DecodedPicture:
+    frame: Frame
+    poc: int
+    hash_ok: bool | None = None  # None when no hash SEI present
+
+
+class Decoder:
+    def __init__(self):
+        self.sps: Sps | None = None
+        self.pps: Pps | None = None
+        self.pictures: list[DecodedPicture] = []
+        self._pending_hash: bytes | None = None
+
+    # -- bitstream ----------------------------------------------------------
+    def decode_annexb(self, data: bytes) -> list[DecodedPicture]:
+        for nal in split_annexb(data):
+            nal_type = NalUnitType((nal[0] >> 1) & 0x3F)
+            rbsp = strip_emulation_prevention(nal[2:])
+            if nal_type == NalUnitType.SPS_NUT:
+                self.sps = parse_sps(rbsp)
+            elif nal_type == NalUnitType.PPS_NUT:
+                self.pps = parse_pps(rbsp)
+            elif nal_type == NalUnitType.VPS_NUT:
+                pass
+            elif nal_type == NalUnitType.SUFFIX_SEI_NUT:
+                for ptype, payload in parse_sei_messages(rbsp):
+                    if ptype == SEI_DECODED_PICTURE_HASH and payload[0] == 0:
+                        self._check_hash(payload[1:])
+            elif nal_type in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP):
+                pic = self._decode_slice(rbsp, nal_type)
+                self.pictures.append(pic)
+        return self.pictures
+
+    def _check_hash(self, digests: bytes) -> None:
+        pic = self.pictures[-1]
+        got = picture_md5(pic.frame.planes(),
+                          [pic.frame.bit_depth] * 3)
+        want = [digests[i * 16:(i + 1) * 16] for i in range(3)]
+        pic.hash_ok = got == want
+
+    # -- slice decode -------------------------------------------------------
+    def _decode_slice(self, rbsp: bytes, nal_type: NalUnitType):
+        sps, pps = self.sps, self.pps
+        sh = parse_slice_header(rbsp, sps, pps, nal_type)
+        assert sh.slice_type == SliceType.I
+        qp = sh.slice_qp
+        qpc = chroma_qp_from_luma(qp + pps.cb_qp_offset)
+        w, h = sps.pic_width, sps.pic_height
+        bd = sps.bit_depth_luma
+        maxv = (1 << bd) - 1
+
+        rec_y = np.zeros((h, w), dtype=np.int32)
+        rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
+        rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
+        modes = np.full((h // 8, w // 8), -1, dtype=np.int32)
+        # cqt depth at 8x8 granularity (for split_cu_flag ctx)
+        depth_map = np.zeros((h // 8, w // 8), dtype=np.int32)
+
+        dec = CabacDecoder(rbsp, sh.data_start_byte)
+        ctx = make_contexts(SliceType.I, qp)
+        ctu = sps.ctu_size
+        sdh = pps.sign_data_hiding
+
+        def decode_cu(x0, y0, log2, depth):
+            bxi, byi = x0 // 8, y0 // 8
+            size = 1 << log2
+            depth_map[byi:(y0 + size) // 8, bxi:(x0 + size) // 8] = depth
+            if log2 == sps.log2_min_cb_size:
+                part2n = dec.decode_bin(ctx, OFF["PART_SIZE"])
+                assert part2n == 1, "NxN partition not in envelope yet"
+            mpm_flag = dec.decode_bin(ctx, OFF["INTRA_PRED_MODE"])
+            left_mode = modes[byi, bxi - 1] if bxi > 0 else -1
+            above_mode = modes[byi - 1, bxi] \
+                if (byi > 0 and (y0 % ctu) != 0) else -1
+            mpms = mpm_list(left_mode if left_mode >= 0 else DC_IDX,
+                            above_mode if above_mode >= 0 else DC_IDX)
+            if mpm_flag:
+                if dec.decode_bin_ep() == 0:
+                    mode = mpms[0]
+                else:
+                    mode = mpms[1 + dec.decode_bin_ep()]
+            else:
+                mode = decode_rem_mode(dec.decode_bins_ep(5), mpms)
+            nb = size // 8
+            modes[byi:byi + nb, bxi:bxi + nb] = mode
+            chroma_dm = dec.decode_bin(ctx, OFF["CHROMA_PRED_MODE"])
+            assert chroma_dm == 0, "only DM chroma in envelope yet"
+
+            cbf_cb = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"] + 0)
+            cbf_cr = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"] + 0)
+            cbf_y = dec.decode_bin(ctx, OFF["QT_CBF_LUMA"] + 1)
+
+            # luma TB
+            n = size
+            avail = ref_availability(x0, y0, n, w, h, sps.log2_ctu_size)
+            raw = gather_ref_line(rec_y, x0, y0, n)
+            ref_u_line = substitute_unavailable(raw, avail, bd)
+            ref_f_line = filter_reference(ref_u_line, n, bd,
+                                          sps.strong_intra_smoothing)
+            pred = predict_all_modes_np(ref_u_line, ref_f_line, n, True,
+                                        bd)[mode]
+            if cbf_y:
+                scan = intra_scan_idx(mode, log2, True)
+                lev = decode_residual(dec, ctx, log2, True, scan, sdh)
+                deq = dequantize_np(lev, qp, log2, bd)
+                resi = inverse_np(deq[None], bd, use_dst=(log2 == 2))[0]
+            else:
+                resi = 0
+            rec_y[y0:y0 + n, x0:x0 + n] = np.clip(pred + resi, 0, maxv)
+
+            # chroma TBs
+            cx, cy, cn, clog2 = x0 // 2, y0 // 2, n // 2, log2 - 1
+            for cbf, plane in ((cbf_cb, rec_u), (cbf_cr, rec_v)):
+                avail_c = ref_availability(cx, cy, cn, w // 2, h // 2,
+                                           sps.log2_ctu_size - 1)
+                raw_c = gather_ref_line(plane, cx, cy, cn)
+                ref_c = substitute_unavailable(raw_c, avail_c, bd)
+                pred_c = predict_all_modes_np(ref_c, ref_c, cn, False,
+                                              bd)[mode]
+                if cbf:
+                    scan = intra_scan_idx(mode, clog2, False)
+                    lev = decode_residual(dec, ctx, clog2, False, scan, sdh)
+                    deq = dequantize_np(lev, qpc, clog2, bd)
+                    resi_c = inverse_np(deq[None], bd)[0]
+                else:
+                    resi_c = 0
+                plane[cy:cy + cn, cx:cx + cn] = np.clip(pred_c + resi_c,
+                                                        0, maxv)
+
+        def split_ctx_inc(x0, y0, depth):
+            inc = 0
+            bxi, byi = x0 // 8, y0 // 8
+            if x0 > 0 and depth_map[byi, bxi - 1] > depth:
+                inc += 1
+            if y0 > 0 and depth_map[byi - 1, bxi] > depth:
+                inc += 1
+            return inc
+
+        def decode_quadtree(x0, y0, log2, depth):
+            size = 1 << log2
+            inside = x0 + size <= w and y0 + size <= h
+            if inside and log2 > sps.log2_min_cb_size:
+                split = dec.decode_bin(ctx, OFF["SPLIT_FLAG"]
+                                       + split_ctx_inc(x0, y0, depth))
+            else:
+                split = 1 if log2 > sps.log2_min_cb_size else 0
+            if split:
+                half = size >> 1
+                for dy, dx in ((0, 0), (0, half), (half, 0), (half, half)):
+                    if x0 + dx < w and y0 + dy < h:
+                        decode_quadtree(x0 + dx, y0 + dy, log2 - 1, depth + 1)
+            else:
+                decode_cu(x0, y0, log2, depth)
+
+        n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
+        for cty in range(n_ctu_y):
+            for ctx_i in range(n_ctu_x):
+                decode_quadtree(ctx_i * ctu, cty * ctu, sps.log2_ctu_size, 0)
+                last = (cty == n_ctu_y - 1) and (ctx_i == n_ctu_x - 1)
+                end = dec.decode_bin_trm()
+                assert end == (1 if last else 0), "end_of_slice desync"
+
+        return DecodedPicture(Frame(rec_y, rec_u, rec_v, bd), 0)

@@ -1,0 +1,286 @@
+"""High-level syntax: VPS/SPS/PPS and slice-header writing/parsing
+(H.265 7.3.2, 7.3.6).
+
+Capability parity with the reference's TEncCavlc.cpp:1-1517 (writers)
+and TDecCAVLC (parsers), restricted to the capability envelope this
+encoder signals.  Pure bit-level code on the host — never a hot path.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from hmtpu.common.constants import NalUnitType, SliceType
+from hmtpu.common.params import Pps, ProfileTierLevel, Sps, Vps
+from hmtpu.io.bitstream import BitReader, BitWriter
+from hmtpu.io.nal import NalUnit
+
+
+# --------------------------------------------------------------------------
+# profile_tier_level
+
+def _write_ptl(bw: BitWriter, ptl: ProfileTierLevel) -> None:
+    bw.write(0, 2)                               # general_profile_space
+    bw.write(ptl.general_tier_flag, 1)
+    bw.write(ptl.general_profile_idc, 5)
+    bw.write(ptl.general_profile_compatibility, 32)
+    bw.write(1, 1)                               # progressive_source
+    bw.write(0, 1)                               # interlaced_source
+    bw.write(0, 1)                               # non_packed_constraint
+    bw.write(0, 1)                               # frame_only_constraint
+    bw.write(0, 44)                              # reserved zero 44 bits
+    bw.write(ptl.general_level_idc, 8)
+
+
+def _read_ptl(br: BitReader) -> ProfileTierLevel:
+    br.read(2)
+    tier = br.read(1)
+    profile = br.read(5)
+    compat = br.read(32)
+    br.read(4)
+    br.read(44)
+    level = br.read(8)
+    return ProfileTierLevel(profile, tier, level, compat)
+
+
+# --------------------------------------------------------------------------
+# VPS
+
+def write_vps(vps: Vps) -> NalUnit:
+    bw = BitWriter()
+    bw.write(vps.vps_id, 4)
+    bw.write(3, 2)                               # base_layer_internal+available
+    bw.write(0, 6)                               # vps_max_layers_minus1
+    bw.write(vps.max_sub_layers - 1, 3)
+    bw.write(1, 1)                               # temporal_id_nesting
+    bw.write(0xFFFF, 16)                         # reserved
+    _write_ptl(bw, vps.ptl)
+    bw.write(0, 1)                               # sub_layer_ordering_info
+    bw.write_ue(vps.max_dec_pic_buffering - 1)
+    bw.write_ue(vps.max_num_reorder_pics)
+    bw.write_ue(0)                               # max_latency_increase
+    bw.write(0, 6)                               # vps_max_layer_id
+    bw.write_ue(0)                               # num_layer_sets_minus1
+    bw.write(0, 1)                               # timing_info_present
+    bw.write(0, 1)                               # vps_extension
+    bw.write_rbsp_trailing_bits()
+    return NalUnit(NalUnitType.VPS_NUT, bw.get_bytes())
+
+
+# --------------------------------------------------------------------------
+# SPS
+
+def write_sps(sps: Sps) -> NalUnit:
+    bw = BitWriter()
+    bw.write(sps.vps_id, 4)
+    bw.write(0, 3)                               # max_sub_layers_minus1
+    bw.write(1, 1)                               # temporal_id_nesting
+    _write_ptl(bw, sps.ptl)
+    bw.write_ue(sps.sps_id)
+    bw.write_ue(int(sps.chroma_format))
+    bw.write_ue(sps.pic_width)
+    bw.write_ue(sps.pic_height)
+    bw.write_flag(False)                         # conformance_window
+    bw.write_ue(sps.bit_depth_luma - 8)
+    bw.write_ue(sps.bit_depth_chroma - 8)
+    bw.write_ue(sps.log2_max_pic_order_cnt_lsb - 4)
+    bw.write_flag(False)                         # sub_layer_ordering_info
+    bw.write_ue(sps.max_dec_pic_buffering - 1)
+    bw.write_ue(sps.max_num_reorder_pics)
+    bw.write_ue(0)                               # max_latency_increase
+    bw.write_ue(sps.log2_min_cb_size - 3)
+    bw.write_ue(sps.log2_ctu_size - sps.log2_min_cb_size)
+    bw.write_ue(sps.log2_min_tb_size - 2)
+    bw.write_ue(sps.log2_max_tb_size - sps.log2_min_tb_size)
+    bw.write_ue(sps.max_transform_hierarchy_depth_inter)
+    bw.write_ue(sps.max_transform_hierarchy_depth_intra)
+    bw.write_flag(False)                         # scaling_list_enabled
+    bw.write_flag(sps.amp_enabled)
+    bw.write_flag(sps.sao_enabled)
+    bw.write_flag(sps.pcm_enabled)
+    bw.write_ue(sps.num_short_term_rps)
+    bw.write_flag(sps.long_term_ref_pics_present)
+    bw.write_flag(sps.temporal_mvp_enabled)
+    bw.write_flag(sps.strong_intra_smoothing)
+    bw.write_flag(False)                         # vui_parameters_present
+    bw.write_flag(False)                         # sps_extension_present
+    bw.write_rbsp_trailing_bits()
+    return NalUnit(NalUnitType.SPS_NUT, bw.get_bytes())
+
+
+def parse_sps(rbsp: bytes) -> Sps:
+    br = BitReader(rbsp)
+    sps = Sps()
+    sps.vps_id = br.read(4)
+    br.read(3)
+    br.read(1)
+    sps.ptl = _read_ptl(br)
+    sps.sps_id = br.read_ue()
+    sps.chroma_format = br.read_ue()
+    sps.pic_width = br.read_ue()
+    sps.pic_height = br.read_ue()
+    if br.read_flag():
+        br.read_ue(), br.read_ue(), br.read_ue(), br.read_ue()
+    sps.bit_depth_luma = 8 + br.read_ue()
+    sps.bit_depth_chroma = 8 + br.read_ue()
+    sps.log2_max_pic_order_cnt_lsb = 4 + br.read_ue()
+    sub_layer_info = br.read_flag()
+    sps.max_dec_pic_buffering = br.read_ue() + 1
+    sps.max_num_reorder_pics = br.read_ue()
+    br.read_ue()
+    sps.log2_min_cb_size = 3 + br.read_ue()
+    sps.log2_ctu_size = sps.log2_min_cb_size + br.read_ue()
+    sps.log2_min_tb_size = 2 + br.read_ue()
+    sps.log2_max_tb_size = sps.log2_min_tb_size + br.read_ue()
+    sps.max_transform_hierarchy_depth_inter = br.read_ue()
+    sps.max_transform_hierarchy_depth_intra = br.read_ue()
+    assert br.read_flag() == 0, "scaling lists unsupported"
+    sps.amp_enabled = bool(br.read_flag())
+    sps.sao_enabled = bool(br.read_flag())
+    assert br.read_flag() == 0, "PCM unsupported"
+    sps.num_short_term_rps = br.read_ue()
+    assert sps.num_short_term_rps == 0, "RPS parsing lands with P slices"
+    sps.long_term_ref_pics_present = bool(br.read_flag())
+    sps.temporal_mvp_enabled = bool(br.read_flag())
+    sps.strong_intra_smoothing = bool(br.read_flag())
+    return sps
+
+
+# --------------------------------------------------------------------------
+# PPS
+
+def write_pps(pps: Pps) -> NalUnit:
+    bw = BitWriter()
+    bw.write_ue(pps.pps_id)
+    bw.write_ue(pps.sps_id)
+    bw.write_flag(False)                         # dependent_slice_segments
+    bw.write_flag(False)                         # output_flag_present
+    bw.write(0, 3)                               # num_extra_slice_header_bits
+    bw.write_flag(pps.sign_data_hiding)
+    bw.write_flag(pps.cabac_init_present)
+    bw.write_ue(pps.num_ref_idx_l0_default - 1)
+    bw.write_ue(pps.num_ref_idx_l1_default - 1)
+    bw.write_se(pps.init_qp - 26)
+    bw.write_flag(pps.constrained_intra_pred)
+    bw.write_flag(pps.transform_skip_enabled)
+    bw.write_flag(pps.cu_qp_delta_enabled)
+    if pps.cu_qp_delta_enabled:
+        bw.write_ue(pps.diff_cu_qp_delta_depth)
+    bw.write_se(pps.cb_qp_offset)
+    bw.write_se(pps.cr_qp_offset)
+    bw.write_flag(False)                         # slice_chroma_qp_offsets
+    bw.write_flag(pps.weighted_pred)
+    bw.write_flag(pps.weighted_bipred)
+    bw.write_flag(pps.transquant_bypass_enabled)
+    bw.write_flag(pps.tiles_enabled)
+    bw.write_flag(pps.entropy_coding_sync_enabled)
+    bw.write_flag(pps.loop_filter_across_slices)
+    bw.write_flag(pps.deblocking_filter_control_present)
+    if pps.deblocking_filter_control_present:
+        bw.write_flag(pps.deblocking_filter_override_enabled)
+        bw.write_flag(pps.deblocking_filter_disabled)
+        if not pps.deblocking_filter_disabled:
+            bw.write_se(pps.beta_offset_div2)
+            bw.write_se(pps.tc_offset_div2)
+    bw.write_flag(False)                         # pps_scaling_list_data
+    bw.write_flag(pps.lists_modification_present)
+    bw.write_ue(pps.log2_parallel_merge_level - 2)
+    bw.write_flag(False)                         # slice_header_extension
+    bw.write_flag(False)                         # pps_extension
+    bw.write_rbsp_trailing_bits()
+    return NalUnit(NalUnitType.PPS_NUT, bw.get_bytes())
+
+
+def parse_pps(rbsp: bytes) -> Pps:
+    br = BitReader(rbsp)
+    pps = Pps()
+    pps.pps_id = br.read_ue()
+    pps.sps_id = br.read_ue()
+    assert br.read_flag() == 0
+    br.read_flag()
+    br.read(3)
+    pps.sign_data_hiding = bool(br.read_flag())
+    pps.cabac_init_present = bool(br.read_flag())
+    pps.num_ref_idx_l0_default = br.read_ue() + 1
+    pps.num_ref_idx_l1_default = br.read_ue() + 1
+    pps.init_qp = 26 + br.read_se()
+    pps.constrained_intra_pred = bool(br.read_flag())
+    pps.transform_skip_enabled = bool(br.read_flag())
+    pps.cu_qp_delta_enabled = bool(br.read_flag())
+    if pps.cu_qp_delta_enabled:
+        pps.diff_cu_qp_delta_depth = br.read_ue()
+    pps.cb_qp_offset = br.read_se()
+    pps.cr_qp_offset = br.read_se()
+    br.read_flag()
+    pps.weighted_pred = bool(br.read_flag())
+    pps.weighted_bipred = bool(br.read_flag())
+    pps.transquant_bypass_enabled = bool(br.read_flag())
+    pps.tiles_enabled = bool(br.read_flag())
+    pps.entropy_coding_sync_enabled = bool(br.read_flag())
+    pps.loop_filter_across_slices = bool(br.read_flag())
+    pps.deblocking_filter_control_present = bool(br.read_flag())
+    if pps.deblocking_filter_control_present:
+        pps.deblocking_filter_override_enabled = bool(br.read_flag())
+        pps.deblocking_filter_disabled = bool(br.read_flag())
+        if not pps.deblocking_filter_disabled:
+            pps.beta_offset_div2 = br.read_se()
+            pps.tc_offset_div2 = br.read_se()
+    return pps
+
+
+# --------------------------------------------------------------------------
+# slice segment header
+
+@dataclass
+class SliceHeader:
+    slice_type: SliceType = SliceType.I
+    pps_id: int = 0
+    slice_qp: int = 26
+    pic_order_cnt_lsb: int = 0
+    first_slice: bool = True
+    nal_type: NalUnitType = NalUnitType.IDR_W_RADL
+    # inter fields (round 2 of the slice work)
+    num_ref_idx_l0: int = 1
+    five_minus_max_num_merge_cand: int = 3
+    # filled by parser: bit offset where slice data (CABAC) starts
+    data_start_byte: int = 0
+
+
+def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps) -> BitWriter:
+    """Returns an unaligned BitWriter positioned after byte_alignment();
+    caller appends CABAC data bytes."""
+    bw = BitWriter()
+    bw.write_flag(sh.first_slice)
+    if NalUnitType.BLA_W_LP <= sh.nal_type <= 23:  # IRAP
+        bw.write_flag(False)                     # no_output_of_prior_pics
+    bw.write_ue(sh.pps_id)
+    bw.write_ue(int(sh.slice_type))
+    if sh.nal_type not in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP):
+        bw.write(sh.pic_order_cnt_lsb,
+                 sps.log2_max_pic_order_cnt_lsb)
+        bw.write_flag(False)                     # st_rps_sps_flag: explicit
+        # short_term_ref_pic_set(): negative refs only (low-delay)
+        raise NotImplementedError("inter slice header lands with P slices")
+    if sh.slice_type != SliceType.I:
+        raise NotImplementedError
+    bw.write_se(sh.slice_qp - pps.init_qp)
+    # deblocking override absent; loop-filter-across-slices flag absent
+    # (sao off + deblock disabled)
+    bw.write_byte_alignment()
+    return bw
+
+
+def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
+                       nal_type: NalUnitType) -> SliceHeader:
+    br = BitReader(rbsp)
+    sh = SliceHeader(nal_type=nal_type)
+    sh.first_slice = bool(br.read_flag())
+    if NalUnitType.BLA_W_LP <= nal_type <= 23:
+        br.read_flag()
+    sh.pps_id = br.read_ue()
+    sh.slice_type = SliceType(br.read_ue())
+    if nal_type not in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP):
+        raise NotImplementedError
+    sh.slice_qp = pps.init_qp + br.read_se()
+    br.byte_align()
+    sh.data_start_byte = br.bit_position // 8
+    return sh

@@ -176,3 +176,59 @@ def filter_reference_batched(ref: jax.Array, n: int, bit_depth: int = 8,
     bilin = bilin.at[:, li].set(lvals)
     bilin = bilin.at[:, 2 * n + 1 + ys].set(tvals)
     return jnp.where(bi[:, None], bilin, smoothed)
+
+
+# ---------------------------------------------------------------------------
+# numpy twin for the host sequential pass (same tables, same arithmetic)
+
+def predict_all_modes_np(ref_unfilt: np.ndarray, ref_filt: np.ndarray,
+                         n: int, is_luma: bool = True,
+                         bit_depth: int = 8) -> np.ndarray:
+    """(4N+1,) x2 -> (35, N, N) predictions for a single block."""
+    idx0, idx1, fact = _angular_tables(n)
+    use_filt = _mode_uses_filtered(n, is_luma)
+    refs = np.stack([ref_unfilt, ref_filt]).astype(np.int64)
+
+    def left(r, y):
+        return r[2 * n - 1 - y]
+
+    def top(r, x):
+        return r[2 * n + 1 + x]
+
+    ys = np.arange(n)
+    xs = np.arange(n)
+    out = np.zeros((35, n, n), dtype=np.int64)
+
+    # angular
+    src = use_filt[2:].astype(np.int32)
+    for mi in range(33):
+        r = refs[src[mi]]
+        r0 = r[idx0[mi]]
+        r1 = r[idx1[mi]]
+        out[2 + mi] = ((32 - fact[mi]) * r0 + fact[mi] * r1 + 16) >> 5
+
+    # planar
+    pref = refs[1] if use_filt[0] else refs[0]
+    log2n = int(n).bit_length() - 1
+    l_col = left(pref, ys)[:, None]
+    t_row = top(pref, xs)[None, :]
+    out[0] = ((n - 1 - xs)[None, :] * l_col + (xs + 1)[None, :] * top(pref, np.array(n))
+              + (n - 1 - ys)[:, None] * t_row + (ys + 1)[:, None] * left(pref, np.array(n))
+              + n) >> (log2n + 1)
+
+    # DC
+    uref = refs[0]
+    dc = (top(uref, xs).sum() + left(uref, ys).sum() + n) >> (log2n + 1)
+    out[1] = dc
+    if is_luma and n < 32:
+        out[1, 0, :] = (top(uref, xs) + 3 * dc + 2) >> 2
+        out[1, :, 0] = (left(uref, ys) + 3 * dc + 2) >> 2
+        out[1, 0, 0] = (left(uref, np.array(0)) + 2 * dc
+                        + top(uref, np.array(0)) + 2) >> 2
+        maxv = (1 << bit_depth) - 1
+        corner = left(uref, np.array(-1))
+        out[26, :, 0] = np.clip(top(uref, np.array(0))
+                                + ((left(uref, ys) - corner) >> 1), 0, maxv)
+        out[10, 0, :] = np.clip(left(uref, np.array(0))
+                                + ((top(uref, xs) - corner) >> 1), 0, maxv)
+    return out.astype(np.int32)

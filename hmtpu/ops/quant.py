@@ -95,3 +95,25 @@ def dequantize_ref(level: np.ndarray, qp: int, log2_size: int,
         v = ((v + (1 << (shift - 1))) >> shift) if shift > 0 else (v << -shift)
         out[it.multi_index] = min(max(v, COEFF_MIN), COEFF_MAX)
     return out
+
+
+# ---------------------------------------------------------------------------
+# vectorised numpy twins (host sequential passes; exact same arithmetic)
+
+def quantize_np(coeff: np.ndarray, qp: int, log2_size: int,
+                bit_depth: int = 8, is_intra: bool = True) -> np.ndarray:
+    per, rem = qp // 6, qp % 6
+    qbits = QUANT_SHIFT + per + transform_shift(log2_size, bit_depth)
+    add = (171 if is_intra else 85) << (qbits - 9)
+    mag = (np.abs(coeff).astype(np.int64) * _QUANT_SCALES[rem] + add) >> qbits
+    mag = np.minimum(mag, COEFF_MAX)
+    return np.where(coeff < 0, -mag, mag).astype(np.int32)
+
+
+def dequantize_np(level: np.ndarray, qp: int, log2_size: int,
+                  bit_depth: int = 8) -> np.ndarray:
+    per, rem = qp // 6, qp % 6
+    shift = IQUANT_SHIFT - transform_shift(log2_size, bit_depth)
+    scale = _INV_QUANT_SCALES[rem] << per
+    out = (level.astype(np.int64) * scale + (1 << (shift - 1))) >> shift
+    return np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)

@@ -116,3 +116,34 @@ def inverse_transform_ref(coeff: np.ndarray, bit_depth: int = 8,
             v = (s + (1 << (shift2 - 1))) >> shift2
             out[i, j] = min(max(v, COEFF_MIN), COEFF_MAX)
     return out.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# vectorised numpy twins (host sequential passes; exact same arithmetic)
+
+def forward_np(residual: np.ndarray, bit_depth: int = 8,
+               use_dst: bool = False) -> np.ndarray:
+    """(B, N, N) int -> coefficients, identical to forward_transform."""
+    size = residual.shape[-1]
+    t = (st.DST4 if (use_dst and size == 4) else st.DCT[size]).astype(np.int64)
+    log2 = size.bit_length() - 1
+    shift1 = log2 + bit_depth + TRANSFORM_MATRIX_SHIFT - MAX_TR_DYNAMIC_RANGE
+    shift2 = log2 + TRANSFORM_MATRIX_SHIFT
+    tmp = np.einsum("ik,...jk->...ij", t, residual.astype(np.int64))
+    tmp = (tmp + (1 << (shift1 - 1))) >> shift1
+    out = np.einsum("ik,...jk->...ij", t, tmp)
+    return ((out + (1 << (shift2 - 1))) >> shift2).astype(np.int32)
+
+
+def inverse_np(coeff: np.ndarray, bit_depth: int = 8,
+               use_dst: bool = False) -> np.ndarray:
+    """(B, N, N) int -> residual, identical to inverse_transform."""
+    size = coeff.shape[-1]
+    t = (st.DST4 if (use_dst and size == 4) else st.DCT[size]).astype(np.int64)
+    shift1 = TRANSFORM_MATRIX_SHIFT + 1
+    shift2 = (TRANSFORM_MATRIX_SHIFT + MAX_TR_DYNAMIC_RANGE - 1) - bit_depth
+    tmp = np.einsum("ki,...kj->...ij", t, coeff.astype(np.int64))
+    tmp = np.clip((tmp + (1 << (shift1 - 1))) >> shift1, COEFF_MIN, COEFF_MAX)
+    out = np.einsum("...ik,kj->...ij", tmp, t)
+    out = (out + (1 << (shift2 - 1))) >> shift2
+    return np.clip(out, COEFF_MIN, COEFF_MAX).astype(np.int32)
