@@ -4,11 +4,11 @@ one).
 
 Capability parity with TLibDecoder's slice/CTU reconstruction path
 (TDecSlice.cpp:69, TDecCu.cpp:135/155, TDecTop.cpp:725): Annex-B parse,
-parameter-set activation, CABAC parse of the intra coding tree, inverse
-quant/transform, intra reconstruction, decoded-picture-hash check.
-Shares every reconstruction op with the encoder (single source of
-truth for the math; bit-exactness vs HM is established by the external
-oracle tests).
+parameter-set activation, DPB/reference-list management from the slice
+RPS, CABAC parse of I and P coding trees, motion-compensated + intra
+reconstruction, decoded-picture-hash check.  Shares every
+reconstruction op with the encoder (single source of truth for the
+math; bit-exactness vs HM is established by the external oracle tests).
 """
 from __future__ import annotations
 
@@ -23,17 +23,25 @@ from hmtpu.common.constants import (
     SliceType,
 )
 from hmtpu.common.geometry import decode_rem_mode, mpm_list, ref_availability
+from hmtpu.common.motion import MotionCtx, PicMotion, amvp_candidates, \
+    merge_candidates
 from hmtpu.common.params import Pps, Sps
 from hmtpu.common.scan import intra_scan_idx
 from hmtpu.common.spec_tables import chroma_qp_from_luma
 from hmtpu.entropy.cabac import CabacDecoder
 from hmtpu.entropy.contexts import OFF, make_contexts
 from hmtpu.entropy.headers import parse_pps, parse_slice_header, parse_sps
+from hmtpu.entropy.inter_syntax import (
+    decode_merge_idx,
+    decode_mvd,
+    decode_ref_idx,
+)
 from hmtpu.entropy.residual import decode_residual
 from hmtpu.io.bitstream import strip_emulation_prevention
 from hmtpu.io.hashsei import parse_sei_messages, picture_md5
 from hmtpu.io.nal import split_annexb
 from hmtpu.io.yuv import Frame
+from hmtpu.ops.interp import mc_chroma_np, mc_luma_np
 from hmtpu.ops.intra_pred import predict_all_modes_np
 from hmtpu.ops.intra_ref import filter_reference, substitute_unavailable
 from hmtpu.ops.quant import dequantize_np
@@ -48,12 +56,17 @@ class DecodedPicture:
     hash_ok: bool | None = None  # None when no hash SEI present
 
 
+_SLICE_NALS = (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP,
+               NalUnitType.TRAIL_R, NalUnitType.TRAIL_N,
+               NalUnitType.CRA_NUT)
+
+
 class Decoder:
     def __init__(self):
         self.sps: Sps | None = None
         self.pps: Pps | None = None
         self.pictures: list[DecodedPicture] = []
-        self._pending_hash: bytes | None = None
+        self._prev_poc = 0
 
     # -- bitstream ----------------------------------------------------------
     def decode_annexb(self, data: bytes) -> list[DecodedPicture]:
@@ -70,7 +83,7 @@ class Decoder:
                 for ptype, payload in parse_sei_messages(rbsp):
                     if ptype == SEI_DECODED_PICTURE_HASH and payload[0] == 0:
                         self._check_hash(payload[1:])
-            elif nal_type in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP):
+            elif nal_type in _SLICE_NALS:
                 pic = self._decode_slice(rbsp, nal_type)
                 self.pictures.append(pic)
         return self.pictures
@@ -82,36 +95,67 @@ class Decoder:
         want = [digests[i * 16:(i + 1) * 16] for i in range(3)]
         pic.hash_ok = got == want
 
+    def _poc_of(self, sh, nal_type) -> int:
+        if nal_type in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP):
+            self._prev_poc = 0
+            return 0
+        max_lsb = 1 << self.sps.log2_max_pic_order_cnt_lsb
+        prev_lsb = self._prev_poc & (max_lsb - 1)
+        prev_msb = self._prev_poc - prev_lsb
+        lsb = sh.pic_order_cnt_lsb
+        if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+            msb = prev_msb + max_lsb
+        elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+            msb = prev_msb - max_lsb
+        else:
+            msb = prev_msb
+        poc = msb + lsb
+        self._prev_poc = poc
+        return poc
+
     # -- slice decode -------------------------------------------------------
     def _decode_slice(self, rbsp: bytes, nal_type: NalUnitType):
         sps, pps = self.sps, self.pps
         sh = parse_slice_header(rbsp, sps, pps, nal_type)
-        assert sh.slice_type == SliceType.I
+        poc = self._poc_of(sh, nal_type)
         qp = sh.slice_qp
         qpc = chroma_qp_from_luma(qp + pps.cb_qp_offset)
         w, h = sps.pic_width, sps.pic_height
         bd = sps.bit_depth_luma
         maxv = (1 << bd) - 1
+        is_p = sh.slice_type == SliceType.P
+
+        refs: list[Frame] = []
+        ref_pocs: list[int] = []
+        if is_p:
+            by_poc = {p.poc: p.frame for p in self.pictures}
+            for delta, used in (sh.negative_refs or []):
+                if used:
+                    ref_pocs.append(poc - delta)
+                    refs.append(by_poc[poc - delta])
+            assert len(refs) >= sh.num_ref_idx_l0 > 0
+            refs = refs[:sh.num_ref_idx_l0]
+            ref_pocs = ref_pocs[:sh.num_ref_idx_l0]
 
         rec_y = np.zeros((h, w), dtype=np.int32)
         rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
         rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
         modes = np.full((h // 8, w // 8), -1, dtype=np.int32)
-        # cqt depth at 8x8 granularity (for split_cu_flag ctx)
+        skip_map = np.zeros((h // 8, w // 8), dtype=np.int32)
         depth_map = np.zeros((h // 8, w // 8), dtype=np.int32)
+        field = PicMotion.create(w, h)
+        mctx = MotionCtx(field, w, h, sps.log2_ctu_size, ref_pocs,
+                         cur_poc=poc)
+        max_merge = sh.max_num_merge_cand
+        num_ref = sh.num_ref_idx_l0
 
         dec = CabacDecoder(rbsp, sh.data_start_byte)
-        ctx = make_contexts(SliceType.I, qp)
+        ctx = make_contexts(sh.slice_type, qp)
         ctu = sps.ctu_size
         sdh = pps.sign_data_hiding
 
-        def decode_cu(x0, y0, log2, depth):
+        def decode_intra_pu(x0, y0, size, log2):
             bxi, byi = x0 // 8, y0 // 8
-            size = 1 << log2
-            depth_map[byi:(y0 + size) // 8, bxi:(x0 + size) // 8] = depth
-            if log2 == sps.log2_min_cb_size:
-                part2n = dec.decode_bin(ctx, OFF["PART_SIZE"])
-                assert part2n == 1, "NxN partition not in envelope yet"
             mpm_flag = dec.decode_bin(ctx, OFF["INTRA_PRED_MODE"])
             left_mode = modes[byi, bxi - 1] if bxi > 0 else -1
             above_mode = modes[byi - 1, bxi] \
@@ -130,11 +174,10 @@ class Decoder:
             chroma_dm = dec.decode_bin(ctx, OFF["CHROMA_PRED_MODE"])
             assert chroma_dm == 0, "only DM chroma in envelope yet"
 
-            cbf_cb = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"] + 0)
-            cbf_cr = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"] + 0)
+            cbf_cb = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"])
+            cbf_cr = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"])
             cbf_y = dec.decode_bin(ctx, OFF["QT_CBF_LUMA"] + 1)
 
-            # luma TB
             n = size
             avail = ref_availability(x0, y0, n, w, h, sps.log2_ctu_size)
             raw = gather_ref_line(rec_y, x0, y0, n)
@@ -152,7 +195,6 @@ class Decoder:
                 resi = 0
             rec_y[y0:y0 + n, x0:x0 + n] = np.clip(pred + resi, 0, maxv)
 
-            # chroma TBs
             cx, cy, cn, clog2 = x0 // 2, y0 // 2, n // 2, log2 - 1
             for cbf, plane in ((cbf_cb, rec_u), (cbf_cr, rec_v)):
                 avail_c = ref_availability(cx, cy, cn, w // 2, h // 2,
@@ -170,6 +212,112 @@ class Decoder:
                     resi_c = 0
                 plane[cy:cy + cn, cx:cx + cn] = np.clip(pred_c + resi_c,
                                                         0, maxv)
+
+        def mc_reconstruct(x0, y0, n, mv, ref_idx):
+            ref = refs[ref_idx]
+            pl = mc_luma_np(ref.y, x0, y0, n, n, mv[0], mv[1], bd)
+            pu = mc_chroma_np(ref.u, x0 // 2, y0 // 2, n // 2, n // 2,
+                              mv[0], mv[1], bd)
+            pv = mc_chroma_np(ref.v, x0 // 2, y0 // 2, n // 2, n // 2,
+                              mv[0], mv[1], bd)
+            return pl, pu, pv
+
+        def add_inter_residual(x0, y0, n, pl, pu, pv, cbf_y, cbf_cb,
+                               cbf_cr):
+            if cbf_y:
+                lev = decode_residual(dec, ctx, 3, True, 0, sdh)
+                deq = dequantize_np(lev, qp, 3, bd)
+                ry = inverse_np(deq[None], bd)[0]
+            else:
+                ry = 0
+            rec_y[y0:y0 + n, x0:x0 + n] = np.clip(pl + ry, 0, maxv)
+            cx, cy = x0 // 2, y0 // 2
+            for cbf, pc, plane in ((cbf_cb, pu, rec_u), (cbf_cr, pv, rec_v)):
+                if cbf:
+                    lev = decode_residual(dec, ctx, 2, False, 0, sdh)
+                    deq = dequantize_np(lev, qpc, 2, bd)
+                    rc = inverse_np(deq[None], bd)[0]
+                else:
+                    rc = 0
+                plane[cy:cy + n // 2, cx:cx + n // 2] = \
+                    np.clip(pc + rc, 0, maxv)
+
+        def skip_ctx_inc(bxi, byi):
+            inc = 0
+            if bxi > 0 and skip_map[byi, bxi - 1]:
+                inc += 1
+            if byi > 0 and skip_map[byi - 1, bxi]:
+                inc += 1
+            return inc
+
+        def decode_cu(x0, y0, log2, depth):
+            bxi, byi = x0 // 8, y0 // 8
+            size = 1 << log2
+            depth_map[byi:(y0 + size) // 8, bxi:(x0 + size) // 8] = depth
+            n = size
+
+            if is_p:
+                skip = dec.decode_bin(ctx, OFF["SKIP_FLAG"]
+                                      + skip_ctx_inc(bxi, byi))
+                if skip:
+                    skip_map[byi, bxi] = 1
+                    mi = decode_merge_idx(dec, ctx, max_merge)
+                    cands = merge_candidates(mctx, x0, y0, n, n, max_merge,
+                                             num_ref)
+                    c = cands[mi]
+                    field.set_block(x0, y0, n, n, 1, c.mv[0], c.ref_idx[0])
+                    pl, pu, pv = mc_reconstruct(x0, y0, n, c.mv[0],
+                                                c.ref_idx[0])
+                    rec_y[y0:y0 + n, x0:x0 + n] = pl
+                    rec_u[y0 // 2:y0 // 2 + n // 2,
+                          x0 // 2:x0 // 2 + n // 2] = pu
+                    rec_v[y0 // 2:y0 // 2 + n // 2,
+                          x0 // 2:x0 // 2 + n // 2] = pv
+                    return
+                intra = dec.decode_bin(ctx, OFF["PRED_MODE"])
+            else:
+                intra = 1
+
+            if intra:
+                if log2 == sps.log2_min_cb_size:
+                    part2n = dec.decode_bin(ctx, OFF["PART_SIZE"])
+                    assert part2n == 1, "NxN partition not in envelope yet"
+                decode_intra_pu(x0, y0, size, log2)
+                return
+
+            # inter CU
+            part2n = dec.decode_bin(ctx, OFF["PART_SIZE"])
+            assert part2n == 1, "only 2Nx2N inter PUs in envelope yet"
+            merge = dec.decode_bin(ctx, OFF["MERGE_FLAG"])
+            if merge:
+                mi = decode_merge_idx(dec, ctx, max_merge)
+                cands = merge_candidates(mctx, x0, y0, n, n, max_merge,
+                                         num_ref)
+                c = cands[mi]
+                mv, ridx = c.mv[0], c.ref_idx[0]
+                root_cbf = 1
+            else:
+                ridx = decode_ref_idx(dec, ctx, num_ref)
+                mvd = decode_mvd(dec, ctx)
+                mvp_idx = dec.decode_bin(ctx, OFF["MVP_IDX"])
+                amvp = amvp_candidates(mctx, x0, y0, n, n, 0, ridx)
+                p = amvp[mvp_idx]
+                mv = (p[0] + mvd[0], p[1] + mvd[1])
+                root_cbf = dec.decode_bin(ctx, OFF["QT_ROOT_CBF"])
+            field.set_block(x0, y0, n, n, 1, mv, ridx)
+            pl, pu, pv = mc_reconstruct(x0, y0, n, mv, ridx)
+            if not root_cbf:
+                rec_y[y0:y0 + n, x0:x0 + n] = pl
+                rec_u[y0 // 2:y0 // 2 + n // 2, x0 // 2:x0 // 2 + n // 2] = pu
+                rec_v[y0 // 2:y0 // 2 + n // 2, x0 // 2:x0 // 2 + n // 2] = pv
+                return
+            cbf_cb = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"])
+            cbf_cr = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"])
+            if cbf_cb or cbf_cr:
+                cbf_y = dec.decode_bin(ctx, OFF["QT_CBF_LUMA"] + 1)
+            else:
+                cbf_y = 1   # inferred: rqt_root_cbf promised residual
+            add_inter_residual(x0, y0, n, pl, pu, pv, cbf_y, cbf_cb, cbf_cr)
 
         def split_ctx_inc(x0, y0, depth):
             inc = 0
@@ -192,7 +340,8 @@ class Decoder:
                 half = size >> 1
                 for dy, dx in ((0, 0), (0, half), (half, 0), (half, half)):
                     if x0 + dx < w and y0 + dy < h:
-                        decode_quadtree(x0 + dx, y0 + dy, log2 - 1, depth + 1)
+                        decode_quadtree(x0 + dx, y0 + dy, log2 - 1,
+                                        depth + 1)
             else:
                 decode_cu(x0, y0, log2, depth)
 
@@ -204,4 +353,4 @@ class Decoder:
                 end = dec.decode_bin_trm()
                 assert end == (1 if last else 0), "end_of_slice desync"
 
-        return DecodedPicture(Frame(rec_y, rec_u, rec_v, bd), 0)
+        return DecodedPicture(Frame(rec_y, rec_u, rec_v, bd), poc)

@@ -1,0 +1,499 @@
+"""P-frame (low-delay) encoder: batched motion search + NN-FME sub-pel
+on device, sequential mode decision / reconstruction / entropy on host.
+
+Layer parity with the reference's inter path — TEncSlice::compressSlice
+(TEncSlice.cpp:641) -> TEncCu RDO (TEncCu.cpp:352) ->
+TEncSearch::predInterSearch (TEncSearch.cpp:3683) — inverted
+breadth-first for the TPU: stage A runs integer ME for EVERY block of
+the frame in one jitted kernel (search/me.py), stage B maps all cost
+stencils through the NN-FME MLP in one matmul batch (models/nnfme.py;
+reference: NN_pred TEncSearch.cpp:85 called per-PU at :4541), and only
+the normatively sequential parts (merge/AMVP neighbour derivation,
+reconstruction in coding order, CABAC) run as a host pass.
+
+Mode decision per 8x8 CU: skip / merge+residual (best merge candidate),
+AMVP inter with the searched MV, or intra — chosen by SSE + lambda *
+estimated bits (the reference's RD with CABAC-counter bits lands with
+the RDO-tree milestone; estimates here follow the same cost shape).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from hmtpu.common.constants import DC_IDX, SliceType
+from hmtpu.common.geometry import encode_rem_mode, mpm_list, ref_availability
+from hmtpu.common.motion import MotionCtx, MvCand, PicMotion, merge_candidates, \
+    amvp_candidates
+from hmtpu.common.params import Pps, Sps
+from hmtpu.common.scan import intra_scan_idx
+from hmtpu.common.spec_tables import chroma_qp_from_luma
+from hmtpu.encoder.intra import gather_ref_line, satd8
+from hmtpu.entropy.cabac import CabacEncoder
+from hmtpu.entropy.contexts import OFF, make_contexts
+from hmtpu.entropy.headers import SliceHeader
+from hmtpu.entropy.inter_syntax import (
+    encode_merge_idx,
+    encode_mvd,
+    encode_ref_idx,
+)
+from hmtpu.entropy.residual import encode_residual
+from hmtpu.io.yuv import Frame
+from hmtpu.ops.interp import mc_chroma_np, mc_luma_np
+from hmtpu.ops.intra_pred import predict_all_modes_np
+from hmtpu.ops.intra_ref import filter_reference, substitute_unavailable
+from hmtpu.ops.quant import dequantize_np, quantize_np
+from hmtpu.ops.transform import forward_np, inverse_np
+
+
+@dataclass
+class PuDec:
+    kind: str                      # 'skip' | 'merge' | 'amvp' | 'intra'
+    merge_idx: int = 0
+    mv: tuple = (0, 0)             # final quarter-pel MV (L0)
+    mvd: tuple = (0, 0)
+    mvp_idx: int = 0
+    ref_idx: int = 0
+    intra_mode: int = -1
+    lev_y: np.ndarray | None = None
+    lev_cb: np.ndarray | None = None
+    lev_cr: np.ndarray | None = None
+
+    @property
+    def coded(self) -> bool:
+        return any(l is not None and l.any()
+                   for l in (self.lev_y, self.lev_cb, self.lev_cr))
+
+
+def est_level_bits(lev: np.ndarray) -> float:
+    """Rough residual-rate estimate (stands in for the CABAC-counter
+    estimate of TEncBinCoderCABACCounter.cpp until the RDO milestone)."""
+    nz = lev[lev != 0]
+    if nz.size == 0:
+        return 1.0
+    return 8.0 + nz.size * 2.0 + float(np.ceil(np.log2(np.abs(nz) + 1)).sum()) * 2.0
+
+
+def code_residual_block(org, pred, qp, log2, bd):
+    """transform -> quant -> (dequant -> inverse) ; returns (lev, recon
+    residual)."""
+    resi = org - pred
+    coef = forward_np(resi[None], bd)[0]
+    lev = quantize_np(coef, qp, log2, bd, True)
+    if lev.any():
+        deq = dequantize_np(lev, qp, log2, bd)
+        r = inverse_np(deq[None], bd)[0]
+    else:
+        r = np.zeros_like(org)
+    return lev, r
+
+
+class PFrameEncoder:
+    """One P slice: num_ref L0 references, 8x8 CU grid (the RDO-tree
+    milestone widens the partitioning)."""
+
+    def __init__(self, sps: Sps, pps: Pps, subpel: str = "nn",
+                 nn_params=None, search_range: int = 16):
+        self.sps, self.pps = sps, pps
+        self.bd = sps.bit_depth_luma
+        self.subpel = subpel
+        self.nn_params = nn_params
+        self.search_range = search_range
+
+    # -- stage A+B: device batched search ----------------------------------
+    def motion_search(self, frame: Frame, ref: Frame, qp: int):
+        import jax.numpy as jnp
+
+        from hmtpu.search.me import frac_refine_batch, integer_me
+
+        w, h = self.sps.pic_width, self.sps.pic_height
+        lam_sqrt = np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0))
+        org = jnp.asarray(frame.y.astype(np.int32))
+        refy = jnp.asarray(ref.y.astype(np.int32))
+        zeros = jnp.zeros((h // 8, w // 8), jnp.int32)
+        (mvx, mvy), stencil, best_sad = integer_me(
+            refy, org, 8, self.search_range, jnp.float32(lam_sqrt),
+            zeros, zeros)
+
+        if self.subpel == "nn" and self.nn_params is not None:
+            from hmtpu.models.nnfme import predict_offsets
+            st = np.asarray(stencil).reshape(-1, 9).astype(np.float32)
+            nblk = st.shape[0]
+            sizes = jnp.full((nblk,), 8, jnp.int32)
+            _, offs = predict_offsets(self.nn_params, jnp.asarray(st),
+                                      sizes, sizes)
+            offs = np.asarray(offs)
+            mvq_x = np.asarray(mvx).reshape(-1) * 4 + offs[:, 0]
+            mvq_y = np.asarray(mvy).reshape(-1) * 4 + offs[:, 1]
+        elif self.subpel == "dctif":
+            by, bx = h // 8, w // 8
+            ys, xs = np.mgrid[0:by, 0:bx] * 8
+            org_blocks = frame.y.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) \
+                .reshape(-1, 8, 8).astype(np.int32)
+            mvq_x, mvq_y = frac_refine_batch(
+                refy, jnp.asarray(xs.reshape(-1)), jnp.asarray(ys.reshape(-1)),
+                jnp.asarray(org_blocks), jnp.asarray(mvx).reshape(-1),
+                jnp.asarray(mvy).reshape(-1), 8, self.bd)
+            mvq_x, mvq_y = np.asarray(mvq_x), np.asarray(mvq_y)
+        else:
+            mvq_x = np.asarray(mvx).reshape(-1) * 4
+            mvq_y = np.asarray(mvy).reshape(-1) * 4
+
+        by, bx = h // 8, w // 8
+        return (mvq_x.reshape(by, bx), mvq_y.reshape(by, bx),
+                np.asarray(stencil), np.asarray(best_sad))
+
+    # -- main entry ---------------------------------------------------------
+    def encode_frame(self, frame: Frame, qp: int, refs: list[Frame],
+                     ref_pocs: list[int], poc: int, sh: SliceHeader):
+        sps = self.sps
+        w, h = sps.pic_width, sps.pic_height
+        bd = self.bd
+        maxv = (1 << bd) - 1
+        qpc = chroma_qp_from_luma(qp + self.pps.cb_qp_offset)
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        lam_sqrt = np.sqrt(lam)
+
+        mvq_x, mvq_y, stencil, best_sad = self.motion_search(
+            frame, refs[0], qp)
+
+        rec_y = np.zeros((h, w), dtype=np.int32)
+        rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
+        rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
+        modes = np.full((h // 8, w // 8), -1, dtype=np.int32)
+        skip_map = np.zeros((h // 8, w // 8), dtype=np.int32)
+        intra_map = np.zeros((h // 8, w // 8), dtype=np.int32)
+        field = PicMotion.create(w, h)
+        mctx = MotionCtx(field, w, h, sps.log2_ctu_size, ref_pocs,
+                         cur_poc=poc)
+        decisions: dict[tuple, PuDec] = {}
+        max_merge = sh.max_num_merge_cand
+        num_ref = len(refs)
+
+        ctu = sps.ctu_size
+        for cty in range(sps.pic_height_in_ctus):
+            for ctxi in range(sps.pic_width_in_ctus):
+                for zi in range(64):
+                    bx = by = 0
+                    for bit in range(3):
+                        bx |= ((zi >> (2 * bit)) & 1) << bit
+                        by |= ((zi >> (2 * bit + 1)) & 1) << bit
+                    x, y = ctxi * ctu + bx * 8, cty * ctu + by * 8
+                    if x >= w or y >= h:
+                        continue
+                    self._encode_block(
+                        frame, qp, qpc, x, y, rec_y, rec_u, rec_v,
+                        modes, skip_map, intra_map, field, mctx,
+                        decisions, refs, mvq_x, mvq_y, lam, lam_sqrt,
+                        maxv, max_merge, num_ref)
+
+        rbsp = self._entropy_pass(qp, modes, skip_map, intra_map,
+                                  decisions, sh)
+        recon = Frame(rec_y, rec_u, rec_v, bd)
+        return rbsp, recon, field, decisions
+
+    # -- candidate helpers --------------------------------------------------
+    def _mc_pred(self, refs, ref_idx, x, y, mv):
+        ref = refs[ref_idx]
+        pl = mc_luma_np(ref.y, x, y, 8, 8, mv[0], mv[1], self.bd)
+        pu = mc_chroma_np(ref.u, x // 2, y // 2, 4, 4, mv[0], mv[1], self.bd)
+        pv = mc_chroma_np(ref.v, x // 2, y // 2, 4, 4, mv[0], mv[1], self.bd)
+        return pl, pu, pv
+
+    def _intra_candidate(self, frame, qp, x, y, rec_y, modes):
+        sps, bd = self.sps, self.bd
+        w, h = sps.pic_width, sps.pic_height
+        n = 8
+        org = frame.y[y:y + n, x:x + n].astype(np.int32)
+        avail = ref_availability(x, y, n, w, h, sps.log2_ctu_size)
+        raw = gather_ref_line(rec_y, x, y, n)
+        ref_u_line = substitute_unavailable(raw, avail, bd)
+        ref_f_line = filter_reference(ref_u_line, n, bd, False)
+        preds = predict_all_modes_np(ref_u_line, ref_f_line, n, True, bd)
+        satds = satd8(org[None] - preds)
+        bxi, byi = x // 8, y // 8
+        left_mode = modes[byi, bxi - 1] if bxi > 0 else -1
+        above_mode = modes[byi - 1, bxi] \
+            if (byi > 0 and (y % sps.ctu_size) != 0) else -1
+        mpms = mpm_list(left_mode if left_mode >= 0 else DC_IDX,
+                        above_mode if above_mode >= 0 else DC_IDX)
+        bits = np.full(35, 6.0)
+        for i, m in enumerate(mpms):
+            bits[m] = 2.0 if i == 0 else 3.0
+        mode = int(np.argmin(satds + np.sqrt(
+            0.57 * 2.0 ** ((qp - 12) / 3.0)) * bits))
+        return mode, preds[mode], bits[mode]
+
+    # -- per-block decision -------------------------------------------------
+    def _encode_block(self, frame, qp, qpc, x, y, rec_y, rec_u, rec_v,
+                      modes, skip_map, intra_map, field, mctx, decisions,
+                      refs, mvq_x, mvq_y, lam, lam_sqrt, maxv, max_merge,
+                      num_ref):
+        bd = self.bd
+        n = 8
+        bxi, byi = x // 8, y // 8
+        org = frame.y[y:y + n, x:x + n].astype(np.int32)
+        org_u = frame.u[y // 2:y // 2 + 4, x // 2:x // 2 + 4].astype(np.int32)
+        org_v = frame.v[y // 2:y // 2 + 4, x // 2:x // 2 + 4].astype(np.int32)
+
+        merge = merge_candidates(mctx, x, y, n, n, max_merge, num_ref)
+        # best merge candidate by prediction SSE (luma+chroma)
+        best_mi, best_msse, best_mpred = 0, None, None
+        seen = []
+        for mi, cand in enumerate(merge):
+            key = (cand.mv[0], cand.ref_idx[0])
+            if key in seen:
+                continue
+            seen.append(key)
+            pl, pu, pv = self._mc_pred(refs, cand.ref_idx[0], x, y,
+                                       cand.mv[0])
+            sse = float(((org - pl) ** 2).sum()) \
+                + float(((org_u - pu) ** 2).sum()) \
+                + float(((org_v - pv) ** 2).sum())
+            if best_msse is None or sse < best_msse:
+                best_mi, best_msse, best_mpred = mi, sse, (pl, pu, pv)
+        mcand = merge[best_mi]
+
+        # candidate 1: SKIP (merge MV, no residual)
+        cost_skip = best_msse + lam * (1.0 + best_mi + 1.0)
+
+        # candidate 2: merge + residual
+        lev_y_m, ry_m = code_residual_block(org, best_mpred[0], qp, 3, bd)
+        lev_cb_m, ru_m = code_residual_block(org_u, best_mpred[1], qpc, 2, bd)
+        lev_cr_m, rv_m = code_residual_block(org_v, best_mpred[2], qpc, 2, bd)
+        d_merge = float(((org - np.clip(best_mpred[0] + ry_m, 0, maxv)) ** 2).sum()) \
+            + float(((org_u - np.clip(best_mpred[1] + ru_m, 0, maxv)) ** 2).sum()) \
+            + float(((org_v - np.clip(best_mpred[2] + rv_m, 0, maxv)) ** 2).sum())
+        bits_merge = 4.0 + best_mi + est_level_bits(lev_y_m) \
+            + est_level_bits(lev_cb_m) + est_level_bits(lev_cr_m)
+        cost_merge = d_merge + lam * bits_merge
+
+        # candidate 3: AMVP inter with searched MV
+        mv = (int(mvq_x[byi, bxi]), int(mvq_y[byi, bxi]))
+        amvp = amvp_candidates(mctx, x, y, n, n, 0, 0)
+        mvds = [(mv[0] - p[0], mv[1] - p[1]) for p in amvp]
+        mvd_bits = [abs(a).bit_length() * 2 + abs(b).bit_length() * 2 + 2
+                    for a, b in mvds]
+        mvp_idx = int(np.argmin(mvd_bits))
+        pl_a, pu_a, pv_a = self._mc_pred(refs, 0, x, y, mv)
+        lev_y_a, ry_a = code_residual_block(org, pl_a, qp, 3, bd)
+        lev_cb_a, ru_a = code_residual_block(org_u, pu_a, qpc, 2, bd)
+        lev_cr_a, rv_a = code_residual_block(org_v, pv_a, qpc, 2, bd)
+        d_amvp = float(((org - np.clip(pl_a + ry_a, 0, maxv)) ** 2).sum()) \
+            + float(((org_u - np.clip(pu_a + ru_a, 0, maxv)) ** 2).sum()) \
+            + float(((org_v - np.clip(pv_a + rv_a, 0, maxv)) ** 2).sum())
+        bits_amvp = 6.0 + mvd_bits[mvp_idx] + est_level_bits(lev_y_a) \
+            + est_level_bits(lev_cb_a) + est_level_bits(lev_cr_a)
+        cost_amvp = d_amvp + lam * bits_amvp
+
+        # candidate 4: intra
+        imode, ipred, ibits = self._intra_candidate(frame, qp, x, y,
+                                                    rec_y, modes)
+        lev_y_i, ry_i = code_residual_block(org, ipred, qp, 3, bd)
+        # chroma DM prediction from reconstructed chroma neighbours
+        ich = []
+        for plane_org, plane_rec, corg in ((frame.u, rec_u, org_u),
+                                           (frame.v, rec_v, org_v)):
+            cx, cy = x // 2, y // 2
+            avail_c = ref_availability(cx, cy, 4, self.sps.pic_width // 2,
+                                       self.sps.pic_height // 2,
+                                       self.sps.log2_ctu_size - 1)
+            raw_c = gather_ref_line(plane_rec, cx, cy, 4)
+            ref_c = substitute_unavailable(raw_c, avail_c, bd)
+            pred_c = predict_all_modes_np(ref_c, ref_c, 4, False, bd)[imode]
+            lv, rc = code_residual_block(corg, pred_c, qpc, 2, bd)
+            ich.append((pred_c, lv, rc))
+        d_intra = float(((org - np.clip(ipred + ry_i, 0, maxv)) ** 2).sum()) \
+            + float(((org_u - np.clip(ich[0][0] + ich[0][2], 0, maxv)) ** 2).sum()) \
+            + float(((org_v - np.clip(ich[1][0] + ich[1][2], 0, maxv)) ** 2).sum())
+        bits_intra = 3.0 + ibits + est_level_bits(lev_y_i) \
+            + est_level_bits(ich[0][1]) + est_level_bits(ich[1][1])
+        cost_intra = d_intra + lam * bits_intra
+
+        costs = [cost_skip, cost_merge, cost_amvp, cost_intra]
+        choice = int(np.argmin(costs))
+        # a merge CU whose residual quantises to zero is normatively skip
+        if choice == 1 and not (lev_y_m.any() or lev_cb_m.any()
+                                or lev_cr_m.any()):
+            choice = 0
+
+        if choice == 0:       # SKIP
+            pl, pu, pv = best_mpred
+            rec_y[y:y + n, x:x + n] = pl
+            rec_u[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = pu
+            rec_v[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = pv
+            skip_map[byi, bxi] = 1
+            field.set_block(x, y, n, n, 1, mcand.mv[0], mcand.ref_idx[0])
+            decisions[(x, y)] = PuDec("skip", merge_idx=best_mi,
+                                      mv=mcand.mv[0],
+                                      ref_idx=mcand.ref_idx[0])
+        elif choice == 1:     # merge + residual
+            pl, pu, pv = best_mpred
+            rec_y[y:y + n, x:x + n] = np.clip(pl + ry_m, 0, maxv)
+            rec_u[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
+                np.clip(pu + ru_m, 0, maxv)
+            rec_v[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
+                np.clip(pv + rv_m, 0, maxv)
+            field.set_block(x, y, n, n, 1, mcand.mv[0], mcand.ref_idx[0])
+            decisions[(x, y)] = PuDec("merge", merge_idx=best_mi,
+                                      mv=mcand.mv[0],
+                                      ref_idx=mcand.ref_idx[0],
+                                      lev_y=lev_y_m, lev_cb=lev_cb_m,
+                                      lev_cr=lev_cr_m)
+        elif choice == 2:     # AMVP
+            rec_y[y:y + n, x:x + n] = np.clip(pl_a + ry_a, 0, maxv)
+            rec_u[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
+                np.clip(pu_a + ru_a, 0, maxv)
+            rec_v[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
+                np.clip(pv_a + rv_a, 0, maxv)
+            field.set_block(x, y, n, n, 1, mv, 0)
+            decisions[(x, y)] = PuDec("amvp", mv=mv,
+                                      mvd=mvds[mvp_idx],
+                                      mvp_idx=mvp_idx, ref_idx=0,
+                                      lev_y=lev_y_a, lev_cb=lev_cb_a,
+                                      lev_cr=lev_cr_a)
+        else:                 # intra
+            rec_y[y:y + n, x:x + n] = np.clip(ipred + ry_i, 0, maxv)
+            rec_u[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
+                np.clip(ich[0][0] + ich[0][2], 0, maxv)
+            rec_v[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
+                np.clip(ich[1][0] + ich[1][2], 0, maxv)
+            modes[byi, bxi] = imode
+            intra_map[byi, bxi] = 1
+            decisions[(x, y)] = PuDec("intra", intra_mode=imode,
+                                      lev_y=lev_y_i, lev_cb=ich[0][1],
+                                      lev_cr=ich[1][1])
+
+    # -- entropy ------------------------------------------------------------
+    def _entropy_pass(self, qp, modes, skip_map, intra_map, decisions,
+                      sh: SliceHeader) -> bytes:
+        from hmtpu.io.bitstream import BitWriter
+
+        sps = self.sps
+        w, h = sps.pic_width, sps.pic_height
+        bw = BitWriter()
+        enc = CabacEncoder(bw)
+        ctx = make_contexts(SliceType.P, qp)
+        sdh = self.pps.sign_data_hiding
+        max_merge = sh.max_num_merge_cand
+        num_ref = sh.num_ref_idx_l0
+        ctu = sps.ctu_size
+
+        def skip_ctx_inc(bxi, byi):
+            inc = 0
+            if bxi > 0 and skip_map[byi, bxi - 1]:
+                inc += 1
+            if byi > 0 and skip_map[byi - 1, bxi]:
+                inc += 1
+            return inc
+
+        def encode_cu(x0, y0):
+            bxi, byi = x0 // 8, y0 // 8
+            d = decisions[(x0, y0)]
+            enc.encode_bin(ctx, OFF["SKIP_FLAG"] + skip_ctx_inc(bxi, byi),
+                           int(d.kind == "skip"))
+            if d.kind == "skip":
+                encode_merge_idx(enc, ctx, d.merge_idx, max_merge)
+                return
+            enc.encode_bin(ctx, OFF["PRED_MODE"], int(d.kind == "intra"))
+            if d.kind == "intra":
+                enc.encode_bin(ctx, OFF["PART_SIZE"], 1)   # 2Nx2N
+                mode = d.intra_mode
+                left_mode = modes[byi, bxi - 1] if bxi > 0 else -1
+                above_mode = modes[byi - 1, bxi] \
+                    if (byi > 0 and (y0 % ctu) != 0) else -1
+                mpms = mpm_list(left_mode if left_mode >= 0 else DC_IDX,
+                                above_mode if above_mode >= 0 else DC_IDX)
+                if mode in mpms:
+                    enc.encode_bin(ctx, OFF["INTRA_PRED_MODE"], 1)
+                    idx = mpms.index(mode)
+                    enc.encode_bin_ep(0 if idx == 0 else 1)
+                    if idx:
+                        enc.encode_bin_ep(idx - 1)
+                else:
+                    enc.encode_bin(ctx, OFF["INTRA_PRED_MODE"], 0)
+                    enc.encode_bins_ep(encode_rem_mode(mode, mpms), 5)
+                enc.encode_bin(ctx, OFF["CHROMA_PRED_MODE"], 0)  # DM
+                cbf_cb = bool(d.lev_cb.any())
+                cbf_cr = bool(d.lev_cr.any())
+                cbf_y = bool(d.lev_y.any())
+                enc.encode_bin(ctx, OFF["QT_CBF_CHROMA"], int(cbf_cb))
+                enc.encode_bin(ctx, OFF["QT_CBF_CHROMA"], int(cbf_cr))
+                enc.encode_bin(ctx, OFF["QT_CBF_LUMA"] + 1, int(cbf_y))
+                if cbf_y:
+                    scan = intra_scan_idx(mode, 3, True)
+                    encode_residual(enc, ctx, d.lev_y, 3, True, scan, sdh)
+                if cbf_cb:
+                    scan = intra_scan_idx(mode, 2, False)
+                    encode_residual(enc, ctx, d.lev_cb, 2, False, scan, sdh)
+                if cbf_cr:
+                    scan = intra_scan_idx(mode, 2, False)
+                    encode_residual(enc, ctx, d.lev_cr, 2, False, scan, sdh)
+                return
+
+            # inter, 2Nx2N
+            enc.encode_bin(ctx, OFF["PART_SIZE"], 1)
+            if d.kind == "merge":
+                enc.encode_bin(ctx, OFF["MERGE_FLAG"], 1)
+                encode_merge_idx(enc, ctx, d.merge_idx, max_merge)
+            else:
+                enc.encode_bin(ctx, OFF["MERGE_FLAG"], 0)
+                encode_ref_idx(enc, ctx, d.ref_idx, num_ref)
+                encode_mvd(enc, ctx, d.mvd[0], d.mvd[1])
+                enc.encode_bin(ctx, OFF["MVP_IDX"], d.mvp_idx)
+            cbf_cb = bool(d.lev_cb.any())
+            cbf_cr = bool(d.lev_cr.any())
+            cbf_y = bool(d.lev_y.any())
+            if d.kind == "amvp":
+                root = int(cbf_cb or cbf_cr or cbf_y)
+                enc.encode_bin(ctx, OFF["QT_ROOT_CBF"], root)
+                if not root:
+                    return
+            enc.encode_bin(ctx, OFF["QT_CBF_CHROMA"], int(cbf_cb))
+            enc.encode_bin(ctx, OFF["QT_CBF_CHROMA"], int(cbf_cr))
+            if cbf_cb or cbf_cr:
+                enc.encode_bin(ctx, OFF["QT_CBF_LUMA"] + 1, int(cbf_y))
+            # else cbf_luma inferred 1
+            if cbf_y:
+                encode_residual(enc, ctx, d.lev_y, 3, True, 0, sdh)
+            if cbf_cb:
+                encode_residual(enc, ctx, d.lev_cb, 2, False, 0, sdh)
+            if cbf_cr:
+                encode_residual(enc, ctx, d.lev_cr, 2, False, 0, sdh)
+
+        def split_ctx_inc(x0, y0, depth):
+            inc = 0
+            if x0 > 0:
+                inc += 1 if 3 > depth else 0
+            if y0 > 0:
+                inc += 1 if 3 > depth else 0
+            return inc
+
+        def encode_quadtree(x0, y0, log2, depth):
+            size = 1 << log2
+            inside = x0 + size <= w and y0 + size <= h
+            if inside and log2 > 3:
+                enc.encode_bin(ctx, OFF["SPLIT_FLAG"]
+                               + split_ctx_inc(x0, y0, depth), 1)
+            if log2 > 3:
+                half = size >> 1
+                for dy, dx in ((0, 0), (0, half), (half, 0), (half, half)):
+                    if x0 + dx < w and y0 + dy < h:
+                        encode_quadtree(x0 + dx, y0 + dy, log2 - 1,
+                                        depth + 1)
+            else:
+                encode_cu(x0, y0)
+
+        n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
+        for cty in range(n_ctu_y):
+            for ctxi in range(n_ctu_x):
+                encode_quadtree(ctxi * ctu, cty * ctu, sps.log2_ctu_size, 0)
+                last = (cty == n_ctu_y - 1) and (ctxi == n_ctu_x - 1)
+                if not last:
+                    enc.encode_bin_trm(0)
+        enc.encode_bin_trm(1)
+        enc.finish()
+        bw.write(1, 1)
+        bw.align_zero()
+        return bw.get_bytes()

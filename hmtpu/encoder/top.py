@@ -1,7 +1,8 @@
-"""Encoder top level: owns parameter sets, drives per-frame encoding,
-assembles access units (capability parity with TEncTop.cpp:87-353 and
-TEncGOP's NAL assembly at TEncGOP.cpp:2434, reduced to the currently
-supported all-intra path).
+"""Encoder top level: owns parameter sets, DPB, GOP structure; drives
+per-frame encoding and assembles access units (capability parity with
+TEncTop.cpp:87-353, TEncGOP::compressGOP TEncGOP.cpp:1077 and the NAL
+assembly at TEncGOP.cpp:2434, for the all-intra and low-delay-P
+configurations).
 """
 from __future__ import annotations
 
@@ -13,6 +14,7 @@ import numpy as np
 from hmtpu.common.constants import NalUnitType, SliceType
 from hmtpu.common.params import Pps, Sps, Vps
 from hmtpu.encoder.intra import IntraFrameEncoder
+from hmtpu.encoder.pframe import PFrameEncoder
 from hmtpu.entropy.headers import (
     SliceHeader,
     write_pps,
@@ -34,7 +36,16 @@ class EncoderConfig:
     ctu_size: int = 64
     decoded_picture_hash: bool = True
     sign_data_hiding: bool = False
-    frames: int = 0  # 0 = all
+    frames: int = 0            # 0 = all
+    # GOP: "ai" = all intra, "ldp" = IPPP low-delay
+    gop: str = "ai"
+    intra_period: int = 0      # 0 = only first frame is IDR (ldp)
+    num_refs: int = 1
+    # fractional-pel strategy: "nn" (NN-FME), "dctif" (HM-style), "none"
+    subpel: str = "dctif"
+    nn_weights_dir: str | None = None
+    search_range: int = 16
+    max_num_merge_cand: int = 5
 
 
 @dataclass
@@ -45,6 +56,7 @@ class FrameResult:
     psnr_u: float
     psnr_v: float
     seconds: float
+    slice_type: str = "I"
 
 
 def psnr(org: np.ndarray, rec: np.ndarray, maxv: int) -> float:
@@ -65,6 +77,34 @@ class Encoder:
         self.pps = Pps(init_qp=cfg.qp, sign_data_hiding=cfg.sign_data_hiding)
         self.vps = Vps()
         self.results: list[FrameResult] = []
+        self.dpb: list[tuple[int, Frame]] = []   # (poc, recon) newest last
+        self._last_idr = 0                       # input index of last IDR
+        self.nn_params = None
+        if cfg.subpel == "nn":
+            self.nn_params = self._load_nn(cfg)
+
+    @staticmethod
+    def _load_nn(cfg: EncoderConfig):
+        import jax
+
+        from hmtpu.models import nnfme
+        if cfg.nn_weights_dir:
+            import os
+            d = os.path.join(cfg.nn_weights_dir, str(cfg.qp))
+            if os.path.isdir(d):
+                return nnfme.load_reference_csv(d)
+            npz = os.path.join(cfg.nn_weights_dir, f"qp{cfg.qp}.npz")
+            if os.path.exists(npz):
+                return nnfme.load_npz(npz)
+        return nnfme.init_random(jax.random.PRNGKey(0))
+
+    def _is_idr(self, poc: int) -> bool:
+        if self.cfg.gop == "ai":
+            return True
+        if poc == 0:
+            return True
+        ip = self.cfg.intra_period
+        return ip > 0 and poc % ip == 0
 
     def encode_sequence(self, frames: list[Frame]) -> bytes:
         out = bytearray()
@@ -76,22 +116,50 @@ class Encoder:
         t0 = time.time()
         cfg = self.cfg
         nals: list[NalUnit] = []
+        is_idr = self._is_idr(poc)
         if poc == 0:
             nals += [write_vps(self.vps), write_sps(self.sps),
                      write_pps(self.pps)]
 
-        fe = IntraFrameEncoder(self.sps, self.pps)
-        slice_rbsp, recon, _ = fe.encode_frame(frame, cfg.qp)
+        if is_idr:
+            self.dpb.clear()
+            self._last_idr = poc
+            fe = IntraFrameEncoder(self.sps, self.pps)
+            slice_rbsp, recon, _ = fe.encode_frame(frame, cfg.qp)
+            sh = SliceHeader(slice_type=SliceType.I, pps_id=0,
+                             slice_qp=cfg.qp,
+                             nal_type=NalUnitType.IDR_W_RADL)
+            stype = "I"
+            rel_poc = 0
+        else:
+            rel_poc = poc - self._last_idr       # POC restarts at each IDR
+            n_ref = min(cfg.num_refs, len(self.dpb))
+            refs = [f for _, f in self.dpb[-n_ref:]][::-1]   # newest first
+            ref_pocs = [p for p, _ in self.dpb[-n_ref:]][::-1]
+            negs = [(rel_poc - p, True) for p in ref_pocs]
+            sh = SliceHeader(
+                slice_type=SliceType.P, pps_id=0, slice_qp=cfg.qp,
+                pic_order_cnt_lsb=rel_poc, nal_type=NalUnitType.TRAIL_R,
+                negative_refs=negs, num_ref_idx_l0=n_ref,
+                five_minus_max_num_merge_cand=5 - cfg.max_num_merge_cand)
+            pe = PFrameEncoder(self.sps, self.pps, subpel=cfg.subpel,
+                               nn_params=self.nn_params,
+                               search_range=cfg.search_range)
+            slice_rbsp, recon, _, _ = pe.encode_frame(
+                frame, cfg.qp, refs, ref_pocs, rel_poc, sh)
+            stype = "P"
 
-        sh = SliceHeader(slice_type=SliceType.I, pps_id=0, slice_qp=cfg.qp,
-                         nal_type=NalUnitType.IDR_W_RADL)
         bw = write_slice_header(sh, self.sps, self.pps)
         bw.write_bytes(slice_rbsp)
-        nals.append(NalUnit(NalUnitType.IDR_W_RADL, bw.get_bytes()))
+        nals.append(NalUnit(sh.nal_type, bw.get_bytes()))
 
         if cfg.decoded_picture_hash:
             digests = picture_md5(recon.planes(), [cfg.bit_depth] * 3)
             nals.append(make_hash_sei_nal(digests))
+
+        self.dpb.append((rel_poc, recon))
+        if len(self.dpb) > max(self.cfg.num_refs, 1):
+            self.dpb = self.dpb[-max(self.cfg.num_refs, 1):]
 
         maxv = (1 << cfg.bit_depth) - 1
         total_bits = sum(len(n.to_bytes()) * 8 for n in nals)
@@ -101,6 +169,7 @@ class Encoder:
             psnr(frame.u, recon.u, maxv),
             psnr(frame.v, recon.v, maxv),
             time.time() - t0,
+            stype,
         ))
         self._last_recon = recon
         return nals

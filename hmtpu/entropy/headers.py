@@ -238,11 +238,18 @@ class SliceHeader:
     pic_order_cnt_lsb: int = 0
     first_slice: bool = True
     nal_type: NalUnitType = NalUnitType.IDR_W_RADL
-    # inter fields (round 2 of the slice work)
+    # short_term_ref_pic_set signalled in the slice (low-delay: negative
+    # refs only): list of (delta_poc > 0 meaning POC - delta, used_flag)
+    negative_refs: list = None
     num_ref_idx_l0: int = 1
+    num_ref_idx_override: bool = True
     five_minus_max_num_merge_cand: int = 3
     # filled by parser: bit offset where slice data (CABAC) starts
     data_start_byte: int = 0
+
+    @property
+    def max_num_merge_cand(self) -> int:
+        return 5 - self.five_minus_max_num_merge_cand
 
 
 def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps) -> BitWriter:
@@ -255,16 +262,40 @@ def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps) -> BitWriter:
     bw.write_ue(sh.pps_id)
     bw.write_ue(int(sh.slice_type))
     if sh.nal_type not in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP):
-        bw.write(sh.pic_order_cnt_lsb,
+        bw.write(sh.pic_order_cnt_lsb
+                 & ((1 << sps.log2_max_pic_order_cnt_lsb) - 1),
                  sps.log2_max_pic_order_cnt_lsb)
         bw.write_flag(False)                     # st_rps_sps_flag: explicit
-        # short_term_ref_pic_set(): negative refs only (low-delay)
-        raise NotImplementedError("inter slice header lands with P slices")
+        # short_term_ref_pic_set() (7.3.7): slice-signalled, negative only.
+        # inter_ref_pic_set_prediction_flag absent (sps has 0 RPS).
+        assert sps.num_short_term_rps == 0
+        negs = sh.negative_refs or []
+        bw.write_ue(len(negs))                   # num_negative_pics
+        bw.write_ue(0)                           # num_positive_pics
+        prev = 0
+        for delta_poc, used in negs:
+            bw.write_ue(delta_poc - prev - 1)    # delta_poc_s0_minus1
+            bw.write_flag(used)
+            prev = delta_poc
+        if sps.long_term_ref_pics_present:
+            raise NotImplementedError
+        if sps.temporal_mvp_enabled:
+            bw.write_flag(False)                 # slice_temporal_mvp
+    if sps.sao_enabled:
+        raise NotImplementedError("slice SAO flags land with the SAO stage")
     if sh.slice_type != SliceType.I:
-        raise NotImplementedError
+        bw.write_flag(sh.num_ref_idx_override)
+        if sh.num_ref_idx_override:
+            bw.write_ue(sh.num_ref_idx_l0 - 1)
+            if sh.slice_type == SliceType.B:
+                raise NotImplementedError
+        assert not pps.lists_modification_present
+        assert not pps.cabac_init_present
+        assert not (pps.weighted_pred or pps.weighted_bipred)
+        bw.write_ue(sh.five_minus_max_num_merge_cand)
     bw.write_se(sh.slice_qp - pps.init_qp)
     # deblocking override absent; loop-filter-across-slices flag absent
-    # (sao off + deblock disabled)
+    # (sao off + deblock disabled); no entry points (tiles/wpp off)
     bw.write_byte_alignment()
     return bw
 
@@ -279,8 +310,31 @@ def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
     sh.pps_id = br.read_ue()
     sh.slice_type = SliceType(br.read_ue())
     if nal_type not in (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP):
-        raise NotImplementedError
+        sh.pic_order_cnt_lsb = br.read(sps.log2_max_pic_order_cnt_lsb)
+        st_sps = br.read_flag()
+        assert not st_sps, "SPS-indexed RPS not in envelope"
+        n_neg = br.read_ue()
+        n_pos = br.read_ue()
+        assert n_pos == 0, "positive refs land with B slices"
+        sh.negative_refs = []
+        prev = 0
+        for _ in range(n_neg):
+            delta = prev + br.read_ue() + 1
+            used = bool(br.read_flag())
+            sh.negative_refs.append((delta, used))
+            prev = delta
+        if sps.temporal_mvp_enabled:
+            br.read_flag()
+    if sh.slice_type != SliceType.I:
+        sh.num_ref_idx_override = bool(br.read_flag())
+        if sh.num_ref_idx_override:
+            sh.num_ref_idx_l0 = br.read_ue() + 1
+        else:
+            sh.num_ref_idx_l0 = pps.num_ref_idx_l0_default
+        sh.five_minus_max_num_merge_cand = br.read_ue()
     sh.slice_qp = pps.init_qp + br.read_se()
+    one = br.read(1)          # alignment_bit_equal_to_one (7.3.2.10)
+    assert one == 1, "byte_alignment desync"
     br.byte_align()
     sh.data_start_byte = br.bit_position // 8
     return sh

@@ -97,6 +97,17 @@ def load_reference_csv(dirpath: str) -> NnFmeParams:
     )
 
 
+def save_npz(path: str, params: NnFmeParams) -> None:
+    np.savez(path, **{k: np.asarray(v)
+                      for k, v in params._asdict().items()})
+
+
+def load_npz(path: str) -> NnFmeParams:
+    with np.load(path) as z:
+        return NnFmeParams(**{k: jnp.asarray(z[k])
+                              for k in NnFmeParams._fields})
+
+
 def init_random(key: jax.Array) -> NnFmeParams:
     ks = jax.random.split(key, 8)
     g = jax.nn.initializers.glorot_uniform()

@@ -1,0 +1,191 @@
+"""Fractional-sample interpolation (DCT-IF) for motion compensation.
+
+Capability parity with the reference's TComInterpolationFilter
+(TComInterpolationFilter.cpp:57-75 coefficient tables, :173 templated
+filter, :274-396 hor/ver drivers), re-designed for batched evaluation:
+the numpy path is the scalar correctness reference; `mc_luma`/`mc_chroma`
+operate on whole batches of blocks so the TPU sees one big gather +
+two tensor contractions per fractional phase instead of HM's per-PU
+scalar loops.
+
+Precision model (H.265 8.5.4.2.2.1): two separable passes over an
+internal 14-bit signed domain.  For bit depth B:
+  headroom = 14 - B
+  hor pass (not last):  t = (sum_i c_i*s_i - (8192 << (B-8))) >> (B-8)
+  ver pass (last):      r = clip((sum_i c_i*t_i + (1<<11) + (8192<<6)) >> 12)
+  single pass (first&last): r = clip((sum_i c_i*s_i + 32) >> 6)
+Reference pictures are edge-replicated (HM pads by margin copy,
+TComPicYuv); a per-tap clamped gather reproduces that exactly.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# Luma 8-tap DCT-IF, quarter-pel phases 0..3 (H.265 Table 8-11).
+LUMA_FILTERS = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1],
+], dtype=np.int32)
+
+# Chroma 4-tap DCT-IF, eighth-pel phases 0..7 (H.265 Table 8-12).
+CHROMA_FILTERS = np.array([
+    [0, 64, 0, 0],
+    [-2, 58, 10, -2],
+    [-4, 54, 16, -2],
+    [-6, 46, 28, -4],
+    [-4, 36, 36, -4],
+    [-4, 28, 46, -6],
+    [-2, 16, 54, -4],
+    [-2, 10, 58, -2],
+], dtype=np.int32)
+
+NTAPS_LUMA = 8
+NTAPS_CHROMA = 4
+IF_FILTER_PREC = 6
+IF_INTERNAL_PREC = 14
+IF_INTERNAL_OFFS = 1 << (IF_INTERNAL_PREC - 1)
+
+
+def _gather_clamped(plane: np.ndarray, ys: np.ndarray,
+                    xs: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return plane[np.clip(ys, 0, h - 1)[..., :, None],
+                 np.clip(xs, 0, w - 1)[..., None, :]]
+
+
+def _mc_block_np(plane: np.ndarray, x0: int, y0: int, nw: int, nh: int,
+                 fx: int, fy: int, filters: np.ndarray, ntaps: int,
+                 bd: int, is_last: bool = True) -> np.ndarray:
+    """One block at integer position (x0, y0) with fractional phase
+    (fx, fy).  Scalar reference implementation (separable two-pass)."""
+    half = ntaps // 2 - 1
+    headroom = IF_INTERNAL_PREC - bd
+    maxv = (1 << bd) - 1
+
+    def last_stage(acc, first):
+        if is_last and first:
+            return np.clip((acc + 32) >> IF_FILTER_PREC, 0, maxv)
+        if is_last:
+            shift = IF_FILTER_PREC + headroom
+            off = (1 << (shift - 1)) + (IF_INTERNAL_OFFS << IF_FILTER_PREC)
+            return np.clip((acc + off) >> shift, 0, maxv)
+        if first:
+            shift = bd - 8
+            return (acc - (IF_INTERNAL_OFFS << shift)) >> shift
+        return acc >> IF_FILTER_PREC  # not-first-not-last (unused in MC)
+
+    if fx == 0 and fy == 0:
+        blk = _gather_clamped(plane, y0 + np.arange(nh), x0 + np.arange(nw))
+        if is_last:
+            return blk.astype(np.int32)
+        shift = headroom
+        return (blk.astype(np.int32) << shift) - (IF_INTERNAL_OFFS)
+    if fy == 0:
+        xs = x0 + np.arange(nw)[:, None] + np.arange(ntaps) - half
+        src = plane[np.clip(y0 + np.arange(nh), 0, plane.shape[0] - 1)[:, None, None],
+                    np.clip(xs, 0, plane.shape[1] - 1)[None, :, :]]
+        acc = (src.astype(np.int64) * filters[fx]).sum(-1)
+        return last_stage(acc, True).astype(np.int32)
+    if fx == 0:
+        ys = y0 + np.arange(nh)[:, None] + np.arange(ntaps) - half
+        src = plane[np.clip(ys, 0, plane.shape[0] - 1)[:, :, None],
+                    np.clip(x0 + np.arange(nw), 0, plane.shape[1] - 1)[None, None, :]]
+        acc = (src.astype(np.int64) * filters[fy][None, :, None]).sum(1)
+        return last_stage(acc, True).astype(np.int32)
+    # two passes: horizontal (first) over nh + ntaps - 1 rows, then vertical
+    ys = y0 + np.arange(-half, nh + ntaps - 1 - half)
+    xs = x0 + np.arange(nw)[:, None] + np.arange(ntaps) - half
+    src = plane[np.clip(ys, 0, plane.shape[0] - 1)[:, None, None],
+                np.clip(xs, 0, plane.shape[1] - 1)[None, :, :]]
+    acc = (src.astype(np.int64) * filters[fx]).sum(-1)
+    shift1 = bd - 8
+    tmp = (acc - (IF_INTERNAL_OFFS << shift1)) >> shift1      # 14-bit domain
+    win = np.lib.stride_tricks.sliding_window_view(tmp, ntaps, axis=0)
+    acc2 = (win * filters[fy]).sum(-1)
+    return last_stage(acc2, False).astype(np.int32)
+
+
+def mc_luma_np(plane: np.ndarray, x0: int, y0: int, nw: int, nh: int,
+               mv_x_q: int, mv_y_q: int, bd: int = 8) -> np.ndarray:
+    """Motion-compensated luma block; MV in quarter-pel units."""
+    ix, fx = (x0 + (mv_x_q >> 2)), mv_x_q & 3
+    iy, fy = (y0 + (mv_y_q >> 2)), mv_y_q & 3
+    return _mc_block_np(plane, ix, iy, nw, nh, fx, fy,
+                        LUMA_FILTERS, NTAPS_LUMA, bd)
+
+
+def mc_chroma_np(plane: np.ndarray, x0: int, y0: int, nw: int, nh: int,
+                 mv_x_q: int, mv_y_q: int, bd: int = 8) -> np.ndarray:
+    """Motion-compensated chroma block (4:2:0); the luma quarter-pel MV
+    becomes eighth-pel in chroma coordinates (spec 8.5.4.2.1)."""
+    ix, fx = (x0 + (mv_x_q >> 3)), mv_x_q & 7
+    iy, fy = (y0 + (mv_y_q >> 3)), mv_y_q & 7
+    return _mc_block_np(plane, ix, iy, nw, nh, fx, fy,
+                        CHROMA_FILTERS, NTAPS_CHROMA, bd)
+
+
+# --------------------------------------------------------------------------
+# Batched JAX path: MC for B blocks of one shared size in one call.
+
+def _mc_batch_jax(plane, xs0, ys0, fxs, fys, n_w, n_h, filters, ntaps, bd):
+    import jax.numpy as jnp
+
+    half = ntaps // 2 - 1
+    headroom = IF_INTERNAL_PREC - bd
+    maxv = (1 << bd) - 1
+    h, w = plane.shape
+    filt = jnp.asarray(filters)
+
+    # gather an (nh + ntaps - 1) x (nw + ntaps - 1) patch per block
+    py = ys0[:, None] + jnp.arange(-half, n_h + ntaps - 1 - half)[None, :]
+    px = xs0[:, None] + jnp.arange(-half, n_w + ntaps - 1 - half)[None, :]
+    patch = plane[jnp.clip(py, 0, h - 1)[:, :, None],
+                  jnp.clip(px, 0, w - 1)[:, None, :]].astype(jnp.int32)
+
+    cx = filt[fxs]                                  # (B, ntaps)
+    cy = filt[fys]
+    # horizontal: windows over axis 2
+    hw = jnp.stack([patch[:, :, k:k + n_w] for k in range(ntaps)], axis=-1)
+    acc = (hw * cx[:, None, None, :]).sum(-1)
+    shift1 = bd - 8
+    both = (fxs != 0) & (fys != 0)
+    tmp = jnp.where(both[:, None, None],
+                    (acc - (IF_INTERNAL_OFFS << shift1)) >> shift1, acc)
+    # vertical: windows over axis 1 (rows half .. half+n_h when fy==0)
+    vw = jnp.stack([tmp[:, k:k + n_h, :] for k in range(ntaps)], axis=-1)
+    acc2 = (vw * cy[:, None, None, :]).sum(-1)
+
+    single_h = (fys == 0) & (fxs != 0)              # hor-only: row band, +32>>6
+    single_v = (fxs == 0) & (fys != 0)
+    copy = (fxs == 0) & (fys == 0)
+
+    shift2 = IF_FILTER_PREC + headroom
+    off2 = (1 << (shift2 - 1)) + (IF_INTERNAL_OFFS << IF_FILTER_PREC)
+    res_both = (acc2 + off2) >> shift2
+    # fx==0: the hor pass used phase-0 (x64), so acc2 = 64 * sum(cy*s);
+    # (64*(S+32))>>12 == (S+32)>>6 exactly
+    res_single_v = (acc2 + (32 << IF_FILTER_PREC)) >> (2 * IF_FILTER_PREC)
+    # hor-only: take acc rows [half, half+n_h)
+    res_single_h = (acc[:, half:half + n_h, :] + 32) >> IF_FILTER_PREC
+    res_copy = patch[:, half:half + n_h, half:half + n_w]
+
+    out = jnp.where(copy[:, None, None], res_copy,
+          jnp.where(single_h[:, None, None], res_single_h,
+          jnp.where(single_v[:, None, None], res_single_v, res_both)))
+    return jnp.clip(out, 0, maxv)
+
+
+def mc_luma_batch(plane, xs0, ys0, mvx_q, mvy_q, n_w, n_h, bd=8):
+    """Batched luma MC: B blocks (same n_w x n_h) with per-block integer
+    position and quarter-pel MV.  jit-friendly (static shapes)."""
+    return _mc_batch_jax(plane, xs0 + (mvx_q >> 2), ys0 + (mvy_q >> 2),
+                         mvx_q & 3, mvy_q & 3, n_w, n_h,
+                         LUMA_FILTERS, NTAPS_LUMA, bd)
+
+
+def mc_chroma_batch(plane, xs0, ys0, mvx_q, mvy_q, n_w, n_h, bd=8):
+    return _mc_batch_jax(plane, xs0 + (mvx_q >> 3), ys0 + (mvy_q >> 3),
+                         mvx_q & 7, mvy_q & 7, n_w, n_h,
+                         CHROMA_FILTERS, NTAPS_CHROMA, bd)

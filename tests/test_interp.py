@@ -1,0 +1,90 @@
+"""DCT-IF interpolation: filter-table invariants, scalar vs batched
+parity, precision-path behaviour."""
+import numpy as np
+import pytest
+
+from hmtpu.ops.interp import (
+    CHROMA_FILTERS,
+    LUMA_FILTERS,
+    mc_chroma_batch,
+    mc_chroma_np,
+    mc_luma_batch,
+    mc_luma_np,
+)
+
+
+def test_filter_tables():
+    # every phase sums to 64 (unity DC gain at 6-bit precision)
+    assert (LUMA_FILTERS.sum(axis=1) == 64).all()
+    assert (CHROMA_FILTERS.sum(axis=1) == 64).all()
+    # phase symmetry: phase 3 is phase 1 reversed; half-pel is palindromic
+    assert (LUMA_FILTERS[3] == LUMA_FILTERS[1][::-1]).all()
+    assert (LUMA_FILTERS[2] == LUMA_FILTERS[2][::-1]).all()
+    for k in range(1, 8):
+        assert (CHROMA_FILTERS[k] == CHROMA_FILTERS[8 - k][::-1]).all()
+
+
+def test_integer_mv_is_copy():
+    rng = np.random.RandomState(0)
+    plane = rng.randint(0, 256, (64, 64)).astype(np.int32)
+    out = mc_luma_np(plane, 8, 8, 16, 8, 4 * 3, 4 * -2)
+    np.testing.assert_array_equal(out, plane[6:14, 11:27])
+    outc = mc_chroma_np(plane, 8, 8, 8, 8, 8 * 2, 8 * 1)
+    np.testing.assert_array_equal(outc, plane[9:17, 10:18])
+
+
+def test_flat_plane_invariant():
+    plane = np.full((32, 32), 117, dtype=np.int32)
+    for fx in range(4):
+        for fy in range(4):
+            out = mc_luma_np(plane, 8, 8, 8, 8, fx, fy)
+            assert (out == 117).all(), (fx, fy)
+    for fx in range(8):
+        for fy in range(8):
+            out = mc_chroma_np(plane, 8, 8, 4, 4, fx, fy)
+            assert (out == 117).all(), (fx, fy)
+
+
+def test_halfpel_of_ramp_is_midpoint():
+    # a linear ramp interpolates exactly at the midpoint (away from edges)
+    plane = (np.arange(64)[None, :] * np.ones((16, 1))).astype(np.int32) * 2
+    out = mc_luma_np(plane, 16, 4, 8, 8, 2, 0)   # half-pel in x
+    expect = plane[4:12, 16:24] + 1              # midpoint of step-2 ramp
+    np.testing.assert_array_equal(out, expect)
+
+
+@pytest.mark.parametrize("bd", [8, 10])
+def test_batch_matches_scalar_luma(bd):
+    rng = np.random.RandomState(1)
+    plane = rng.randint(0, 1 << bd, (48, 48)).astype(np.int32)
+    B = 40
+    xs = rng.randint(-2, 40, B)
+    ys = rng.randint(-2, 40, B)
+    mvx = rng.randint(-17, 17, B)
+    mvy = rng.randint(-17, 17, B)
+    import jax.numpy as jnp
+    got = np.asarray(mc_luma_batch(
+        jnp.asarray(plane), jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(mvx), jnp.asarray(mvy), 8, 8, bd))
+    for i in range(B):
+        want = mc_luma_np(plane, int(xs[i]), int(ys[i]), 8, 8,
+                          int(mvx[i]), int(mvy[i]), bd)
+        np.testing.assert_array_equal(got[i], want, err_msg=str(i))
+
+
+def test_batch_matches_scalar_chroma():
+    rng = np.random.RandomState(2)
+    plane = rng.randint(0, 256, (24, 24)).astype(np.int32)
+    B = 40
+    xs = rng.randint(0, 16, B)
+    ys = rng.randint(0, 16, B)
+    mvx = rng.randint(-33, 33, B)
+    mvy = rng.randint(-33, 33, B)
+    import jax.numpy as jnp
+    got = np.asarray(mc_chroma_batch(
+        jnp.asarray(plane), jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(mvx), jnp.asarray(mvy), 4, 4, 8))
+    for i in range(B):
+        want = mc_chroma_np(plane, int(xs[i]), int(ys[i]), 4, 4,
+                            int(mvx[i]), int(mvy[i]), 8)
+        np.testing.assert_array_equal(got[i], want, err_msg=str(i))
