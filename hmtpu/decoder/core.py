@@ -143,6 +143,7 @@ class Decoder:
         modes = np.full((h // 8, w // 8), -1, dtype=np.int32)
         skip_map = np.zeros((h // 8, w // 8), dtype=np.int32)
         depth_map = np.zeros((h // 8, w // 8), dtype=np.int32)
+        cbf_map = np.zeros((h // 8, w // 8), dtype=bool)
         field = PicMotion.create(w, h)
         mctx = MotionCtx(field, w, h, sps.log2_ctu_size, ref_pocs,
                          cur_poc=poc)
@@ -177,6 +178,7 @@ class Decoder:
             cbf_cb = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"])
             cbf_cr = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"])
             cbf_y = dec.decode_bin(ctx, OFF["QT_CBF_LUMA"] + 1)
+            cbf_map[byi:byi + size // 8, bxi:bxi + size // 8] = bool(cbf_y)
 
             n = size
             avail = ref_availability(x0, y0, n, w, h, sps.log2_ctu_size)
@@ -317,6 +319,7 @@ class Decoder:
                 cbf_y = dec.decode_bin(ctx, OFF["QT_CBF_LUMA"] + 1)
             else:
                 cbf_y = 1   # inferred: rqt_root_cbf promised residual
+            cbf_map[byi, bxi] = bool(cbf_y)
             add_inter_residual(x0, y0, n, pl, pu, pv, cbf_y, cbf_cb, cbf_cr)
 
         def split_ctx_inc(x0, y0, depth):
@@ -352,5 +355,13 @@ class Decoder:
                 last = (cty == n_ctu_y - 1) and (ctx_i == n_ctu_x - 1)
                 end = dec.decode_bin_trm()
                 assert end == (1 if last else 0), "end_of_slice desync"
+
+        if not pps.deblocking_filter_disabled:
+            from hmtpu.ops.deblock import deblock_frame, \
+                meta_from_frame_state
+            meta = meta_from_frame_state(field, cbf_map, ref_pocs)
+            deblock_frame(rec_y, rec_u, rec_v, meta, qp, bd,
+                          pps.beta_offset_div2, pps.tc_offset_div2,
+                          pps.cb_qp_offset, pps.cr_qp_offset)
 
         return DecodedPicture(Frame(rec_y, rec_u, rec_v, bd), poc)

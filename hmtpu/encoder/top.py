@@ -37,6 +37,7 @@ class EncoderConfig:
     decoded_picture_hash: bool = True
     sign_data_hiding: bool = False
     frames: int = 0            # 0 = all
+    deblock: bool = True       # in-loop deblocking filter
     # GOP: "ai" = all intra, "ldp" = IPPP low-delay
     gop: str = "ai"
     intra_period: int = 0      # 0 = only first frame is IDR (ldp)
@@ -74,7 +75,8 @@ class Encoder:
             bit_depth_luma=cfg.bit_depth, bit_depth_chroma=cfg.bit_depth,
             log2_ctu_size=cfg.ctu_size.bit_length() - 1,
         )
-        self.pps = Pps(init_qp=cfg.qp, sign_data_hiding=cfg.sign_data_hiding)
+        self.pps = Pps(init_qp=cfg.qp, sign_data_hiding=cfg.sign_data_hiding,
+                       deblocking_filter_disabled=not cfg.deblock)
         self.vps = Vps()
         self.results: list[FrameResult] = []
         self.dpb: list[tuple[int, Frame]] = []   # (poc, recon) newest last
@@ -85,17 +87,31 @@ class Encoder:
 
     @staticmethod
     def _load_nn(cfg: EncoderConfig):
+        import os
+
         import jax
 
         from hmtpu.models import nnfme
-        if cfg.nn_weights_dir:
-            import os
-            d = os.path.join(cfg.nn_weights_dir, str(cfg.qp))
+
+        dirs = [cfg.nn_weights_dir] if cfg.nn_weights_dir else []
+        # in-repo trained weights (tools/train_nnfme.py output)
+        dirs.append(os.path.join(os.path.dirname(nnfme.__file__), "weights"))
+        # nearest trained QP wins (the reference trains {22,27,32,37}
+        # and falls back to the QP22 block otherwise, TEncSearch.cpp:924)
+        for d in dirs:
+            if not d:
+                continue
+            sub = os.path.join(d, str(cfg.qp))
+            if os.path.isdir(sub):
+                return nnfme.load_reference_csv(sub)
+            cands = []
             if os.path.isdir(d):
-                return nnfme.load_reference_csv(d)
-            npz = os.path.join(cfg.nn_weights_dir, f"qp{cfg.qp}.npz")
-            if os.path.exists(npz):
-                return nnfme.load_npz(npz)
+                for f in os.listdir(d):
+                    if f.startswith("qp") and f.endswith(".npz"):
+                        cands.append(int(f[2:-4]))
+            if cands:
+                best = min(cands, key=lambda q: abs(q - cfg.qp))
+                return nnfme.load_npz(os.path.join(d, f"qp{best}.npz"))
         return nnfme.init_random(jax.random.PRNGKey(0))
 
     def _is_idr(self, poc: int) -> bool:
@@ -125,12 +141,13 @@ class Encoder:
             self.dpb.clear()
             self._last_idr = poc
             fe = IntraFrameEncoder(self.sps, self.pps)
-            slice_rbsp, recon, _ = fe.encode_frame(frame, cfg.qp)
+            slice_rbsp, recon, decisions = fe.encode_frame(frame, cfg.qp)
             sh = SliceHeader(slice_type=SliceType.I, pps_id=0,
                              slice_qp=cfg.qp,
                              nal_type=NalUnitType.IDR_W_RADL)
             stype = "I"
             rel_poc = 0
+            field, ref_pocs = None, []
         else:
             rel_poc = poc - self._last_idr       # POC restarts at each IDR
             n_ref = min(cfg.num_refs, len(self.dpb))
@@ -145,9 +162,25 @@ class Encoder:
             pe = PFrameEncoder(self.sps, self.pps, subpel=cfg.subpel,
                                nn_params=self.nn_params,
                                search_range=cfg.search_range)
-            slice_rbsp, recon, _, _ = pe.encode_frame(
+            slice_rbsp, recon, field, decisions = pe.encode_frame(
                 frame, cfg.qp, refs, ref_pocs, rel_poc, sh)
             stype = "P"
+
+        if cfg.deblock:
+            from hmtpu.common.motion import PicMotion
+            from hmtpu.ops.deblock import deblock_frame, \
+                meta_from_frame_state
+
+            if field is None:
+                field = PicMotion.create(cfg.width, cfg.height)
+            cbf8 = np.zeros((cfg.height // 8, cfg.width // 8), dtype=bool)
+            for (x, y), d in decisions.items():
+                lev = getattr(d, "lev_y", None)
+                cbf8[y // 8, x // 8] = lev is not None and bool(lev.any())
+            meta = meta_from_frame_state(field, cbf8, ref_pocs)
+            deblock_frame(recon.y, recon.u, recon.v, meta, cfg.qp,
+                          cfg.bit_depth, cb_qp_off=self.pps.cb_qp_offset,
+                          cr_qp_off=self.pps.cr_qp_offset)
 
         bw = write_slice_header(sh, self.sps, self.pps)
         bw.write_bytes(slice_rbsp)

@@ -294,8 +294,11 @@ def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps) -> BitWriter:
         assert not (pps.weighted_pred or pps.weighted_bipred)
         bw.write_ue(sh.five_minus_max_num_merge_cand)
     bw.write_se(sh.slice_qp - pps.init_qp)
-    # deblocking override absent; loop-filter-across-slices flag absent
-    # (sao off + deblock disabled); no entry points (tiles/wpp off)
+    # deblocking override absent (pps override_enabled false)
+    if pps.loop_filter_across_slices and not pps.deblocking_filter_disabled:
+        # (sao slice flags would widen this condition)
+        bw.write_flag(pps.loop_filter_across_slices)
+    # no entry points (tiles/wpp off)
     bw.write_byte_alignment()
     return bw
 
@@ -333,6 +336,8 @@ def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
             sh.num_ref_idx_l0 = pps.num_ref_idx_l0_default
         sh.five_minus_max_num_merge_cand = br.read_ue()
     sh.slice_qp = pps.init_qp + br.read_se()
+    if pps.loop_filter_across_slices and not pps.deblocking_filter_disabled:
+        br.read_flag()        # slice_loop_filter_across_slices
     one = br.read(1)          # alignment_bit_equal_to_one (7.3.2.10)
     assert one == 1, "byte_alignment desync"
     br.byte_align()

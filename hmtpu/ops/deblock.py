@@ -1,0 +1,232 @@
+"""In-loop deblocking filter (H.265 8.7.2).
+
+Capability parity with the reference's TComLoopFilter
+(TComLoopFilter.cpp:130 loopFilterPic, :557 xEdgeFilterLuma, :676
+xEdgeFilterChroma), re-designed batched: boundary strengths for every
+4-sample edge segment of the picture are derived as dense tensor ops
+from per-4x4 metadata, then all vertical edges are filtered in one
+vectorized pass followed by all horizontal edges (the spec's two-stage
+order).  numpy is the bit-exact host path; the wavefront device
+pipeline reuses the same arithmetic in jit form.
+
+The picture is filtered on the 8x8 luma grid; chroma (4:2:0) on the
+8x8 chroma-sample grid, BS==2 (intra) edges only.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from hmtpu.common.spec_tables import chroma_qp_from_luma
+
+# Table 8-12: beta' (Q 0..51) and tC' (Q 0..53)
+BETA_TABLE = np.array(
+    [0] * 16 + [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22,
+                24, 26, 28, 30, 32, 34, 36, 38, 40, 42, 44, 46, 48, 50,
+                52, 54, 56, 58, 60, 62, 64], dtype=np.int32)
+TC_TABLE = np.array(
+    [0] * 18 + [1] * 9 + [2] * 4 + [3] * 4 + [4] * 3 + [5] * 2 + [6] * 2
+    + [7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 22, 24], dtype=np.int32)
+assert BETA_TABLE.size == 52 and TC_TABLE.size == 54
+
+
+@dataclass
+class DeblockMeta:
+    """Per-4x4-block coding metadata the BS derivation needs
+    (8.7.2.4), all shaped (H/4, W/4)."""
+    intra: np.ndarray       # bool: block is intra-coded
+    cbf: np.ndarray         # bool: block's TU has nonzero luma coeffs
+    mv_x: np.ndarray        # int32 quarter-pel (L0)
+    mv_y: np.ndarray
+    ref_poc: np.ndarray     # int32; -1 for intra
+
+
+def boundary_strengths(meta: DeblockMeta, vertical: bool) -> np.ndarray:
+    """BS for every 4-sample segment on the 8-pel grid.
+
+    Returns (H/4, W/8) for vertical edges (edge x = 8*j, segment rows
+    of 4) or (H/8, W/4) for horizontal edges."""
+    if vertical:
+        p = (meta.intra[:, 1::2], meta.cbf[:, 1::2], meta.mv_x[:, 1::2],
+             meta.mv_y[:, 1::2], meta.ref_poc[:, 1::2])
+        q = (meta.intra[:, 2::2], meta.cbf[:, 2::2], meta.mv_x[:, 2::2],
+             meta.mv_y[:, 2::2], meta.ref_poc[:, 2::2])
+    else:
+        p = (meta.intra[1::2, :], meta.cbf[1::2, :], meta.mv_x[1::2, :],
+             meta.mv_y[1::2, :], meta.ref_poc[1::2, :])
+        q = (meta.intra[2::2, :], meta.cbf[2::2, :], meta.mv_x[2::2, :],
+             meta.mv_y[2::2, :], meta.ref_poc[2::2, :])
+    # p: blocks left of/above internal edges 8,16,... ; q: right/below.
+    pi, pc, pmx, pmy, pr = (a[: q[0].shape[0], : q[0].shape[1]] for a in p)
+    qi, qc, qmx, qmy, qr = q
+
+    bs = np.zeros(qi.shape, dtype=np.int32)
+    any_intra = pi | qi
+    bs[any_intra] = 2
+    mv_far = (np.abs(pmx - qmx) >= 4) | (np.abs(pmy - qmy) >= 4)
+    cond1 = pc | qc | mv_far | (pr != qr)
+    bs[~any_intra & cond1] = 1
+    return bs
+
+
+def _clip1(x, maxv):
+    return np.clip(x, 0, maxv)
+
+
+def _filter_luma_edges(plane: np.ndarray, bs: np.ndarray, qp: int,
+                       bd: int, beta_off: int, tc_off: int,
+                       vertical: bool) -> None:
+    """Filter all internal luma edges of one direction in place.
+
+    bs: (n_seg_rows, n_edges) for vertical; transposed handling makes
+    horizontal identical by operating on plane.T."""
+    pl = plane if vertical else plane.T
+    # in transposed (horizontal) space segments run along x, edges
+    # along y -> (n_seg, n_edge) needs the transpose of bs_h
+    bsv = bs if vertical else bs.T
+    # segments: rows of 4 at y = 4*i, edges at x = 8*(j+1)
+    sy, ex = np.nonzero(bsv > 0)
+    if sy.size == 0:
+        return
+    ys = sy * 4                     # segment top row
+    xs = (ex + 1) * 8               # edge column
+    tc_q = np.clip(qp + 2 * (bsv[sy, ex] - 1) + (tc_off << 1), 0, 53)
+    b_q = np.clip(qp + (beta_off << 1), 0, 51)
+    beta = int(BETA_TABLE[b_q]) << (bd - 8)
+    tc = (TC_TABLE[tc_q] << (bd - 8)).astype(np.int32)
+    maxv = (1 << bd) - 1
+
+    # gather p3..p0,q0..q3 for the 4 lines of each segment: (S, 4, 8)
+    rows = ys[:, None] + np.arange(4)[None, :]
+    cols = xs[:, None] + np.arange(-4, 4)[None, :]
+    seg = pl[rows[:, :, None], cols[:, None, :]].astype(np.int32)
+    p3, p2, p1, p0 = seg[:, :, 0], seg[:, :, 1], seg[:, :, 2], seg[:, :, 3]
+    q0, q1, q2, q3 = seg[:, :, 4], seg[:, :, 5], seg[:, :, 6], seg[:, :, 7]
+
+    dp = np.abs(p2 - 2 * p1 + p0)              # (S, 4)
+    dq = np.abs(q2 - 2 * q1 + q0)
+    dp03 = dp[:, 0] + dp[:, 3]
+    dq03 = dq[:, 0] + dq[:, 3]
+    d = dp03 + dq03
+    on = d < beta
+    if not on.any():
+        return
+
+    # strong/weak decision from lines 0 and 3 (8.7.2.5.3)
+    def dsam(i):
+        return ((2 * (dp[:, i] + dq[:, i]) < (beta >> 2))
+                & (np.abs(p3[:, i] - p0[:, i])
+                   + np.abs(q0[:, i] - q3[:, i]) < (beta >> 3))
+                & (np.abs(p0[:, i] - q0[:, i]) < ((5 * tc + 1) >> 1)))
+
+    strong = on & dsam(0) & dsam(3)
+    weak = on & ~strong
+
+    tc4 = tc[:, None]
+    out = seg.copy()
+
+    # ---- strong filter (3 taps each side)
+    s = strong
+    if s.any():
+        t2 = 2 * tc4[s]
+        out[s, :, 3] = np.clip((p2[s] + 2 * p1[s] + 2 * p0[s] + 2 * q0[s]
+                                + q1[s] + 4) >> 3, p0[s] - t2, p0[s] + t2)
+        out[s, :, 2] = np.clip((p2[s] + p1[s] + p0[s] + q0[s] + 2) >> 2,
+                               p1[s] - t2, p1[s] + t2)
+        out[s, :, 1] = np.clip((2 * p3[s] + 3 * p2[s] + p1[s] + p0[s]
+                                + q0[s] + 4) >> 3, p2[s] - t2, p2[s] + t2)
+        out[s, :, 4] = np.clip((q2[s] + 2 * q1[s] + 2 * q0[s] + 2 * p0[s]
+                                + p1[s] + 4) >> 3, q0[s] - t2, q0[s] + t2)
+        out[s, :, 5] = np.clip((q2[s] + q1[s] + q0[s] + p0[s] + 2) >> 2,
+                               q1[s] - t2, q1[s] + t2)
+        out[s, :, 6] = np.clip((2 * q3[s] + 3 * q2[s] + q1[s] + q0[s]
+                                + p0[s] + 4) >> 3, q2[s] - t2, q2[s] + t2)
+
+    # ---- weak filter
+    wmask = weak
+    if wmask.any():
+        delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+        do_line = wmask[:, None] & (np.abs(delta) < 10 * tc4)
+        dcl = np.clip(delta, -tc4, tc4)
+        np0 = _clip1(p0 + dcl, maxv)
+        nq0 = _clip1(q0 - dcl, maxv)
+        out[:, :, 3] = np.where(do_line, np0, out[:, :, 3])
+        out[:, :, 4] = np.where(do_line, nq0, out[:, :, 4])
+        side_thresh = (beta + (beta >> 1)) >> 3
+        tc2 = tc4 >> 1
+        filt_p = (dp03 < side_thresh)[:, None] & do_line
+        filt_q = (dq03 < side_thresh)[:, None] & do_line
+        dp1 = np.clip((((p2 + p0 + 1) >> 1) - p1 + dcl) >> 1, -tc2, tc2)
+        dq1 = np.clip((((q2 + q0 + 1) >> 1) - q1 - dcl) >> 1, -tc2, tc2)
+        out[:, :, 2] = np.where(filt_p, _clip1(p1 + dp1, maxv),
+                                out[:, :, 2])
+        out[:, :, 5] = np.where(filt_q, _clip1(q1 + dq1, maxv),
+                                out[:, :, 5])
+
+    pl[rows[:, :, None], cols[:, None, :]] = out
+
+
+def _filter_chroma_edges(plane: np.ndarray, bs2: np.ndarray, qp_c: int,
+                         bd: int, tc_off: int, vertical: bool) -> None:
+    """Chroma deblock: BS==2 edges on the chroma 8-grid, one sample
+    each side (8.7.2.5.5).  bs2: bool (n_seg, n_edge) at 4-chroma-
+    sample segment granularity."""
+    pl = plane if vertical else plane.T
+    sy, ex = np.nonzero(bs2)
+    if sy.size == 0:
+        return
+    ys = sy * 4
+    xs = (ex + 1) * 8
+    q_idx = int(np.clip(qp_c + 2 + (tc_off << 1), 0, 53))
+    tc = int(TC_TABLE[q_idx]) << (bd - 8)
+    maxv = (1 << bd) - 1
+
+    rows = ys[:, None] + np.arange(4)[None, :]
+    cols = xs[:, None] + np.arange(-2, 2)[None, :]
+    seg = pl[rows[:, :, None], cols[:, None, :]].astype(np.int32)
+    p1, p0, q0, q1 = seg[:, :, 0], seg[:, :, 1], seg[:, :, 2], seg[:, :, 3]
+    delta = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    seg[:, :, 1] = _clip1(p0 + delta, maxv)
+    seg[:, :, 2] = _clip1(q0 - delta, maxv)
+    pl[rows[:, :, None], cols[:, None, :]] = seg
+
+
+def deblock_frame(rec_y: np.ndarray, rec_u: np.ndarray,
+                  rec_v: np.ndarray, meta: DeblockMeta, qp: int,
+                  bd: int = 8, beta_off: int = 0, tc_off: int = 0,
+                  cb_qp_off: int = 0, cr_qp_off: int = 0) -> None:
+    """In-place deblock of one picture: all vertical edges, then all
+    horizontal edges (8.7.2.2/8.7.2.3 ordering)."""
+    bs_v = boundary_strengths(meta, vertical=True)
+    _filter_luma_edges(rec_y, bs_v, qp, bd, beta_off, tc_off, True)
+    bs_h = boundary_strengths(meta, vertical=False)
+    # horizontal pass operates on the transposed plane: segments are
+    # columns of 4, edges are rows — (n_edges, n_segs) -> transpose
+    _filter_luma_edges(rec_y, bs_h, qp, bd, beta_off, tc_off, False)
+
+    # chroma: edges on the 16-luma grid, BS==2 only; segment = 4 chroma
+    # samples = 8 luma = 2 luma BS segments
+    for off, plane in ((cb_qp_off, rec_u), (cr_qp_off, rec_v)):
+        qp_c = chroma_qp_from_luma(qp + off)
+        v2 = (bs_v[0::2, 1::2] == 2)    # 8-luma rows x 16-luma cols
+        h2 = (bs_h[1::2, 0::2] == 2)
+        _filter_chroma_edges(plane, v2, qp_c, bd, tc_off, True)
+        _filter_chroma_edges(plane, h2.T, qp_c, bd, tc_off, False)
+
+
+def meta_from_frame_state(field, cbf8: np.ndarray,
+                          ref_pocs: list[int]) -> DeblockMeta:
+    """Build DeblockMeta from a PicMotion field (4x4 granularity) and a
+    per-8x8 luma-cbf map."""
+    intra4 = field.inter_dir == 0
+    cbf4 = np.repeat(np.repeat(cbf8.astype(bool), 2, 0), 2, 1)
+    ridx = field.ref_idx[0]
+    poc_lut = np.asarray(list(ref_pocs) + [0], dtype=np.int32)
+    ref_poc = np.where(ridx >= 0, poc_lut[np.clip(ridx, 0, None)], -1)
+    return DeblockMeta(
+        intra=intra4, cbf=cbf4,
+        mv_x=field.mv[0, :, :, 0].copy(),
+        mv_y=field.mv[0, :, :, 1].copy(),
+        ref_poc=ref_poc.astype(np.int32),
+    )
