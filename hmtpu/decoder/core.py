@@ -357,9 +357,12 @@ class Decoder:
                 assert end == (1 if last else 0), "end_of_slice desync"
 
         if not pps.deblocking_filter_disabled:
+            from hmtpu.encoder.intra_rdo import leaf_id_map
             from hmtpu.ops.deblock import deblock_frame, \
                 meta_from_frame_state
-            meta = meta_from_frame_state(field, cbf_map, ref_pocs)
+            leaf_id8 = leaf_id_map(depth_map, sps.log2_ctu_size)
+            meta = meta_from_frame_state(field, cbf_map, ref_pocs,
+                                         leaf_id8)
             deblock_frame(rec_y, rec_u, rec_v, meta, qp, bd,
                           pps.beta_offset_div2, pps.tc_offset_div2,
                           pps.cb_qp_offset, pps.cr_qp_offset)

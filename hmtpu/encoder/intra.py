@@ -13,16 +13,12 @@ frames.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from hmtpu.common.constants import DC_IDX, SliceType
-from hmtpu.common.geometry import (
-    encode_rem_mode,
-    mpm_list,
-    ref_availability,
-)
+from hmtpu.common.geometry import encode_rem_mode, mpm_list
 from hmtpu.common.params import Pps, Sps
 from hmtpu.common.scan import intra_scan_idx
 from hmtpu.common.spec_tables import chroma_qp_from_luma
@@ -30,10 +26,6 @@ from hmtpu.entropy.cabac import CabacEncoder
 from hmtpu.entropy.contexts import OFF, make_contexts
 from hmtpu.entropy.residual import encode_residual
 from hmtpu.io.yuv import Frame
-from hmtpu.ops.intra_pred import predict_all_modes_np
-from hmtpu.ops.intra_ref import filter_reference, substitute_unavailable
-from hmtpu.ops.quant import dequantize_np, quantize_np
-from hmtpu.ops.transform import forward_np, inverse_np
 
 _H8 = None
 
@@ -90,8 +82,9 @@ class FrameStats:
 
 
 class IntraFrameEncoder:
-    """Fixed 8x8-CU all-intra encoder (quadtree RDO widens this in the
-    search module)."""
+    """Variable-CU-size all-intra encoder: breadth-first batched RDO on
+    device (encoder/intra_rdo.py), closed-loop reconstruction, CABAC
+    entropy of the chosen quadtree."""
 
     def __init__(self, sps: Sps, pps: Pps):
         self.sps = sps
@@ -100,106 +93,32 @@ class IntraFrameEncoder:
 
     # -- main entry ---------------------------------------------------------
     def encode_frame(self, frame: Frame, qp: int):
+        from hmtpu.encoder import intra_rdo
+
         sps = self.sps
         w, h = sps.pic_width, sps.pic_height
         assert w % 8 == 0 and h % 8 == 0, "pad input to the 8-pel grid"
-        maxv = (1 << self.bd) - 1
         qpc = chroma_qp_from_luma(qp + self.pps.cb_qp_offset)
+        sis = sps.strong_intra_smoothing
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        ctu, log2_ctu = sps.ctu_size, sps.log2_ctu_size
 
-        rec_y = np.zeros((h, w), dtype=np.int32)
-        rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
-        rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
-        modes = np.full((h // 8, w // 8), -1, dtype=np.int32)
-        decisions: dict[tuple[int, int], BlockDecision] = {}
+        costs = intra_rdo.openloop_costs(frame.y, frame.u, frame.v, qp,
+                                         qpc, self.bd, sis, lam)
+        leaves, depth8, mode8 = intra_rdo.select_tree(
+            costs, lam, w, h, ctu, log2_ctu)
+        rec_y, rec_u, rec_v, decisions = intra_rdo.reconstruct(
+            frame.y, frame.u, frame.v, leaves, qp, qpc, self.bd, sis,
+            w, h, ctu, log2_ctu)
 
-        lam_sqrt = np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0))
-
-        ctu = sps.ctu_size
-        for cty in range(sps.pic_height_in_ctus):
-            for ctx_ in range(sps.pic_width_in_ctus):
-                for zi in range(64):
-                    bx = 0
-                    by = 0
-                    for bit in range(3):
-                        bx |= ((zi >> (2 * bit)) & 1) << bit
-                        by |= ((zi >> (2 * bit + 1)) & 1) << bit
-                    x = ctx_ * ctu + bx * 8
-                    y = cty * ctu + by * 8
-                    if x >= w or y >= h:
-                        continue
-                    self._encode_block(frame, qp, qpc, x, y, rec_y, rec_u,
-                                       rec_v, modes, decisions, lam_sqrt,
-                                       maxv)
-
-        rbsp = self._entropy_pass(qp, modes, decisions)
+        rbsp = self._entropy_pass(qp, mode8, depth8, decisions)
         recon = Frame(rec_y, rec_u, rec_v, self.bd)
         return rbsp, recon, decisions
 
-    # -- per-block ----------------------------------------------------------
-    def _encode_block(self, frame, qp, qpc, x, y, rec_y, rec_u, rec_v,
-                      modes, decisions, lam_sqrt, maxv):
-        sps = self.sps
-        w, h = sps.pic_width, sps.pic_height
-        n = 8
-        org = frame.y[y:y + n, x:x + n].astype(np.int32)
-
-        avail = ref_availability(x, y, n, w, h, sps.log2_ctu_size)
-        raw = gather_ref_line(rec_y, x, y, n)
-        ref_u_line = substitute_unavailable(raw, avail, self.bd)
-        ref_f_line = filter_reference(ref_u_line, n, self.bd, False)
-        preds = predict_all_modes_np(ref_u_line, ref_f_line, n, True, self.bd)
-
-        satds = satd8(org[None] - preds)
-        bxi, byi = x // 8, y // 8
-        left_mode = modes[byi, bxi - 1] if bxi > 0 else -1
-        above_mode = modes[byi - 1, bxi] if (byi > 0 and (y % sps.ctu_size) != 0) else -1
-        mpms = mpm_list(left_mode if left_mode >= 0 else DC_IDX,
-                        above_mode if above_mode >= 0 else DC_IDX)
-        bits = np.full(35, 6.0)
-        bits[mpms[0]] = 2.0
-        bits[mpms[1]] = 3.0
-        bits[mpms[2]] = 3.0
-        cost = satds + lam_sqrt * bits
-        mode = int(np.argmin(cost))
-        modes[byi, bxi] = mode
-
-        pred = preds[mode]
-        resi = org - pred
-        coef = forward_np(resi[None], self.bd)[0]
-        lev = quantize_np(coef, qp, 3, self.bd, True)
-        if lev.any():
-            deq = dequantize_np(lev, qp, 3, self.bd)
-            r = inverse_np(deq[None], self.bd)[0]
-        else:
-            r = 0
-        rec_y[y:y + n, x:x + n] = np.clip(pred + r, 0, maxv)
-
-        # chroma (4x4, DM mode)
-        cx, cy = x // 2, y // 2
-        lev_c = []
-        for plane_org, plane_rec in ((frame.u, rec_u), (frame.v, rec_v)):
-            corg = plane_org[cy:cy + 4, cx:cx + 4].astype(np.int32)
-            avail_c = ref_availability(cx, cy, 4, w // 2, h // 2,
-                                       sps.log2_ctu_size - 1)
-            raw_c = gather_ref_line(plane_rec, cx, cy, 4)
-            ref_c = substitute_unavailable(raw_c, avail_c, self.bd)
-            pred_c = predict_all_modes_np(ref_c, ref_c, 4, False,
-                                          self.bd)[mode]
-            resi_c = corg - pred_c
-            coef_c = forward_np(resi_c[None], self.bd)[0]
-            lv = quantize_np(coef_c, qpc, 2, self.bd, True)
-            if lv.any():
-                deq = dequantize_np(lv, qpc, 2, self.bd)
-                rc = inverse_np(deq[None], self.bd)[0]
-            else:
-                rc = 0
-            plane_rec[cy:cy + 4, cx:cx + 4] = np.clip(pred_c + rc, 0, maxv)
-            lev_c.append(lv)
-
-        decisions[(x, y)] = BlockDecision(mode, lev, lev_c[0], lev_c[1])
-
     # -- entropy ------------------------------------------------------------
-    def _entropy_pass(self, qp, modes, decisions) -> bytes:
+    def _entropy_pass(self, qp, mode8, depth8, decisions) -> bytes:
+        """Serialise the chosen quadtree; mirrors decoder/core.py's
+        parse (decode_quadtree/decode_intra_pu) bin for bin."""
         from hmtpu.io.bitstream import BitWriter
 
         sps = self.sps
@@ -213,13 +132,13 @@ class IntraFrameEncoder:
         n_ctu_y = sps.pic_height_in_ctus
         ctu = sps.ctu_size
 
-        def encode_cu(x0, y0):
+        def encode_cu(x0, y0, log2):
             bxi, byi = x0 // 8, y0 // 8
-            # part_mode 2Nx2N at min CU size
-            enc.encode_bin(ctx, OFF["PART_SIZE"], 1)
-            mode = int(modes[byi, bxi])
-            left_mode = modes[byi, bxi - 1] if bxi > 0 else -1
-            above_mode = modes[byi - 1, bxi] \
+            if log2 == sps.log2_min_cb_size:
+                enc.encode_bin(ctx, OFF["PART_SIZE"], 1)  # 2Nx2N
+            mode = int(mode8[byi, bxi])
+            left_mode = mode8[byi, bxi - 1] if bxi > 0 else -1
+            above_mode = mode8[byi - 1, bxi] \
                 if (byi > 0 and (y0 % ctu) != 0) else -1
             mpms = mpm_list(left_mode if left_mode >= 0 else DC_IDX,
                             above_mode if above_mode >= 0 else DC_IDX)
@@ -243,37 +162,44 @@ class IntraFrameEncoder:
             enc.encode_bin(ctx, OFF["QT_CBF_CHROMA"] + 0, int(cbf_cb))
             enc.encode_bin(ctx, OFF["QT_CBF_CHROMA"] + 0, int(cbf_cr))
             enc.encode_bin(ctx, OFF["QT_CBF_LUMA"] + 1, int(cbf_y))
+            clog2 = log2 - 1
             if cbf_y:
-                scan = intra_scan_idx(mode, 3, True)
-                encode_residual(enc, ctx, d.lev_y, 3, True, scan, sdh)
+                scan = intra_scan_idx(mode, log2, True)
+                encode_residual(enc, ctx, d.lev_y, log2, True, scan, sdh)
             if cbf_cb:
-                scan = intra_scan_idx(mode, 2, False)
-                encode_residual(enc, ctx, d.lev_cb, 2, False, scan, sdh)
+                scan = intra_scan_idx(mode, clog2, False)
+                encode_residual(enc, ctx, d.lev_cb, clog2, False, scan,
+                                sdh)
             if cbf_cr:
-                scan = intra_scan_idx(mode, 2, False)
-                encode_residual(enc, ctx, d.lev_cr, 2, False, scan, sdh)
+                scan = intra_scan_idx(mode, clog2, False)
+                encode_residual(enc, ctx, d.lev_cr, clog2, False, scan,
+                                sdh)
 
         def split_ctx_inc(x0, y0, depth):
             inc = 0
-            if x0 > 0:  # left neighbour depth (uniform grid: depth 3)
-                inc += 1 if 3 > depth else 0
-            if y0 > 0:
-                inc += 1 if 3 > depth else 0
+            bxi, byi = x0 // 8, y0 // 8
+            if x0 > 0 and depth8[byi, bxi - 1] > depth:
+                inc += 1
+            if y0 > 0 and depth8[byi - 1, bxi] > depth:
+                inc += 1
             return inc
 
         def encode_quadtree(x0, y0, log2, depth):
             size = 1 << log2
             inside = x0 + size <= w and y0 + size <= h
-            if inside and log2 > 3:
+            is_leaf = (x0, y0) in decisions \
+                and decisions[(x0, y0)].log2 == log2
+            if inside and log2 > sps.log2_min_cb_size:
                 enc.encode_bin(ctx, OFF["SPLIT_FLAG"]
-                               + split_ctx_inc(x0, y0, depth), 1)
-            if log2 > 3:
-                half = size >> 1
-                for dy, dx in ((0, 0), (0, half), (half, 0), (half, half)):
-                    if x0 + dx < w and y0 + dy < h:
-                        encode_quadtree(x0 + dx, y0 + dy, log2 - 1, depth + 1)
-            else:
-                encode_cu(x0, y0)
+                               + split_ctx_inc(x0, y0, depth),
+                               0 if is_leaf else 1)
+            if is_leaf:
+                encode_cu(x0, y0, log2)
+                return
+            half = size >> 1
+            for dy, dx in ((0, 0), (0, half), (half, 0), (half, half)):
+                if x0 + dx < w and y0 + dy < h:
+                    encode_quadtree(x0 + dx, y0 + dy, log2 - 1, depth + 1)
 
         for cty in range(n_ctu_y):
             for ctx_i in range(n_ctu_x):

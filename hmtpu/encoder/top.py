@@ -173,11 +173,17 @@ class Encoder:
 
             if field is None:
                 field = PicMotion.create(cfg.width, cfg.height)
-            cbf8 = np.zeros((cfg.height // 8, cfg.width // 8), dtype=bool)
+            h8, w8 = cfg.height // 8, cfg.width // 8
+            cbf8 = np.zeros((h8, w8), dtype=bool)
+            leaf_id8 = np.arange(h8 * w8, dtype=np.int32).reshape(h8, w8)
             for (x, y), d in decisions.items():
                 lev = getattr(d, "lev_y", None)
-                cbf8[y // 8, x // 8] = lev is not None and bool(lev.any())
-            meta = meta_from_frame_state(field, cbf8, ref_pocs)
+                s8 = (1 << getattr(d, "log2", 3)) // 8
+                yi, xi = y // 8, x // 8
+                cbf8[yi:yi + s8, xi:xi + s8] = \
+                    lev is not None and bool(lev.any())
+                leaf_id8[yi:yi + s8, xi:xi + s8] = yi * w8 + xi
+            meta = meta_from_frame_state(field, cbf8, ref_pocs, leaf_id8)
             deblock_frame(recon.y, recon.u, recon.v, meta, cfg.qp,
                           cfg.bit_depth, cb_qp_off=self.pps.cb_qp_offset,
                           cr_qp_off=self.pps.cr_qp_offset)

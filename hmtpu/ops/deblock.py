@@ -40,6 +40,10 @@ class DeblockMeta:
     mv_x: np.ndarray        # int32 quarter-pel (L0)
     mv_y: np.ndarray
     ref_poc: np.ndarray     # int32; -1 for intra
+    # CU/TU/PU boundary masks on the 8-pel grid (8.7.2.2 edgeFlags);
+    # None = every 8-grid edge is a boundary (uniform 8x8 CUs)
+    edge_v: np.ndarray | None = None    # (H/8, W/8 - 1) bool
+    edge_h: np.ndarray | None = None    # (H/8 - 1, W/8) bool
 
 
 def boundary_strengths(meta: DeblockMeta, vertical: bool) -> np.ndarray:
@@ -67,6 +71,14 @@ def boundary_strengths(meta: DeblockMeta, vertical: bool) -> np.ndarray:
     mv_far = (np.abs(pmx - qmx) >= 4) | (np.abs(pmy - qmy) >= 4)
     cond1 = pc | qc | mv_far | (pr != qr)
     bs[~any_intra & cond1] = 1
+
+    # mask out 8-grid positions that are not CU/TU/PU boundaries
+    edge = meta.edge_v if vertical else meta.edge_h
+    if edge is not None:
+        # edge is per-8x8 cell; BS segments are 4 samples -> repeat 2x
+        # along the segment axis
+        e = np.repeat(edge, 2, axis=0 if vertical else 1)
+        bs *= e[: bs.shape[0], : bs.shape[1]]
     return bs
 
 
@@ -216,17 +228,25 @@ def deblock_frame(rec_y: np.ndarray, rec_u: np.ndarray,
 
 
 def meta_from_frame_state(field, cbf8: np.ndarray,
-                          ref_pocs: list[int]) -> DeblockMeta:
-    """Build DeblockMeta from a PicMotion field (4x4 granularity) and a
-    per-8x8 luma-cbf map."""
+                          ref_pocs: list[int],
+                          leaf_id8: np.ndarray | None = None
+                          ) -> DeblockMeta:
+    """Build DeblockMeta from a PicMotion field (4x4 granularity), a
+    per-8x8 luma-cbf map and an optional per-8x8 leaf-id map (CU==TU==PU
+    in this envelope, so CU boundaries are the only filtered edges)."""
     intra4 = field.inter_dir == 0
     cbf4 = np.repeat(np.repeat(cbf8.astype(bool), 2, 0), 2, 1)
     ridx = field.ref_idx[0]
     poc_lut = np.asarray(list(ref_pocs) + [0], dtype=np.int32)
     ref_poc = np.where(ridx >= 0, poc_lut[np.clip(ridx, 0, None)], -1)
+    edge_v = edge_h = None
+    if leaf_id8 is not None:
+        edge_v = leaf_id8[:, :-1] != leaf_id8[:, 1:]
+        edge_h = leaf_id8[:-1, :] != leaf_id8[1:, :]
     return DeblockMeta(
         intra=intra4, cbf=cbf4,
         mv_x=field.mv[0, :, :, 0].copy(),
         mv_y=field.mv[0, :, :, 1].copy(),
         ref_poc=ref_poc.astype(np.int32),
+        edge_v=edge_v, edge_h=edge_h,
     )
