@@ -8,6 +8,8 @@ grid — the decoder-visible rules of H.265 6.4.1 (z-scan availability).
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 from hmtpu.common.constants import DC_IDX, PLANAR_IDX, VER_IDX
@@ -35,27 +37,45 @@ def coded_before(xa: int, ya: int, xb: int, yb: int, log2_ctu: int,
         morton((xb & mask) >> 2, (yb & mask) >> 2)
 
 
+def _morton_vec(bx: np.ndarray, by: np.ndarray) -> np.ndarray:
+    z = np.zeros_like(bx)
+    for bit in range(8):
+        z |= ((bx >> bit) & 1) << (2 * bit)
+        z |= ((by >> bit) & 1) << (2 * bit + 1)
+    return z
+
+
+@lru_cache(maxsize=1 << 16)
 def ref_availability(x: int, y: int, n: int, pic_w: int, pic_h: int,
                      log2_ctu: int) -> np.ndarray:
     """Availability mask over the 4N+1 reference-sample line (layout of
     ops/intra_ref.py) for an NxN block at luma/chroma position (x, y) in
     a picture of the given size.  Coordinates and n are in the plane's
-    own sample units; log2_ctu is likewise plane-local."""
+    own sample units; log2_ctu is likewise plane-local.  Cached: purely
+    geometric, reused every frame.  Treat the result as read-only."""
     pic_w_ctus = (pic_w + (1 << log2_ctu) - 1) >> log2_ctu
-    avail = np.zeros(4 * n + 1, dtype=bool)
 
-    def blk_avail(sx: int, sy: int) -> bool:
-        if sx < 0 or sy < 0 or sx >= pic_w or sy >= pic_h:
-            return False
-        return coded_before(sx, sy, x, y, log2_ctu, pic_w_ctus)
+    # sample coordinates in line layout order
+    sx = np.empty(4 * n + 1, dtype=np.int64)
+    sy = np.empty(4 * n + 1, dtype=np.int64)
+    j = np.arange(2 * n)
+    sx[: 2 * n] = x - 1            # left col, bottom..top
+    sy[: 2 * n] = y + (2 * n - 1 - j)
+    sx[2 * n] = x - 1              # corner
+    sy[2 * n] = y - 1
+    sx[2 * n + 1:] = x + j         # top row
+    sy[2 * n + 1:] = y - 1
 
-    # left column: p[-1][0..2N-1] -> indices 2N-1-j
-    for j in range(2 * n):
-        avail[2 * n - 1 - j] = blk_avail(x - 1, y + j)
-    avail[2 * n] = blk_avail(x - 1, y - 1)
-    for i in range(2 * n):
-        avail[2 * n + 1 + i] = blk_avail(x + i, y - 1)
-    return avail
+    inside = (sx >= 0) & (sy >= 0) & (sx < pic_w) & (sy < pic_h)
+    sxc = np.clip(sx, 0, None)
+    syc = np.clip(sy, 0, None)
+    ctu_a = (syc >> log2_ctu) * pic_w_ctus + (sxc >> log2_ctu)
+    ctu_b = (y >> log2_ctu) * pic_w_ctus + (x >> log2_ctu)
+    mask = (1 << log2_ctu) - 1
+    za = _morton_vec((sxc & mask) >> 2, (syc & mask) >> 2)
+    zb = morton((x & mask) >> 2, (y & mask) >> 2)
+    before = np.where(ctu_a != ctu_b, ctu_a < ctu_b, za < zb)
+    return inside & before
 
 
 def mpm_list(left_mode: int, above_mode: int) -> list[int]:

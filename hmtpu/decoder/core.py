@@ -42,7 +42,7 @@ from hmtpu.io.hashsei import parse_sei_messages, picture_md5
 from hmtpu.io.nal import split_annexb
 from hmtpu.io.yuv import Frame
 from hmtpu.ops.interp import mc_chroma_np, mc_luma_np
-from hmtpu.ops.intra_pred import predict_all_modes_np
+from hmtpu.ops.intra_pred import predict_mode_np
 from hmtpu.ops.intra_ref import filter_reference, substitute_unavailable
 from hmtpu.ops.quant import dequantize_np
 from hmtpu.ops.transform import inverse_np
@@ -186,8 +186,8 @@ class Decoder:
             ref_u_line = substitute_unavailable(raw, avail, bd)
             ref_f_line = filter_reference(ref_u_line, n, bd,
                                           sps.strong_intra_smoothing)
-            pred = predict_all_modes_np(ref_u_line, ref_f_line, n, True,
-                                        bd)[mode]
+            pred = predict_mode_np(ref_u_line, ref_f_line, n, mode, True,
+                                   bd)
             if cbf_y:
                 scan = intra_scan_idx(mode, log2, True)
                 lev = decode_residual(dec, ctx, log2, True, scan, sdh)
@@ -203,8 +203,7 @@ class Decoder:
                                            sps.log2_ctu_size - 1)
                 raw_c = gather_ref_line(plane, cx, cy, cn)
                 ref_c = substitute_unavailable(raw_c, avail_c, bd)
-                pred_c = predict_all_modes_np(ref_c, ref_c, cn, False,
-                                              bd)[mode]
+                pred_c = predict_mode_np(ref_c, ref_c, cn, mode, False, bd)
                 if cbf:
                     scan = intra_scan_idx(mode, clog2, False)
                     lev = decode_residual(dec, ctx, clog2, False, scan, sdh)

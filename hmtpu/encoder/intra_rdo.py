@@ -29,7 +29,7 @@ from hmtpu.common.geometry import ref_availability
 from hmtpu.ops.intra_pred import (
     filter_reference_batched,
     predict_all_modes,
-    predict_all_modes_np,
+    predict_mode_np,
 )
 from hmtpu.ops.intra_ref import filter_reference, substitute_unavailable
 from hmtpu.ops.quant import dequantize, dequantize_np, quantize, quantize_np
@@ -291,8 +291,7 @@ def reconstruct(frame_y, frame_u, frame_v, leaves, qp: int, qpc: int,
         raw = gather_ref_line(rec_y, x, y, n)
         ref_u_line = substitute_unavailable(raw, avail, bd)
         ref_f_line = filter_reference(ref_u_line, n, bd, sis)
-        pred = predict_all_modes_np(ref_u_line, ref_f_line, n, True,
-                                    bd)[mode]
+        pred = predict_mode_np(ref_u_line, ref_f_line, n, mode, True, bd)
         coef = forward_np((org - pred)[None], bd)[0]
         lev = quantize_np(coef, qp, log2, bd, True)
         if lev.any():
@@ -309,8 +308,7 @@ def reconstruct(frame_y, frame_u, frame_v, leaves, qp: int, qpc: int,
                                        log2_ctu - 1)
             raw_c = gather_ref_line(prec, cx, cy, cn)
             ref_c = substitute_unavailable(raw_c, avail_c, bd)
-            pred_c = predict_all_modes_np(ref_c, ref_c, cn, False,
-                                          bd)[mode]
+            pred_c = predict_mode_np(ref_c, ref_c, cn, mode, False, bd)
             coef_c = forward_np((corg - pred_c)[None], bd)[0]
             lv = quantize_np(coef_c, qpc, clog2, bd, True)
             if lv.any():

@@ -181,6 +181,65 @@ def filter_reference_batched(ref: jax.Array, n: int, bit_depth: int = 8,
 # ---------------------------------------------------------------------------
 # numpy twin for the host sequential pass (same tables, same arithmetic)
 
+def predict_mode_np(ref_unfilt: np.ndarray, ref_filt: np.ndarray,
+                    n: int, mode: int, is_luma: bool = True,
+                    bit_depth: int = 8) -> np.ndarray:
+    """(4N+1,) x2 -> (N, N) prediction for one mode — the fast
+    closed-loop-reconstruction twin of predict_all_modes_np (identical
+    tables/arithmetic, 1 mode instead of 35)."""
+    use_filt = _mode_uses_filtered(n, is_luma)
+    refs = np.stack([ref_unfilt, ref_filt]).astype(np.int64)
+
+    def left(r, y):
+        return r[2 * n - 1 - y]
+
+    def top(r, x):
+        return r[2 * n + 1 + x]
+
+    ys = np.arange(n)
+    xs = np.arange(n)
+    uref = refs[0]
+    log2n = int(n).bit_length() - 1
+
+    if mode == 0:                                   # planar
+        pref = refs[1] if use_filt[0] else refs[0]
+        out = ((n - 1 - xs)[None, :] * left(pref, ys)[:, None]
+               + (xs + 1)[None, :] * top(pref, np.array(n))
+               + (n - 1 - ys)[:, None] * top(pref, xs)[None, :]
+               + (ys + 1)[:, None] * left(pref, np.array(n))
+               + n) >> (log2n + 1)
+        return out.astype(np.int32)
+
+    if mode == 1:                                   # DC
+        dc = (top(uref, xs).sum() + left(uref, ys).sum()
+              + n) >> (log2n + 1)
+        out = np.full((n, n), dc, dtype=np.int64)
+        if is_luma and n < 32:
+            out[0, :] = (top(uref, xs) + 3 * dc + 2) >> 2
+            out[:, 0] = (left(uref, ys) + 3 * dc + 2) >> 2
+            out[0, 0] = (left(uref, np.array(0)) + 2 * dc
+                         + top(uref, np.array(0)) + 2) >> 2
+        return out.astype(np.int32)
+
+    idx0, idx1, fact = _angular_tables(n)
+    mi = mode - 2
+    r = refs[int(use_filt[mode])]
+    out = ((32 - fact[mi]) * r[idx0[mi]] + fact[mi] * r[idx1[mi]]
+           + 16) >> 5
+    if is_luma and n < 32 and mode in (10, 26):
+        maxv = (1 << bit_depth) - 1
+        corner = left(uref, np.array(-1))
+        if mode == 26:
+            out[:, 0] = np.clip(top(uref, np.array(0))
+                                + ((left(uref, ys) - corner) >> 1),
+                                0, maxv)
+        else:
+            out[0, :] = np.clip(left(uref, np.array(0))
+                                + ((top(uref, xs) - corner) >> 1),
+                                0, maxv)
+    return out.astype(np.int32)
+
+
 def predict_all_modes_np(ref_unfilt: np.ndarray, ref_filt: np.ndarray,
                          n: int, is_luma: bool = True,
                          bit_depth: int = 8) -> np.ndarray:

@@ -57,12 +57,12 @@ def substitute_unavailable(raw: np.ndarray, avail: np.ndarray,
         out[:] = 1 << (bit_depth - 1)
         return out
     if not avail[0]:
-        first = np.argmax(avail)
-        out[0] = out[first]
-    for i in range(1, n4):
-        if not avail[i]:
-            out[i] = out[i - 1]
-    return out
+        out[0] = out[np.argmax(avail)]
+    # forward-fill: each unavailable sample copies its predecessor
+    av = avail.copy()
+    av[0] = True
+    idx = np.maximum.accumulate(np.where(av, np.arange(n4), 0))
+    return out[idx]
 
 
 def filter_reference(ref: np.ndarray, n: int, bit_depth: int = 8,

@@ -69,3 +69,16 @@ def test_substitution():
     # nothing available -> mid grey
     out = ir.substitute_unavailable(raw, np.zeros_like(avail))
     assert np.all(out == 128)
+
+
+def test_predict_mode_np_matches_all_modes():
+    from hmtpu.ops.intra_pred import predict_all_modes_np, predict_mode_np
+    rng = np.random.RandomState(3)
+    for n in (4, 8, 16, 32):
+        for luma in (True, False):
+            ref_u = rng.randint(0, 256, 4 * n + 1).astype(np.int32)
+            ref_f = rng.randint(0, 256, 4 * n + 1).astype(np.int32)
+            full = predict_all_modes_np(ref_u, ref_f, n, luma, 8)
+            for mode in range(35):
+                one = predict_mode_np(ref_u, ref_f, n, mode, luma, 8)
+                assert (one == full[mode]).all(), (n, luma, mode)
