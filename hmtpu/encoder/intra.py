@@ -22,9 +22,7 @@ from hmtpu.common.geometry import encode_rem_mode, mpm_list
 from hmtpu.common.params import Pps, Sps
 from hmtpu.common.scan import intra_scan_idx
 from hmtpu.common.spec_tables import chroma_qp_from_luma
-from hmtpu.entropy.cabac import CabacEncoder
 from hmtpu.entropy.contexts import OFF, make_contexts
-from hmtpu.entropy.residual import encode_residual
 from hmtpu.io.yuv import Frame
 
 _H8 = None
@@ -119,13 +117,12 @@ class IntraFrameEncoder:
     def _entropy_pass(self, qp, mode8, depth8, decisions) -> bytes:
         """Serialise the chosen quadtree; mirrors decoder/core.py's
         parse (decode_quadtree/decode_intra_pu) bin for bin."""
-        from hmtpu.io.bitstream import BitWriter
+        from hmtpu.entropy.recorder import make_backend
 
         sps = self.sps
         w, h = sps.pic_width, sps.pic_height
-        bw = BitWriter()
-        enc = CabacEncoder(bw)
         ctx = make_contexts(SliceType.I, qp)
+        enc = make_backend(ctx)
         sdh = self.pps.sign_data_hiding
 
         n_ctu_x = sps.pic_width_in_ctus
@@ -135,7 +132,7 @@ class IntraFrameEncoder:
         def encode_cu(x0, y0, log2):
             bxi, byi = x0 // 8, y0 // 8
             if log2 == sps.log2_min_cb_size:
-                enc.encode_bin(ctx, OFF["PART_SIZE"], 1)  # 2Nx2N
+                enc.encode_bin(OFF["PART_SIZE"], 1)  # 2Nx2N
             mode = int(mode8[byi, bxi])
             left_mode = mode8[byi, bxi - 1] if bxi > 0 else -1
             above_mode = mode8[byi - 1, bxi] \
@@ -143,37 +140,35 @@ class IntraFrameEncoder:
             mpms = mpm_list(left_mode if left_mode >= 0 else DC_IDX,
                             above_mode if above_mode >= 0 else DC_IDX)
             if mode in mpms:
-                enc.encode_bin(ctx, OFF["INTRA_PRED_MODE"], 1)
+                enc.encode_bin(OFF["INTRA_PRED_MODE"], 1)
                 idx = mpms.index(mode)
                 enc.encode_bin_ep(0 if idx == 0 else 1)
                 if idx:
                     enc.encode_bin_ep(idx - 1)
             else:
-                enc.encode_bin(ctx, OFF["INTRA_PRED_MODE"], 0)
+                enc.encode_bin(OFF["INTRA_PRED_MODE"], 0)
                 enc.encode_bins_ep(encode_rem_mode(mode, mpms), 5)
             # intra_chroma_pred_mode = DM
-            enc.encode_bin(ctx, OFF["CHROMA_PRED_MODE"], 0)
+            enc.encode_bin(OFF["CHROMA_PRED_MODE"], 0)
 
             d = decisions[(x0, y0)]
             cbf_y = bool(d.lev_y.any())
             cbf_cb = bool(d.lev_cb.any())
             cbf_cr = bool(d.lev_cr.any())
             # transform_tree at trafoDepth 0: cbf_cb, cbf_cr, cbf_luma
-            enc.encode_bin(ctx, OFF["QT_CBF_CHROMA"] + 0, int(cbf_cb))
-            enc.encode_bin(ctx, OFF["QT_CBF_CHROMA"] + 0, int(cbf_cr))
-            enc.encode_bin(ctx, OFF["QT_CBF_LUMA"] + 1, int(cbf_y))
+            enc.encode_bin(OFF["QT_CBF_CHROMA"] + 0, int(cbf_cb))
+            enc.encode_bin(OFF["QT_CBF_CHROMA"] + 0, int(cbf_cr))
+            enc.encode_bin(OFF["QT_CBF_LUMA"] + 1, int(cbf_y))
             clog2 = log2 - 1
             if cbf_y:
-                scan = intra_scan_idx(mode, log2, True)
-                encode_residual(enc, ctx, d.lev_y, log2, True, scan, sdh)
+                enc.residual(d.lev_y, log2, True,
+                             intra_scan_idx(mode, log2, True), sdh)
             if cbf_cb:
-                scan = intra_scan_idx(mode, clog2, False)
-                encode_residual(enc, ctx, d.lev_cb, clog2, False, scan,
-                                sdh)
+                enc.residual(d.lev_cb, clog2, False,
+                             intra_scan_idx(mode, clog2, False), sdh)
             if cbf_cr:
-                scan = intra_scan_idx(mode, clog2, False)
-                encode_residual(enc, ctx, d.lev_cr, clog2, False, scan,
-                                sdh)
+                enc.residual(d.lev_cr, clog2, False,
+                             intra_scan_idx(mode, clog2, False), sdh)
 
         def split_ctx_inc(x0, y0, depth):
             inc = 0
@@ -190,7 +185,7 @@ class IntraFrameEncoder:
             is_leaf = (x0, y0) in decisions \
                 and decisions[(x0, y0)].log2 == log2
             if inside and log2 > sps.log2_min_cb_size:
-                enc.encode_bin(ctx, OFF["SPLIT_FLAG"]
+                enc.encode_bin(OFF["SPLIT_FLAG"]
                                + split_ctx_inc(x0, y0, depth),
                                0 if is_leaf else 1)
             if is_leaf:
@@ -207,8 +202,4 @@ class IntraFrameEncoder:
                 last = (cty == n_ctu_y - 1) and (ctx_i == n_ctu_x - 1)
                 if not last:
                     enc.encode_bin_trm(0)
-        enc.encode_bin_trm(1)
-        enc.finish()
-        bw.write(1, 1)
-        bw.align_zero()
-        return bw.get_bytes()
+        return enc.finish()

@@ -30,7 +30,6 @@ from hmtpu.common.params import Pps, Sps
 from hmtpu.common.scan import intra_scan_idx
 from hmtpu.common.spec_tables import chroma_qp_from_luma
 from hmtpu.encoder.intra import gather_ref_line, satd8
-from hmtpu.entropy.cabac import CabacEncoder
 from hmtpu.entropy.contexts import OFF, make_contexts
 from hmtpu.entropy.headers import SliceHeader
 from hmtpu.entropy.inter_syntax import (
@@ -38,7 +37,6 @@ from hmtpu.entropy.inter_syntax import (
     encode_mvd,
     encode_ref_idx,
 )
-from hmtpu.entropy.residual import encode_residual
 from hmtpu.io.yuv import Frame
 from hmtpu.ops.interp import mc_chroma_np, mc_luma_np
 from hmtpu.ops.intra_pred import predict_all_modes_np
@@ -368,13 +366,12 @@ class PFrameEncoder:
     # -- entropy ------------------------------------------------------------
     def _entropy_pass(self, qp, modes, skip_map, intra_map, decisions,
                       sh: SliceHeader) -> bytes:
-        from hmtpu.io.bitstream import BitWriter
+        from hmtpu.entropy.recorder import make_backend
 
         sps = self.sps
         w, h = sps.pic_width, sps.pic_height
-        bw = BitWriter()
-        enc = CabacEncoder(bw)
         ctx = make_contexts(SliceType.P, qp)
+        enc = make_backend(ctx)
         sdh = self.pps.sign_data_hiding
         max_merge = sh.max_num_merge_cand
         num_ref = sh.num_ref_idx_l0
@@ -391,14 +388,14 @@ class PFrameEncoder:
         def encode_cu(x0, y0):
             bxi, byi = x0 // 8, y0 // 8
             d = decisions[(x0, y0)]
-            enc.encode_bin(ctx, OFF["SKIP_FLAG"] + skip_ctx_inc(bxi, byi),
+            enc.encode_bin(OFF["SKIP_FLAG"] + skip_ctx_inc(bxi, byi),
                            int(d.kind == "skip"))
             if d.kind == "skip":
-                encode_merge_idx(enc, ctx, d.merge_idx, max_merge)
+                encode_merge_idx(enc, d.merge_idx, max_merge)
                 return
-            enc.encode_bin(ctx, OFF["PRED_MODE"], int(d.kind == "intra"))
+            enc.encode_bin(OFF["PRED_MODE"], int(d.kind == "intra"))
             if d.kind == "intra":
-                enc.encode_bin(ctx, OFF["PART_SIZE"], 1)   # 2Nx2N
+                enc.encode_bin(OFF["PART_SIZE"], 1)   # 2Nx2N
                 mode = d.intra_mode
                 left_mode = modes[byi, bxi - 1] if bxi > 0 else -1
                 above_mode = modes[byi - 1, bxi] \
@@ -406,61 +403,61 @@ class PFrameEncoder:
                 mpms = mpm_list(left_mode if left_mode >= 0 else DC_IDX,
                                 above_mode if above_mode >= 0 else DC_IDX)
                 if mode in mpms:
-                    enc.encode_bin(ctx, OFF["INTRA_PRED_MODE"], 1)
+                    enc.encode_bin(OFF["INTRA_PRED_MODE"], 1)
                     idx = mpms.index(mode)
                     enc.encode_bin_ep(0 if idx == 0 else 1)
                     if idx:
                         enc.encode_bin_ep(idx - 1)
                 else:
-                    enc.encode_bin(ctx, OFF["INTRA_PRED_MODE"], 0)
+                    enc.encode_bin(OFF["INTRA_PRED_MODE"], 0)
                     enc.encode_bins_ep(encode_rem_mode(mode, mpms), 5)
-                enc.encode_bin(ctx, OFF["CHROMA_PRED_MODE"], 0)  # DM
+                enc.encode_bin(OFF["CHROMA_PRED_MODE"], 0)  # DM
                 cbf_cb = bool(d.lev_cb.any())
                 cbf_cr = bool(d.lev_cr.any())
                 cbf_y = bool(d.lev_y.any())
-                enc.encode_bin(ctx, OFF["QT_CBF_CHROMA"], int(cbf_cb))
-                enc.encode_bin(ctx, OFF["QT_CBF_CHROMA"], int(cbf_cr))
-                enc.encode_bin(ctx, OFF["QT_CBF_LUMA"] + 1, int(cbf_y))
+                enc.encode_bin(OFF["QT_CBF_CHROMA"], int(cbf_cb))
+                enc.encode_bin(OFF["QT_CBF_CHROMA"], int(cbf_cr))
+                enc.encode_bin(OFF["QT_CBF_LUMA"] + 1, int(cbf_y))
                 if cbf_y:
-                    scan = intra_scan_idx(mode, 3, True)
-                    encode_residual(enc, ctx, d.lev_y, 3, True, scan, sdh)
+                    enc.residual(d.lev_y, 3, True,
+                                 intra_scan_idx(mode, 3, True), sdh)
                 if cbf_cb:
-                    scan = intra_scan_idx(mode, 2, False)
-                    encode_residual(enc, ctx, d.lev_cb, 2, False, scan, sdh)
+                    enc.residual(d.lev_cb, 2, False,
+                                 intra_scan_idx(mode, 2, False), sdh)
                 if cbf_cr:
-                    scan = intra_scan_idx(mode, 2, False)
-                    encode_residual(enc, ctx, d.lev_cr, 2, False, scan, sdh)
+                    enc.residual(d.lev_cr, 2, False,
+                                 intra_scan_idx(mode, 2, False), sdh)
                 return
 
             # inter, 2Nx2N
-            enc.encode_bin(ctx, OFF["PART_SIZE"], 1)
+            enc.encode_bin(OFF["PART_SIZE"], 1)
             if d.kind == "merge":
-                enc.encode_bin(ctx, OFF["MERGE_FLAG"], 1)
-                encode_merge_idx(enc, ctx, d.merge_idx, max_merge)
+                enc.encode_bin(OFF["MERGE_FLAG"], 1)
+                encode_merge_idx(enc, d.merge_idx, max_merge)
             else:
-                enc.encode_bin(ctx, OFF["MERGE_FLAG"], 0)
-                encode_ref_idx(enc, ctx, d.ref_idx, num_ref)
-                encode_mvd(enc, ctx, d.mvd[0], d.mvd[1])
-                enc.encode_bin(ctx, OFF["MVP_IDX"], d.mvp_idx)
+                enc.encode_bin(OFF["MERGE_FLAG"], 0)
+                encode_ref_idx(enc, d.ref_idx, num_ref)
+                encode_mvd(enc, d.mvd[0], d.mvd[1])
+                enc.encode_bin(OFF["MVP_IDX"], d.mvp_idx)
             cbf_cb = bool(d.lev_cb.any())
             cbf_cr = bool(d.lev_cr.any())
             cbf_y = bool(d.lev_y.any())
             if d.kind == "amvp":
                 root = int(cbf_cb or cbf_cr or cbf_y)
-                enc.encode_bin(ctx, OFF["QT_ROOT_CBF"], root)
+                enc.encode_bin(OFF["QT_ROOT_CBF"], root)
                 if not root:
                     return
-            enc.encode_bin(ctx, OFF["QT_CBF_CHROMA"], int(cbf_cb))
-            enc.encode_bin(ctx, OFF["QT_CBF_CHROMA"], int(cbf_cr))
+            enc.encode_bin(OFF["QT_CBF_CHROMA"], int(cbf_cb))
+            enc.encode_bin(OFF["QT_CBF_CHROMA"], int(cbf_cr))
             if cbf_cb or cbf_cr:
-                enc.encode_bin(ctx, OFF["QT_CBF_LUMA"] + 1, int(cbf_y))
+                enc.encode_bin(OFF["QT_CBF_LUMA"] + 1, int(cbf_y))
             # else cbf_luma inferred 1
             if cbf_y:
-                encode_residual(enc, ctx, d.lev_y, 3, True, 0, sdh)
+                enc.residual(d.lev_y, 3, True, 0, sdh)
             if cbf_cb:
-                encode_residual(enc, ctx, d.lev_cb, 2, False, 0, sdh)
+                enc.residual(d.lev_cb, 2, False, 0, sdh)
             if cbf_cr:
-                encode_residual(enc, ctx, d.lev_cr, 2, False, 0, sdh)
+                enc.residual(d.lev_cr, 2, False, 0, sdh)
 
         def split_ctx_inc(x0, y0, depth):
             inc = 0
@@ -474,7 +471,7 @@ class PFrameEncoder:
             size = 1 << log2
             inside = x0 + size <= w and y0 + size <= h
             if inside and log2 > 3:
-                enc.encode_bin(ctx, OFF["SPLIT_FLAG"]
+                enc.encode_bin(OFF["SPLIT_FLAG"]
                                + split_ctx_inc(x0, y0, depth), 1)
             if log2 > 3:
                 half = size >> 1
@@ -492,8 +489,4 @@ class PFrameEncoder:
                 last = (cty == n_ctu_y - 1) and (ctxi == n_ctu_x - 1)
                 if not last:
                     enc.encode_bin_trm(0)
-        enc.encode_bin_trm(1)
-        enc.finish()
-        bw.write(1, 1)
-        bw.align_zero()
-        return bw.get_bytes()
+        return enc.finish()

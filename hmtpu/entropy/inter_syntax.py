@@ -35,14 +35,14 @@ def decode_egk(dec, k: int) -> int:
 
 # -- mvd_coding (7.3.8.9) ---------------------------------------------------
 
-def encode_mvd(enc, ctx, mvd_x: int, mvd_y: int) -> None:
+def encode_mvd(enc, mvd_x: int, mvd_y: int) -> None:
     ax, ay = abs(mvd_x), abs(mvd_y)
-    enc.encode_bin(ctx, OFF["MVD"] + 0, int(ax > 0))
-    enc.encode_bin(ctx, OFF["MVD"] + 0, int(ay > 0))
+    enc.encode_bin(OFF["MVD"] + 0, int(ax > 0))
+    enc.encode_bin(OFF["MVD"] + 0, int(ay > 0))
     if ax > 0:
-        enc.encode_bin(ctx, OFF["MVD"] + 1, int(ax > 1))
+        enc.encode_bin(OFF["MVD"] + 1, int(ax > 1))
     if ay > 0:
-        enc.encode_bin(ctx, OFF["MVD"] + 1, int(ay > 1))
+        enc.encode_bin(OFF["MVD"] + 1, int(ay > 1))
     for a, v in ((ax, mvd_x), (ay, mvd_y)):
         if a > 0:
             if a > 1:
@@ -67,10 +67,10 @@ def decode_mvd(dec, ctx) -> tuple[int, int]:
 
 # -- merge_idx: TR cMax = MaxNumMergeCand-1, first bin ctx, rest EP ---------
 
-def encode_merge_idx(enc, ctx, idx: int, max_cand: int) -> None:
+def encode_merge_idx(enc, idx: int, max_cand: int) -> None:
     if max_cand <= 1:
         return
-    enc.encode_bin(ctx, OFF["MERGE_IDX"], int(idx > 0))
+    enc.encode_bin(OFF["MERGE_IDX"], int(idx > 0))
     if idx > 0:
         for i in range(1, idx):
             enc.encode_bin_ep(1)
@@ -91,12 +91,12 @@ def decode_merge_idx(dec, ctx, max_cand: int) -> int:
 
 # -- ref_idx: TR cMax = numRef-1, bins 0/1 ctx-coded, rest EP ---------------
 
-def encode_ref_idx(enc, ctx, idx: int, num_ref: int) -> None:
+def encode_ref_idx(enc, idx: int, num_ref: int) -> None:
     if num_ref <= 1:
         return
-    enc.encode_bin(ctx, OFF["REF_PIC"] + 0, int(idx > 0))
+    enc.encode_bin(OFF["REF_PIC"] + 0, int(idx > 0))
     if idx > 0 and num_ref > 2:
-        enc.encode_bin(ctx, OFF["REF_PIC"] + 1, int(idx > 1))
+        enc.encode_bin(OFF["REF_PIC"] + 1, int(idx > 1))
         if idx > 1:
             for i in range(2, idx):
                 enc.encode_bin_ep(1)

@@ -1,0 +1,175 @@
+"""Entropy backends for the encoders' slice-data serialisation.
+
+The CU-tree walk records bins/TB-levels through one of two backends
+with the same surface:
+
+- PyBackend: the reference path — Python CabacEncoder + residual.py,
+  bit-exact per tests.
+- NativeBackend: records a decision stream (the TPU-first "decision
+  tensor" of SURVEY §7) and replays it through the C++ engine in
+  native/entropy.cpp in one call.  Byte-identical to PyBackend
+  (tests/test_native_entropy.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from hmtpu import native
+from hmtpu.common import spec_tables as st
+from hmtpu.common.scan import cg_scan_order, scan_order
+from hmtpu.entropy import cabac
+from hmtpu.entropy.contexts import CTX_IDX_MAP_4x4, OFF
+from hmtpu.entropy.residual import encode_residual
+from hmtpu.io.bitstream import BitWriter
+
+OP_BIN, OP_BIN_EP, OP_BINS_EP, OP_TRM, OP_RESIDUAL, OP_TERMINATE = range(6)
+
+
+class PyBackend:
+    """CabacEncoder-backed reference path."""
+
+    def __init__(self, ctx: np.ndarray):
+        self.ctx = ctx
+        self.bw = BitWriter()
+        self.enc = cabac.CabacEncoder(self.bw)
+
+    def encode_bin(self, idx: int, v: int) -> None:
+        self.enc.encode_bin(self.ctx, idx, v)
+
+    def encode_bin_ep(self, v: int) -> None:
+        self.enc.encode_bin_ep(v)
+
+    def encode_bins_ep(self, v: int, n: int) -> None:
+        self.enc.encode_bins_ep(v, n)
+
+    def encode_bin_trm(self, v: int) -> None:
+        self.enc.encode_bin_trm(v)
+
+    def residual(self, lev: np.ndarray, log2: int, is_luma: bool,
+                 scan_idx: int, sdh: bool) -> None:
+        encode_residual(self.enc, self.ctx, lev, log2, is_luma,
+                        scan_idx, sdh)
+
+    def finish(self) -> bytes:
+        """encodeBinTrm(1) + flush + rbsp stop bit + alignment."""
+        self.enc.encode_bin_trm(1)
+        self.enc.finish()
+        self.bw.write(1, 1)
+        self.bw.align_zero()
+        return self.bw.get_bytes()
+
+
+# ---------------------------------------------------------------------------
+# native backend
+
+def _build_scan_blob():
+    """Pack every (log2, scan) table the C engine may need."""
+    blob: list[int] = []
+    index = np.zeros(12, dtype=np.int32)
+    for log2 in (2, 3, 4, 5):
+        for si in (0, 1, 2):
+            if log2 > 3 and si != 0:
+                # hor/ver scans exist only for 4x4/8x8 TBs; alias diag
+                index[(log2 - 2) * 3 + si] = index[(log2 - 2) * 3]
+                continue
+            index[(log2 - 2) * 3 + si] = len(blob)
+            scans = scan_order(log2, si)
+            cgo = cg_scan_order(log2, si)
+            blob.append(scans.shape[0])
+            blob.extend(int(x) for x in cgo)
+            blob.extend(int(x) for x in scans.reshape(-1))
+    return np.asarray(blob, dtype=np.int32), index
+
+
+_TABLES = None
+
+
+def _tables():
+    global _TABLES
+    if _TABLES is None:
+        blob, index = _build_scan_blob()
+        off = np.asarray([OFF["LAST_X"], OFF["LAST_Y"], OFF["LAST_X_C"],
+                          OFF["LAST_Y_C"], OFF["SIG_CG_FLAG"],
+                          OFF["SIG_FLAG"], OFF["ONE_FLAG"],
+                          OFF["ABS_FLAG"]], dtype=np.int32)
+        _TABLES = dict(
+            next_mps=np.ascontiguousarray(cabac.NEXT_STATE_MPS),
+            next_lps=np.ascontiguousarray(cabac.NEXT_STATE_LPS),
+            lps=np.ascontiguousarray(
+                st.RANGE_TAB_LPS.astype(np.uint8).reshape(-1)),
+            renorm=np.ascontiguousarray(
+                st.RENORM_TABLE.astype(np.uint8)),
+            blob=blob, index=index, off=off,
+            ctx4x4=np.ascontiguousarray(
+                CTX_IDX_MAP_4x4.astype(np.int32)),
+        )
+    return _TABLES
+
+
+class NativeBackend:
+    """Decision-stream recorder + one-shot C++ replay."""
+
+    def __init__(self, ctx: np.ndarray):
+        self.ctx = ctx
+        self.cmds: list[int] = []
+        self.levels: list[np.ndarray] = []
+        self.level_off = 0
+
+    def encode_bin(self, idx: int, v: int) -> None:
+        self.cmds += (OP_BIN, idx, v, 0)
+
+    def encode_bin_ep(self, v: int) -> None:
+        self.cmds += (OP_BIN_EP, v, 0, 0)
+
+    def encode_bins_ep(self, v: int, n: int) -> None:
+        self.cmds += (OP_BINS_EP, v, n, 0)
+
+    def encode_bin_trm(self, v: int) -> None:
+        self.cmds += (OP_TRM, v, 0, 0)
+
+    def residual(self, lev: np.ndarray, log2: int, is_luma: bool,
+                 scan_idx: int, sdh: bool) -> None:
+        flat = np.ascontiguousarray(lev.reshape(-1), dtype=np.int32)
+        a = log2 | (scan_idx << 4) | (int(is_luma) << 8) | (int(sdh) << 9)
+        self.cmds += (OP_RESIDUAL, a, self.level_off, 0)
+        self.levels.append(flat)
+        self.level_off += flat.size
+
+    def finish(self) -> bytes:
+        import ctypes
+
+        lib = native.get_entropy_lib()
+        t = _tables()
+        self.cmds += (OP_TERMINATE, 0, 0, 0)
+        cmds = np.asarray(self.cmds, dtype=np.int32)
+        levels = (np.concatenate(self.levels) if self.levels
+                  else np.zeros(1, dtype=np.int32))
+        # worst case ~2 bytes per recorded bin + levels; generous cap
+        cap = 1024 + 2 * (len(cmds) // 4) + 8 * levels.size
+        out = np.zeros(cap, dtype=np.uint8)
+        ctx = np.ascontiguousarray(self.ctx)
+
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        i32 = ctypes.POINTER(ctypes.c_int32)
+
+        def p8(a):
+            return a.ctypes.data_as(u8)
+
+        def p32(a):
+            return a.ctypes.data_as(i32)
+
+        n = lib.hmtpu_entropy_encode(
+            p8(t["next_mps"]), p8(t["next_lps"]), p8(t["lps"]),
+            p8(t["renorm"]), p32(t["blob"]), p32(t["index"]),
+            p32(t["off"]), p32(t["ctx4x4"]), p8(ctx), p32(cmds),
+            len(cmds) // 4, p32(levels), p8(out), cap)
+        if n < 0:
+            raise RuntimeError(f"native entropy engine failed ({n})")
+        return out[:n].tobytes()
+
+
+def make_backend(ctx: np.ndarray):
+    """Prefer the native engine; fall back to the Python reference."""
+    if native.available():
+        return NativeBackend(ctx)
+    return PyBackend(ctx)

@@ -33,15 +33,11 @@ def _frames(n, w=W, h=H):
 
 
 def _roundtrip(encode_fn, decode_fn):
-    bw = BitWriter()
-    enc = CabacEncoder(bw)
+    from hmtpu.entropy.recorder import PyBackend
     ctx = make_contexts(1, 30)
-    encode_fn(enc, ctx)
-    enc.encode_bin_trm(1)    # real slices terminate before the flush
-    enc.finish()
-    bw.write(1, 1)
-    bw.align_zero()
-    data = bw.get_bytes()
+    be = PyBackend(ctx)
+    encode_fn(be, ctx)
+    data = be.finish()
     dec = CabacDecoder(data, 0)
     ctx2 = make_contexts(1, 30)
     return decode_fn(dec, ctx2)
@@ -53,7 +49,7 @@ def test_mvd_roundtrip():
 
     def enc_all(enc, ctx):
         for mx, my in cases:
-            encode_mvd(enc, ctx, mx, my)
+            encode_mvd(enc, mx, my)
 
     def dec_all(dec, ctx):
         return [decode_mvd(dec, ctx) for _ in cases]
@@ -67,9 +63,9 @@ def test_merge_ref_idx_roundtrip():
 
     def enc_all(enc, ctx):
         for idx, mx in m_cases:
-            encode_merge_idx(enc, ctx, idx, mx)
+            encode_merge_idx(enc, idx, mx)
         for idx, nr in r_cases:
-            encode_ref_idx(enc, ctx, idx, nr)
+            encode_ref_idx(enc, idx, nr)
 
     def dec_all(dec, ctx):
         got_m = [decode_merge_idx(dec, ctx, mx) for _, mx in m_cases]
