@@ -348,8 +348,16 @@ class Decoder:
                 decode_cu(x0, y0, log2, depth)
 
         n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
+        parse_sao = sps.sao_enabled and (sh.sao_luma or sh.sao_chroma)
+        sao_grid = [[None] * n_ctu_x for _ in range(n_ctu_y)]
         for cty in range(n_ctu_y):
             for ctx_i in range(n_ctu_x):
+                if parse_sao:
+                    from hmtpu.entropy.sao_syntax import decode_sao_ctu
+                    left = sao_grid[cty][ctx_i - 1] if ctx_i > 0 else None
+                    up = sao_grid[cty - 1][ctx_i] if cty > 0 else None
+                    sao_grid[cty][ctx_i] = decode_sao_ctu(
+                        dec, ctx, left, up, sh.sao_luma, sh.sao_chroma)
                 decode_quadtree(ctx_i * ctu, cty * ctu, sps.log2_ctu_size, 0)
                 last = (cty == n_ctu_y - 1) and (ctx_i == n_ctu_x - 1)
                 end = dec.decode_bin_trm()
@@ -365,5 +373,14 @@ class Decoder:
             deblock_frame(rec_y, rec_u, rec_v, meta, qp, bd,
                           pps.beta_offset_div2, pps.tc_offset_div2,
                           pps.cb_qp_offset, pps.cr_qp_offset)
+
+        if parse_sao:
+            from hmtpu.ops.sao import apply_sao_plane
+            p_y = [[p3[0] for p3 in row] for row in sao_grid]
+            p_cb = [[p3[1] for p3 in row] for row in sao_grid]
+            p_cr = [[p3[2] for p3 in row] for row in sao_grid]
+            rec_y = apply_sao_plane(rec_y, p_y, ctu, bd)
+            rec_u = apply_sao_plane(rec_u, p_cb, ctu // 2, bd)
+            rec_v = apply_sao_plane(rec_v, p_cr, ctu // 2, bd)
 
         return DecodedPicture(Frame(rec_y, rec_u, rec_v, bd), poc)

@@ -90,7 +90,11 @@ class IntraFrameEncoder:
         self.bd = sps.bit_depth_luma
 
     # -- main entry ---------------------------------------------------------
-    def encode_frame(self, frame: Frame, qp: int):
+    def analyze(self, frame: Frame, qp: int):
+        """Device RDO + closed-loop reconstruction (no entropy); the
+        caller runs loop filters/SAO and then the final entropy pass —
+        the TEncGOP compressGOP -> loopFilter -> SAO -> encodeSlice
+        ordering (TEncGOP.cpp:1554-1733)."""
         from hmtpu.encoder import intra_rdo
 
         sps = self.sps
@@ -108,16 +112,22 @@ class IntraFrameEncoder:
         rec_y, rec_u, rec_v, decisions = intra_rdo.reconstruct(
             frame.y, frame.u, frame.v, leaves, qp, qpc, self.bd, sis,
             w, h, ctu, log2_ctu)
-
-        rbsp = self._entropy_pass(qp, mode8, depth8, decisions)
         recon = Frame(rec_y, rec_u, rec_v, self.bd)
+        return recon, decisions, mode8, depth8
+
+    def encode_frame(self, frame: Frame, qp: int):
+        recon, decisions, mode8, depth8 = self.analyze(frame, qp)
+        rbsp = self._entropy_pass(qp, mode8, depth8, decisions)
         return rbsp, recon, decisions
 
     # -- entropy ------------------------------------------------------------
-    def _entropy_pass(self, qp, mode8, depth8, decisions) -> bytes:
+    def _entropy_pass(self, qp, mode8, depth8, decisions,
+                      sao=None) -> bytes:
         """Serialise the chosen quadtree; mirrors decoder/core.py's
-        parse (decode_quadtree/decode_intra_pu) bin for bin."""
+        parse (decode_quadtree/decode_intra_pu) bin for bin.  sao =
+        (params_grid, sao_luma, sao_chroma) or None."""
         from hmtpu.entropy.recorder import make_backend
+        from hmtpu.entropy.sao_syntax import encode_sao_ctu
 
         sps = self.sps
         w, h = sps.pic_width, sps.pic_height
@@ -198,6 +208,10 @@ class IntraFrameEncoder:
 
         for cty in range(n_ctu_y):
             for ctx_i in range(n_ctu_x):
+                if sao is not None:
+                    grid, sl, sc = sao
+                    encode_sao_ctu(enc, grid[cty][ctx_i], ctx_i > 0,
+                                   cty > 0, sl, sc)
                 encode_quadtree(ctx_i * ctu, cty * ctu, sps.log2_ctu_size, 0)
                 last = (cty == n_ctu_y - 1) and (ctx_i == n_ctu_x - 1)
                 if not last:

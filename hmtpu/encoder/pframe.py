@@ -143,8 +143,8 @@ class PFrameEncoder:
                 np.asarray(stencil), np.asarray(best_sad))
 
     # -- main entry ---------------------------------------------------------
-    def encode_frame(self, frame: Frame, qp: int, refs: list[Frame],
-                     ref_pocs: list[int], poc: int, sh: SliceHeader):
+    def analyze(self, frame: Frame, qp: int, refs: list[Frame],
+                ref_pocs: list[int], poc: int, sh: SliceHeader):
         sps = self.sps
         w, h = sps.pic_width, sps.pic_height
         bd = self.bd
@@ -186,9 +186,14 @@ class PFrameEncoder:
                         decisions, refs, mvq_x, mvq_y, lam, lam_sqrt,
                         maxv, max_merge, num_ref)
 
-        rbsp = self._entropy_pass(qp, modes, skip_map, intra_map,
-                                  decisions, sh)
         recon = Frame(rec_y, rec_u, rec_v, bd)
+        return recon, field, decisions, (modes, skip_map, intra_map)
+
+    def encode_frame(self, frame: Frame, qp: int, refs: list[Frame],
+                     ref_pocs: list[int], poc: int, sh: SliceHeader):
+        recon, field, decisions, maps = self.analyze(
+            frame, qp, refs, ref_pocs, poc, sh)
+        rbsp = self._entropy_pass(qp, *maps, decisions, sh)
         return rbsp, recon, field, decisions
 
     # -- candidate helpers --------------------------------------------------
@@ -365,8 +370,9 @@ class PFrameEncoder:
 
     # -- entropy ------------------------------------------------------------
     def _entropy_pass(self, qp, modes, skip_map, intra_map, decisions,
-                      sh: SliceHeader) -> bytes:
+                      sh: SliceHeader, sao=None) -> bytes:
         from hmtpu.entropy.recorder import make_backend
+        from hmtpu.entropy.sao_syntax import encode_sao_ctu
 
         sps = self.sps
         w, h = sps.pic_width, sps.pic_height
@@ -485,6 +491,10 @@ class PFrameEncoder:
         n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
         for cty in range(n_ctu_y):
             for ctxi in range(n_ctu_x):
+                if sao is not None:
+                    grid, sl, sc = sao
+                    encode_sao_ctu(enc, grid[cty][ctxi], ctxi > 0,
+                                   cty > 0, sl, sc)
                 encode_quadtree(ctxi * ctu, cty * ctu, sps.log2_ctu_size, 0)
                 last = (cty == n_ctu_y - 1) and (ctxi == n_ctu_x - 1)
                 if not last:

@@ -38,6 +38,7 @@ class EncoderConfig:
     sign_data_hiding: bool = False
     frames: int = 0            # 0 = all
     deblock: bool = True       # in-loop deblocking filter
+    sao: bool = True           # sample adaptive offset
     # GOP: "ai" = all intra, "ldp" = IPPP low-delay
     gop: str = "ai"
     intra_period: int = 0      # 0 = only first frame is IDR (ldp)
@@ -74,6 +75,7 @@ class Encoder:
             pic_width=cfg.width, pic_height=cfg.height,
             bit_depth_luma=cfg.bit_depth, bit_depth_chroma=cfg.bit_depth,
             log2_ctu_size=cfg.ctu_size.bit_length() - 1,
+            sao_enabled=cfg.sao,
         )
         self.pps = Pps(init_qp=cfg.qp, sign_data_hiding=cfg.sign_data_hiding,
                        deblocking_filter_disabled=not cfg.deblock)
@@ -141,7 +143,7 @@ class Encoder:
             self.dpb.clear()
             self._last_idr = poc
             fe = IntraFrameEncoder(self.sps, self.pps)
-            slice_rbsp, recon, decisions = fe.encode_frame(frame, cfg.qp)
+            recon, decisions, mode8, depth8 = fe.analyze(frame, cfg.qp)
             sh = SliceHeader(slice_type=SliceType.I, pps_id=0,
                              slice_qp=cfg.qp,
                              nal_type=NalUnitType.IDR_W_RADL)
@@ -162,7 +164,7 @@ class Encoder:
             pe = PFrameEncoder(self.sps, self.pps, subpel=cfg.subpel,
                                nn_params=self.nn_params,
                                search_range=cfg.search_range)
-            slice_rbsp, recon, field, decisions = pe.encode_frame(
+            recon, field, decisions, maps = pe.analyze(
                 frame, cfg.qp, refs, ref_pocs, rel_poc, sh)
             stype = "P"
 
@@ -187,6 +189,42 @@ class Encoder:
             deblock_frame(recon.y, recon.u, recon.v, meta, cfg.qp,
                           cfg.bit_depth, cb_qp_off=self.pps.cb_qp_offset,
                           cr_qp_off=self.pps.cr_qp_offset)
+
+        sao = None
+        if self.sps.sao_enabled:
+            from hmtpu.common.spec_tables import chroma_qp_from_luma
+            from hmtpu.ops.sao import (
+                apply_sao_plane,
+                estimate_sao_chroma,
+                estimate_sao_plane,
+            )
+
+            lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+            ctu = cfg.ctu_size
+            p_y = estimate_sao_plane(frame.y, recon.y, ctu, lam,
+                                     cfg.bit_depth)
+            p_cb, p_cr = estimate_sao_chroma(
+                frame.u, recon.u, frame.v, recon.v, ctu // 2, lam,
+                cfg.bit_depth)
+            grid = [[(p_y[cy][cx], p_cb[cy][cx], p_cr[cy][cx])
+                     for cx in range(len(p_y[0]))]
+                    for cy in range(len(p_y))]
+            new_y = apply_sao_plane(recon.y, p_y, ctu, cfg.bit_depth)
+            new_u = apply_sao_plane(recon.u, p_cb, ctu // 2,
+                                    cfg.bit_depth)
+            new_v = apply_sao_plane(recon.v, p_cr, ctu // 2,
+                                    cfg.bit_depth)
+            recon = Frame(new_y, new_u, new_v, cfg.bit_depth)
+            sh.sao_luma = True
+            sh.sao_chroma = True
+            sao = (grid, True, True)
+
+        if is_idr:
+            slice_rbsp = fe._entropy_pass(cfg.qp, mode8, depth8,
+                                          decisions, sao=sao)
+        else:
+            slice_rbsp = pe._entropy_pass(cfg.qp, *maps, decisions, sh,
+                                          sao=sao)
 
         bw = write_slice_header(sh, self.sps, self.pps)
         bw.write_bytes(slice_rbsp)

@@ -243,6 +243,8 @@ class SliceHeader:
     negative_refs: list = None
     num_ref_idx_l0: int = 1
     num_ref_idx_override: bool = True
+    sao_luma: bool = False
+    sao_chroma: bool = False
     five_minus_max_num_merge_cand: int = 3
     # filled by parser: bit offset where slice data (CABAC) starts
     data_start_byte: int = 0
@@ -282,7 +284,8 @@ def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps) -> BitWriter:
         if sps.temporal_mvp_enabled:
             bw.write_flag(False)                 # slice_temporal_mvp
     if sps.sao_enabled:
-        raise NotImplementedError("slice SAO flags land with the SAO stage")
+        bw.write_flag(sh.sao_luma)
+        bw.write_flag(sh.sao_chroma)
     if sh.slice_type != SliceType.I:
         bw.write_flag(sh.num_ref_idx_override)
         if sh.num_ref_idx_override:
@@ -295,8 +298,9 @@ def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps) -> BitWriter:
         bw.write_ue(sh.five_minus_max_num_merge_cand)
     bw.write_se(sh.slice_qp - pps.init_qp)
     # deblocking override absent (pps override_enabled false)
-    if pps.loop_filter_across_slices and not pps.deblocking_filter_disabled:
-        # (sao slice flags would widen this condition)
+    if pps.loop_filter_across_slices and \
+            (sh.sao_luma or sh.sao_chroma
+             or not pps.deblocking_filter_disabled):
         bw.write_flag(pps.loop_filter_across_slices)
     # no entry points (tiles/wpp off)
     bw.write_byte_alignment()
@@ -328,6 +332,9 @@ def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
             prev = delta
         if sps.temporal_mvp_enabled:
             br.read_flag()
+    if sps.sao_enabled:
+        sh.sao_luma = bool(br.read_flag())
+        sh.sao_chroma = bool(br.read_flag())
     if sh.slice_type != SliceType.I:
         sh.num_ref_idx_override = bool(br.read_flag())
         if sh.num_ref_idx_override:
@@ -336,7 +343,9 @@ def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
             sh.num_ref_idx_l0 = pps.num_ref_idx_l0_default
         sh.five_minus_max_num_merge_cand = br.read_ue()
     sh.slice_qp = pps.init_qp + br.read_se()
-    if pps.loop_filter_across_slices and not pps.deblocking_filter_disabled:
+    if pps.loop_filter_across_slices and \
+            (sh.sao_luma or sh.sao_chroma
+             or not pps.deblocking_filter_disabled):
         br.read_flag()        # slice_loop_filter_across_slices
     one = br.read(1)          # alignment_bit_equal_to_one (7.3.2.10)
     assert one == 1, "byte_alignment desync"
