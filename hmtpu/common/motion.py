@@ -157,7 +157,25 @@ def merge_candidates(ctx: MotionCtx, x: int, y: int, w: int, h: int,
                 and not (b1 is not None and b2.same_motion(b1)):
             cands.append(b2)
 
-    # zero-MV fill (8.5.3.1.4): P slices cycle ref idx 0..numRef-1
+    # combined bi-predictive candidates (8.5.3.1.3, B slices only)
+    if is_b and 1 < len(cands) < max_cand:
+        priority = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+                    (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2))
+        n_orig = len(cands)
+        for i0, i1 in priority[:n_orig * (n_orig - 1)]:
+            if len(cands) >= max_cand:
+                break
+            c0, c1 = cands[i0], cands[i1]
+            if not (c0.inter_dir & 1 and c1.inter_dir & 2):
+                continue
+            poc0 = ctx.ref_pocs[0][c0.ref_idx[0]]
+            poc1 = ctx.ref_pocs[1][c1.ref_idx[1]]
+            if poc0 == poc1 and c0.mv[0] == c1.mv[1]:
+                continue
+            cands.append(MvCand(3, (c0.mv[0], c1.mv[1]),
+                                (c0.ref_idx[0], c1.ref_idx[1])))
+
+    # zero-MV fill (8.5.3.1.4): cycle ref idx 0..numRef-1
     num_ref = min(num_ref_l0, num_ref_l1) if is_b else num_ref_l0
     zero_idx = 0
     while len(cands) < max_cand:

@@ -32,6 +32,7 @@ from hmtpu.entropy.cabac import CabacDecoder
 from hmtpu.entropy.contexts import OFF, make_contexts
 from hmtpu.entropy.headers import parse_pps, parse_slice_header, parse_sps
 from hmtpu.entropy.inter_syntax import (
+    decode_inter_dir,
     decode_merge_idx,
     decode_mvd,
     decode_ref_idx,
@@ -41,7 +42,13 @@ from hmtpu.io.bitstream import strip_emulation_prevention
 from hmtpu.io.hashsei import parse_sei_messages, picture_md5
 from hmtpu.io.nal import split_annexb
 from hmtpu.io.yuv import Frame
-from hmtpu.ops.interp import mc_chroma_np, mc_luma_np
+from hmtpu.ops.interp import (
+    bi_average,
+    mc_chroma_np,
+    mc_chroma_np_i,
+    mc_luma_np,
+    mc_luma_np_i,
+)
 from hmtpu.ops.intra_pred import predict_mode_np
 from hmtpu.ops.intra_ref import filter_reference, substitute_unavailable
 from hmtpu.ops.quant import dequantize_np
@@ -123,19 +130,30 @@ class Decoder:
         w, h = sps.pic_width, sps.pic_height
         bd = sps.bit_depth_luma
         maxv = (1 << bd) - 1
-        is_p = sh.slice_type == SliceType.P
+        is_b = sh.slice_type == SliceType.B
+        is_p = sh.slice_type == SliceType.P or is_b
 
         refs: list[Frame] = []
         ref_pocs: list[int] = []
+        refs_l1: list[Frame] = []
+        ref_pocs_l1: list[int] = []
         if is_p:
             by_poc = {p.poc: p.frame for p in self.pictures}
-            for delta, used in (sh.negative_refs or []):
-                if used:
-                    ref_pocs.append(poc - delta)
-                    refs.append(by_poc[poc - delta])
-            assert len(refs) >= sh.num_ref_idx_l0 > 0
-            refs = refs[:sh.num_ref_idx_l0]
-            ref_pocs = ref_pocs[:sh.num_ref_idx_l0]
+            negs = [poc - d for d, used in (sh.negative_refs or [])
+                    if used]
+            poss = [poc + d for d, used in (sh.positive_refs or [])
+                    if used]
+            # default reference list order (8.3.4): L0 = past then
+            # future, L1 = future then past, both closest-first
+            l0 = negs + poss
+            l1 = poss + negs
+            ref_pocs = l0[:sh.num_ref_idx_l0]
+            refs = [by_poc[p] for p in ref_pocs]
+            assert len(refs) == sh.num_ref_idx_l0 > 0
+            if is_b:
+                ref_pocs_l1 = l1[:sh.num_ref_idx_l1]
+                refs_l1 = [by_poc[p] for p in ref_pocs_l1]
+                assert len(refs_l1) == sh.num_ref_idx_l1 > 0
 
         rec_y = np.zeros((h, w), dtype=np.int32)
         rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
@@ -146,9 +164,11 @@ class Decoder:
         cbf_map = np.zeros((h // 8, w // 8), dtype=bool)
         field = PicMotion.create(w, h)
         mctx = MotionCtx(field, w, h, sps.log2_ctu_size, ref_pocs,
-                         cur_poc=poc)
+                         ref_pocs_l1, cur_poc=poc)
         max_merge = sh.max_num_merge_cand
         num_ref = sh.num_ref_idx_l0
+        num_ref_l1 = sh.num_ref_idx_l1
+        refs01 = (refs, refs_l1)
 
         dec = CabacDecoder(rbsp, sh.data_start_byte)
         ctx = make_contexts(sh.slice_type, qp)
@@ -214,14 +234,29 @@ class Decoder:
                 plane[cy:cy + cn, cx:cx + cn] = np.clip(pred_c + resi_c,
                                                         0, maxv)
 
-        def mc_reconstruct(x0, y0, n, mv, ref_idx):
-            ref = refs[ref_idx]
-            pl = mc_luma_np(ref.y, x0, y0, n, n, mv[0], mv[1], bd)
-            pu = mc_chroma_np(ref.u, x0 // 2, y0 // 2, n // 2, n // 2,
-                              mv[0], mv[1], bd)
-            pv = mc_chroma_np(ref.v, x0 // 2, y0 // 2, n // 2, n // 2,
-                              mv[0], mv[1], bd)
-            return pl, pu, pv
+        def mc_reconstruct(x0, y0, n, inter_dir, mv01, ridx01):
+            if inter_dir != 3:
+                li = 0 if inter_dir == 1 else 1
+                ref = refs01[li][ridx01[li]]
+                mv = mv01[li]
+                pl = mc_luma_np(ref.y, x0, y0, n, n, mv[0], mv[1], bd)
+                pu = mc_chroma_np(ref.u, x0 // 2, y0 // 2, n // 2,
+                                  n // 2, mv[0], mv[1], bd)
+                pv = mc_chroma_np(ref.v, x0 // 2, y0 // 2, n // 2,
+                                  n // 2, mv[0], mv[1], bd)
+                return pl, pu, pv
+            hyp = []
+            for li in (0, 1):
+                ref = refs01[li][ridx01[li]]
+                mv = mv01[li]
+                hyp.append((
+                    mc_luma_np_i(ref.y, x0, y0, n, n, mv[0], mv[1], bd),
+                    mc_chroma_np_i(ref.u, x0 // 2, y0 // 2, n // 2,
+                                   n // 2, mv[0], mv[1], bd),
+                    mc_chroma_np_i(ref.v, x0 // 2, y0 // 2, n // 2,
+                                   n // 2, mv[0], mv[1], bd)))
+            return tuple(bi_average(a, b, bd)
+                         for a, b in zip(hyp[0], hyp[1]))
 
         def add_inter_residual(x0, y0, n, pl, pu, pv, cbf_y, cbf_cb,
                                cbf_cr):
@@ -264,11 +299,12 @@ class Decoder:
                     skip_map[byi, bxi] = 1
                     mi = decode_merge_idx(dec, ctx, max_merge)
                     cands = merge_candidates(mctx, x0, y0, n, n, max_merge,
-                                             num_ref)
+                                             num_ref, is_b, num_ref_l1)
                     c = cands[mi]
-                    field.set_block(x0, y0, n, n, 1, c.mv[0], c.ref_idx[0])
-                    pl, pu, pv = mc_reconstruct(x0, y0, n, c.mv[0],
-                                                c.ref_idx[0])
+                    field.set_block(x0, y0, n, n, c.inter_dir, c.mv[0],
+                                    c.ref_idx[0], c.mv[1], c.ref_idx[1])
+                    pl, pu, pv = mc_reconstruct(x0, y0, n, c.inter_dir,
+                                                c.mv, c.ref_idx)
                     rec_y[y0:y0 + n, x0:x0 + n] = pl
                     rec_u[y0 // 2:y0 // 2 + n // 2,
                           x0 // 2:x0 // 2 + n // 2] = pu
@@ -293,20 +329,35 @@ class Decoder:
             if merge:
                 mi = decode_merge_idx(dec, ctx, max_merge)
                 cands = merge_candidates(mctx, x0, y0, n, n, max_merge,
-                                         num_ref)
+                                         num_ref, is_b, num_ref_l1)
                 c = cands[mi]
-                mv, ridx = c.mv[0], c.ref_idx[0]
+                inter_dir, mv01, ridx01 = c.inter_dir, c.mv, c.ref_idx
                 root_cbf = 1
             else:
-                ridx = decode_ref_idx(dec, ctx, num_ref)
-                mvd = decode_mvd(dec, ctx)
-                mvp_idx = dec.decode_bin(ctx, OFF["MVP_IDX"])
-                amvp = amvp_candidates(mctx, x0, y0, n, n, 0, ridx)
-                p = amvp[mvp_idx]
-                mv = (p[0] + mvd[0], p[1] + mvd[1])
+                inter_dir = decode_inter_dir(dec, ctx, 3) if is_b else 1
+                mv01 = [(0, 0), (0, 0)]
+                ridx01 = [-1, -1]
+                for li in (0, 1):
+                    if not (inter_dir & (1 << li)):
+                        continue
+                    nr = num_ref if li == 0 else num_ref_l1
+                    ridx01[li] = decode_ref_idx(dec, ctx, nr)
+                    if li == 1 and sh.mvd_l1_zero and inter_dir == 3:
+                        mvd = (0, 0)
+                    else:
+                        mvd = decode_mvd(dec, ctx)
+                    mvp_idx = dec.decode_bin(ctx, OFF["MVP_IDX"])
+                    amvp = amvp_candidates(mctx, x0, y0, n, n, li,
+                                           ridx01[li])
+                    p = amvp[mvp_idx]
+                    mv01[li] = (p[0] + mvd[0], p[1] + mvd[1])
+                mv01 = tuple(mv01)
+                ridx01 = tuple(ridx01)
                 root_cbf = dec.decode_bin(ctx, OFF["QT_ROOT_CBF"])
-            field.set_block(x0, y0, n, n, 1, mv, ridx)
-            pl, pu, pv = mc_reconstruct(x0, y0, n, mv, ridx)
+            field.set_block(x0, y0, n, n, inter_dir, mv01[0], ridx01[0],
+                            mv01[1], ridx01[1])
+            pl, pu, pv = mc_reconstruct(x0, y0, n, inter_dir, mv01,
+                                        ridx01)
             if not root_cbf:
                 rec_y[y0:y0 + n, x0:x0 + n] = pl
                 rec_u[y0 // 2:y0 // 2 + n // 2, x0 // 2:x0 // 2 + n // 2] = pu
@@ -369,7 +420,7 @@ class Decoder:
                 meta_from_frame_state
             leaf_id8 = leaf_id_map(depth_map, sps.log2_ctu_size)
             meta = meta_from_frame_state(field, cbf_map, ref_pocs,
-                                         leaf_id8)
+                                         leaf_id8, ref_pocs_l1)
             deblock_frame(rec_y, rec_u, rec_v, meta, qp, bd,
                           pps.beta_offset_div2, pps.tc_offset_div2,
                           pps.cb_qp_offset, pps.cr_qp_offset)

@@ -33,12 +33,19 @@ from hmtpu.encoder.intra import gather_ref_line, satd8
 from hmtpu.entropy.contexts import OFF, make_contexts
 from hmtpu.entropy.headers import SliceHeader
 from hmtpu.entropy.inter_syntax import (
+    encode_inter_dir,
     encode_merge_idx,
     encode_mvd,
     encode_ref_idx,
 )
 from hmtpu.io.yuv import Frame
-from hmtpu.ops.interp import mc_chroma_np, mc_luma_np
+from hmtpu.ops.interp import (
+    bi_average,
+    mc_chroma_np,
+    mc_chroma_np_i,
+    mc_luma_np,
+    mc_luma_np_i,
+)
 from hmtpu.ops.intra_pred import predict_all_modes_np
 from hmtpu.ops.intra_ref import filter_reference, substitute_unavailable
 from hmtpu.ops.quant import dequantize_np, quantize_np
@@ -54,6 +61,12 @@ class PuDec:
     mvp_idx: int = 0
     ref_idx: int = 0
     intra_mode: int = -1
+    # B slices (AMVP): 1 = L0, 2 = L1, 3 = BI; L1 motion fields
+    inter_dir: int = 1
+    mv_l1: tuple = (0, 0)
+    mvd_l1: tuple = (0, 0)
+    mvp_idx_l1: int = 0
+    ref_idx_l1: int = 0
     lev_y: np.ndarray | None = None
     lev_cb: np.ndarray | None = None
     lev_cr: np.ndarray | None = None
@@ -144,7 +157,9 @@ class PFrameEncoder:
 
     # -- main entry ---------------------------------------------------------
     def analyze(self, frame: Frame, qp: int, refs: list[Frame],
-                ref_pocs: list[int], poc: int, sh: SliceHeader):
+                ref_pocs: list[int], poc: int, sh: SliceHeader,
+                refs_l1: list[Frame] | None = None,
+                ref_pocs_l1: list[int] | None = None):
         sps = self.sps
         w, h = sps.pic_width, sps.pic_height
         bd = self.bd
@@ -152,9 +167,17 @@ class PFrameEncoder:
         qpc = chroma_qp_from_luma(qp + self.pps.cb_qp_offset)
         lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
         lam_sqrt = np.sqrt(lam)
+        is_b = sh.slice_type == SliceType.B
+        refs_l1 = refs_l1 or []
+        ref_pocs_l1 = ref_pocs_l1 or []
 
         mvq_x, mvq_y, stencil, best_sad = self.motion_search(
             frame, refs[0], qp)
+        if is_b and refs_l1:
+            mvq_x1, mvq_y1, _, _ = self.motion_search(frame, refs_l1[0],
+                                                      qp)
+        else:
+            mvq_x1 = mvq_y1 = None
 
         rec_y = np.zeros((h, w), dtype=np.int32)
         rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
@@ -164,10 +187,12 @@ class PFrameEncoder:
         intra_map = np.zeros((h // 8, w // 8), dtype=np.int32)
         field = PicMotion.create(w, h)
         mctx = MotionCtx(field, w, h, sps.log2_ctu_size, ref_pocs,
-                         cur_poc=poc)
+                         ref_pocs_l1, cur_poc=poc)
         decisions: dict[tuple, PuDec] = {}
         max_merge = sh.max_num_merge_cand
         num_ref = len(refs)
+        num_ref_l1 = len(refs_l1)
+        refs01 = (refs, refs_l1)
 
         ctu = sps.ctu_size
         for cty in range(sps.pic_height_in_ctus):
@@ -183,16 +208,18 @@ class PFrameEncoder:
                     self._encode_block(
                         frame, qp, qpc, x, y, rec_y, rec_u, rec_v,
                         modes, skip_map, intra_map, field, mctx,
-                        decisions, refs, mvq_x, mvq_y, lam, lam_sqrt,
-                        maxv, max_merge, num_ref)
+                        decisions, refs01, (mvq_x, mvq_y),
+                        (mvq_x1, mvq_y1), lam, lam_sqrt,
+                        maxv, max_merge, num_ref, num_ref_l1, is_b)
 
         recon = Frame(rec_y, rec_u, rec_v, bd)
         return recon, field, decisions, (modes, skip_map, intra_map)
 
     def encode_frame(self, frame: Frame, qp: int, refs: list[Frame],
-                     ref_pocs: list[int], poc: int, sh: SliceHeader):
+                     ref_pocs: list[int], poc: int, sh: SliceHeader,
+                     refs_l1=None, ref_pocs_l1=None):
         recon, field, decisions, maps = self.analyze(
-            frame, qp, refs, ref_pocs, poc, sh)
+            frame, qp, refs, ref_pocs, poc, sh, refs_l1, ref_pocs_l1)
         rbsp = self._entropy_pass(qp, *maps, decisions, sh)
         return rbsp, recon, field, decisions
 
@@ -203,6 +230,25 @@ class PFrameEncoder:
         pu = mc_chroma_np(ref.u, x // 2, y // 2, 4, 4, mv[0], mv[1], self.bd)
         pv = mc_chroma_np(ref.v, x // 2, y // 2, 4, 4, mv[0], mv[1], self.bd)
         return pl, pu, pv
+
+    def _mc_pred_dir(self, refs01, inter_dir, mv01, ridx01, x, y):
+        # uni: final precision; bi: intermediate hypotheses + average
+        bd = self.bd
+        if inter_dir != 3:
+            li = 0 if inter_dir == 1 else 1
+            return self._mc_pred(refs01[li], ridx01[li], x, y, mv01[li])
+        hyp = []
+        for li in (0, 1):
+            ref = refs01[li][ridx01[li]]
+            mv = mv01[li]
+            hyp.append((
+                mc_luma_np_i(ref.y, x, y, 8, 8, mv[0], mv[1], bd),
+                mc_chroma_np_i(ref.u, x // 2, y // 2, 4, 4, mv[0],
+                               mv[1], bd),
+                mc_chroma_np_i(ref.v, x // 2, y // 2, 4, 4, mv[0],
+                               mv[1], bd)))
+        return tuple(bi_average(a, b, bd)
+                     for a, b in zip(hyp[0], hyp[1]))
 
     def _intra_candidate(self, frame, qp, x, y, rec_y, modes):
         sps, bd = self.sps, self.bd
@@ -231,8 +277,8 @@ class PFrameEncoder:
     # -- per-block decision -------------------------------------------------
     def _encode_block(self, frame, qp, qpc, x, y, rec_y, rec_u, rec_v,
                       modes, skip_map, intra_map, field, mctx, decisions,
-                      refs, mvq_x, mvq_y, lam, lam_sqrt, maxv, max_merge,
-                      num_ref):
+                      refs01, mv0_grid, mv1_grid, lam, lam_sqrt, maxv,
+                      max_merge, num_ref, num_ref_l1, is_b):
         bd = self.bd
         n = 8
         bxi, byi = x // 8, y // 8
@@ -240,22 +286,26 @@ class PFrameEncoder:
         org_u = frame.u[y // 2:y // 2 + 4, x // 2:x // 2 + 4].astype(np.int32)
         org_v = frame.v[y // 2:y // 2 + 4, x // 2:x // 2 + 4].astype(np.int32)
 
-        merge = merge_candidates(mctx, x, y, n, n, max_merge, num_ref)
+        def sse3(pl, pu, pv):
+            return float(((org - pl) ** 2).sum()) \
+                + float(((org_u - pu) ** 2).sum()) \
+                + float(((org_v - pv) ** 2).sum())
+
+        merge = merge_candidates(mctx, x, y, n, n, max_merge, num_ref,
+                                 is_b, num_ref_l1)
         # best merge candidate by prediction SSE (luma+chroma)
         best_mi, best_msse, best_mpred = 0, None, None
         seen = []
         for mi, cand in enumerate(merge):
-            key = (cand.mv[0], cand.ref_idx[0])
+            key = (cand.inter_dir, cand.mv, cand.ref_idx)
             if key in seen:
                 continue
             seen.append(key)
-            pl, pu, pv = self._mc_pred(refs, cand.ref_idx[0], x, y,
-                                       cand.mv[0])
-            sse = float(((org - pl) ** 2).sum()) \
-                + float(((org_u - pu) ** 2).sum()) \
-                + float(((org_v - pv) ** 2).sum())
+            pred = self._mc_pred_dir(refs01, cand.inter_dir, cand.mv,
+                                     cand.ref_idx, x, y)
+            sse = sse3(*pred)
             if best_msse is None or sse < best_msse:
-                best_mi, best_msse, best_mpred = mi, sse, (pl, pu, pv)
+                best_mi, best_msse, best_mpred = mi, sse, pred
         mcand = merge[best_mi]
 
         # candidate 1: SKIP (merge MV, no residual)
@@ -265,30 +315,54 @@ class PFrameEncoder:
         lev_y_m, ry_m = code_residual_block(org, best_mpred[0], qp, 3, bd)
         lev_cb_m, ru_m = code_residual_block(org_u, best_mpred[1], qpc, 2, bd)
         lev_cr_m, rv_m = code_residual_block(org_v, best_mpred[2], qpc, 2, bd)
-        d_merge = float(((org - np.clip(best_mpred[0] + ry_m, 0, maxv)) ** 2).sum()) \
-            + float(((org_u - np.clip(best_mpred[1] + ru_m, 0, maxv)) ** 2).sum()) \
-            + float(((org_v - np.clip(best_mpred[2] + rv_m, 0, maxv)) ** 2).sum())
+        d_merge = sse3(np.clip(best_mpred[0] + ry_m, 0, maxv),
+                       np.clip(best_mpred[1] + ru_m, 0, maxv),
+                       np.clip(best_mpred[2] + rv_m, 0, maxv))
         bits_merge = 4.0 + best_mi + est_level_bits(lev_y_m) \
             + est_level_bits(lev_cb_m) + est_level_bits(lev_cr_m)
         cost_merge = d_merge + lam * bits_merge
 
-        # candidate 3: AMVP inter with searched MV
-        mv = (int(mvq_x[byi, bxi]), int(mvq_y[byi, bxi]))
-        amvp = amvp_candidates(mctx, x, y, n, n, 0, 0)
-        mvds = [(mv[0] - p[0], mv[1] - p[1]) for p in amvp]
-        mvd_bits = [abs(a).bit_length() * 2 + abs(b).bit_length() * 2 + 2
+        # candidate 3: AMVP inter with the searched MV(s)
+        def mvd_bits_of(mv, amvp):
+            mvds = [(mv[0] - p[0], mv[1] - p[1]) for p in amvp]
+            bits = [abs(a).bit_length() * 2 + abs(b).bit_length() * 2 + 2
                     for a, b in mvds]
-        mvp_idx = int(np.argmin(mvd_bits))
-        pl_a, pu_a, pv_a = self._mc_pred(refs, 0, x, y, mv)
-        lev_y_a, ry_a = code_residual_block(org, pl_a, qp, 3, bd)
-        lev_cb_a, ru_a = code_residual_block(org_u, pu_a, qpc, 2, bd)
-        lev_cr_a, rv_a = code_residual_block(org_v, pv_a, qpc, 2, bd)
-        d_amvp = float(((org - np.clip(pl_a + ry_a, 0, maxv)) ** 2).sum()) \
-            + float(((org_u - np.clip(pu_a + ru_a, 0, maxv)) ** 2).sum()) \
-            + float(((org_v - np.clip(pv_a + rv_a, 0, maxv)) ** 2).sum())
-        bits_amvp = 6.0 + mvd_bits[mvp_idx] + est_level_bits(lev_y_a) \
-            + est_level_bits(lev_cb_a) + est_level_bits(lev_cr_a)
-        cost_amvp = d_amvp + lam * bits_amvp
+            i = int(np.argmin(bits))
+            return mvds[i], i, bits[i]
+
+        mv0 = (int(mv0_grid[0][byi, bxi]), int(mv0_grid[1][byi, bxi]))
+        amvp0 = amvp_candidates(mctx, x, y, n, n, 0, 0)
+        mvd0, mvp0, bits0 = mvd_bits_of(mv0, amvp0)
+        amvp_opts = []          # (dir, mv01, mvd01, mvp01, hdr_bits)
+        amvp_opts.append((1, (mv0, (0, 0)), (mvd0, (0, 0)), (mvp0, 0),
+                          6.0 + bits0))
+        if is_b and num_ref_l1:
+            mv1 = (int(mv1_grid[0][byi, bxi]), int(mv1_grid[1][byi, bxi]))
+            amvp1 = amvp_candidates(mctx, x, y, n, n, 1, 0)
+            mvd1, mvp1, bits1 = mvd_bits_of(mv1, amvp1)
+            amvp_opts.append((2, ((0, 0), mv1), ((0, 0), mvd1), (0, mvp1),
+                              6.0 + bits1))
+            amvp_opts.append((3, (mv0, mv1), (mvd0, mvd1), (mvp0, mvp1),
+                              7.0 + bits0 + bits1))
+
+        best_a = None           # (cost, dir, mv01, mvd01, mvp01, levs, rs)
+        for adir, mv01, mvd01, mvp01, hdr in amvp_opts:
+            pred = self._mc_pred_dir(refs01, adir, mv01,
+                                     (0, 0), x, y)
+            lev_y_a, ry_a = code_residual_block(org, pred[0], qp, 3, bd)
+            lev_cb_a, ru_a = code_residual_block(org_u, pred[1], qpc, 2, bd)
+            lev_cr_a, rv_a = code_residual_block(org_v, pred[2], qpc, 2, bd)
+            d = sse3(np.clip(pred[0] + ry_a, 0, maxv),
+                     np.clip(pred[1] + ru_a, 0, maxv),
+                     np.clip(pred[2] + rv_a, 0, maxv))
+            bits = hdr + est_level_bits(lev_y_a) \
+                + est_level_bits(lev_cb_a) + est_level_bits(lev_cr_a)
+            cost = d + lam * bits
+            if best_a is None or cost < best_a[0]:
+                best_a = (cost, adir, mv01, mvd01, mvp01,
+                          (lev_y_a, lev_cb_a, lev_cr_a),
+                          (ry_a, ru_a, rv_a), pred)
+        cost_amvp = best_a[0]
 
         # candidate 4: intra
         imode, ipred, ibits = self._intra_candidate(frame, qp, x, y,
@@ -307,9 +381,9 @@ class PFrameEncoder:
             pred_c = predict_all_modes_np(ref_c, ref_c, 4, False, bd)[imode]
             lv, rc = code_residual_block(corg, pred_c, qpc, 2, bd)
             ich.append((pred_c, lv, rc))
-        d_intra = float(((org - np.clip(ipred + ry_i, 0, maxv)) ** 2).sum()) \
-            + float(((org_u - np.clip(ich[0][0] + ich[0][2], 0, maxv)) ** 2).sum()) \
-            + float(((org_v - np.clip(ich[1][0] + ich[1][2], 0, maxv)) ** 2).sum())
+        d_intra = sse3(np.clip(ipred + ry_i, 0, maxv),
+                       np.clip(ich[0][0] + ich[0][2], 0, maxv),
+                       np.clip(ich[1][0] + ich[1][2], 0, maxv))
         bits_intra = 3.0 + ibits + est_level_bits(lev_y_i) \
             + est_level_bits(ich[0][1]) + est_level_bits(ich[1][1])
         cost_intra = d_intra + lam * bits_intra
@@ -321,13 +395,17 @@ class PFrameEncoder:
                                 or lev_cr_m.any()):
             choice = 0
 
+        def set_field(cand_dir, mv01, ridx01):
+            field.set_block(x, y, n, n, cand_dir, mv01[0], ridx01[0],
+                            mv01[1], ridx01[1])
+
         if choice == 0:       # SKIP
             pl, pu, pv = best_mpred
             rec_y[y:y + n, x:x + n] = pl
             rec_u[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = pu
             rec_v[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = pv
             skip_map[byi, bxi] = 1
-            field.set_block(x, y, n, n, 1, mcand.mv[0], mcand.ref_idx[0])
+            set_field(mcand.inter_dir, mcand.mv, mcand.ref_idx)
             decisions[(x, y)] = PuDec("skip", merge_idx=best_mi,
                                       mv=mcand.mv[0],
                                       ref_idx=mcand.ref_idx[0])
@@ -338,24 +416,26 @@ class PFrameEncoder:
                 np.clip(pu + ru_m, 0, maxv)
             rec_v[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
                 np.clip(pv + rv_m, 0, maxv)
-            field.set_block(x, y, n, n, 1, mcand.mv[0], mcand.ref_idx[0])
+            set_field(mcand.inter_dir, mcand.mv, mcand.ref_idx)
             decisions[(x, y)] = PuDec("merge", merge_idx=best_mi,
                                       mv=mcand.mv[0],
                                       ref_idx=mcand.ref_idx[0],
                                       lev_y=lev_y_m, lev_cb=lev_cb_m,
                                       lev_cr=lev_cr_m)
         elif choice == 2:     # AMVP
-            rec_y[y:y + n, x:x + n] = np.clip(pl_a + ry_a, 0, maxv)
+            _, adir, mv01, mvd01, mvp01, levs, rs, pred = best_a
+            rec_y[y:y + n, x:x + n] = np.clip(pred[0] + rs[0], 0, maxv)
             rec_u[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
-                np.clip(pu_a + ru_a, 0, maxv)
+                np.clip(pred[1] + rs[1], 0, maxv)
             rec_v[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
-                np.clip(pv_a + rv_a, 0, maxv)
-            field.set_block(x, y, n, n, 1, mv, 0)
-            decisions[(x, y)] = PuDec("amvp", mv=mv,
-                                      mvd=mvds[mvp_idx],
-                                      mvp_idx=mvp_idx, ref_idx=0,
-                                      lev_y=lev_y_a, lev_cb=lev_cb_a,
-                                      lev_cr=lev_cr_a)
+                np.clip(pred[2] + rs[2], 0, maxv)
+            set_field(adir, mv01, (0 if adir & 1 else -1,
+                                   0 if adir & 2 else -1))
+            decisions[(x, y)] = PuDec(
+                "amvp", mv=mv01[0], mvd=mvd01[0], mvp_idx=mvp01[0],
+                ref_idx=0, inter_dir=adir, mv_l1=mv01[1],
+                mvd_l1=mvd01[1], mvp_idx_l1=mvp01[1], ref_idx_l1=0,
+                lev_y=levs[0], lev_cb=levs[1], lev_cr=levs[2])
         else:                 # intra
             rec_y[y:y + n, x:x + n] = np.clip(ipred + ry_i, 0, maxv)
             rec_u[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
@@ -376,11 +456,13 @@ class PFrameEncoder:
 
         sps = self.sps
         w, h = sps.pic_width, sps.pic_height
-        ctx = make_contexts(SliceType.P, qp)
+        ctx = make_contexts(sh.slice_type, qp)
         enc = make_backend(ctx)
         sdh = self.pps.sign_data_hiding
         max_merge = sh.max_num_merge_cand
         num_ref = sh.num_ref_idx_l0
+        num_ref_l1 = sh.num_ref_idx_l1
+        is_b = sh.slice_type == SliceType.B
         ctu = sps.ctu_size
 
         def skip_ctx_inc(bxi, byi):
@@ -442,9 +524,17 @@ class PFrameEncoder:
                 encode_merge_idx(enc, d.merge_idx, max_merge)
             else:
                 enc.encode_bin(OFF["MERGE_FLAG"], 0)
-                encode_ref_idx(enc, d.ref_idx, num_ref)
-                encode_mvd(enc, d.mvd[0], d.mvd[1])
-                enc.encode_bin(OFF["MVP_IDX"], d.mvp_idx)
+                if is_b:
+                    encode_inter_dir(enc, d.inter_dir, 3)  # CtDepth 3
+                if d.inter_dir & 1:
+                    encode_ref_idx(enc, d.ref_idx, num_ref)
+                    encode_mvd(enc, d.mvd[0], d.mvd[1])
+                    enc.encode_bin(OFF["MVP_IDX"], d.mvp_idx)
+                if d.inter_dir & 2:
+                    encode_ref_idx(enc, d.ref_idx_l1, num_ref_l1)
+                    if not sh.mvd_l1_zero or d.inter_dir != 3:
+                        encode_mvd(enc, d.mvd_l1[0], d.mvd_l1[1])
+                    enc.encode_bin(OFF["MVP_IDX"], d.mvp_idx_l1)
             cbf_cb = bool(d.lev_cb.any())
             cbf_cr = bool(d.lev_cr.any())
             cbf_y = bool(d.lev_y.any())

@@ -77,9 +77,14 @@ class Encoder:
             log2_ctu_size=cfg.ctu_size.bit_length() - 1,
             sao_enabled=cfg.sao,
         )
+        if cfg.gop == "ra":
+            # hierarchical GOP-8: up to 4 retained refs + reordering
+            self.sps.max_dec_pic_buffering = 6
+            self.sps.max_num_reorder_pics = 4
         self.pps = Pps(init_qp=cfg.qp, sign_data_hiding=cfg.sign_data_hiding,
                        deblocking_filter_disabled=not cfg.deblock)
-        self.vps = Vps()
+        self.vps = Vps(max_dec_pic_buffering=self.sps.max_dec_pic_buffering,
+                       max_num_reorder_pics=self.sps.max_num_reorder_pics)
         self.results: list[FrameResult] = []
         self.dpb: list[tuple[int, Frame]] = []   # (poc, recon) newest last
         self._last_idr = 0                       # input index of last IDR
@@ -124,17 +129,60 @@ class Encoder:
         ip = self.cfg.intra_period
         return ip > 0 and poc % ip == 0
 
+    # hierarchical GOP-8 random-access structure in coding order:
+    # (display offset within GOP, referenced display offsets)
+    RA_GOP8 = (
+        (8, (0,)),
+        (4, (0, 8)),
+        (2, (0, 4, 8)),
+        (1, (0, 2, 4)),
+        (3, (2, 4, 0)),
+        (6, (4, 8, 0)),
+        (5, (4, 6, 8)),
+        (7, (6, 8, 4)),
+    )
+
+    def _ra_schedule(self, n: int) -> list[tuple[int, tuple[int, ...]]]:
+        """Coding-order schedule [(poc, referenced pocs)] for n frames:
+        full hierarchical GOP-8 groups, low-delay tail."""
+        sched = [(0, ())]
+        base = 0
+        while base + 8 <= n - 1:
+            for off, refs in self.RA_GOP8:
+                sched.append((base + off, tuple(base + r for r in refs)))
+            base += 8
+        for poc in range(base + 1, n):
+            sched.append((poc, (poc - 1,)))
+        return sched
+
     def encode_sequence(self, frames: list[Frame]) -> bytes:
         out = bytearray()
-        for poc, frame in enumerate(frames):
-            out.extend(write_annexb(self.encode_frame_au(frame, poc)))
+        if self.cfg.gop != "ra":
+            for poc, frame in enumerate(frames):
+                out.extend(write_annexb(self.encode_frame_au(frame, poc)))
+            return bytes(out)
+
+        sched = self._ra_schedule(len(frames))
+        dpb_map: dict[int, Frame] = {}
+        for i, (poc, used) in enumerate(sched):
+            # pictures still needed by this or any later frame
+            future = set()
+            for _, u in sched[i:]:
+                future.update(u)
+            retained = {p: f for p, f in dpb_map.items() if p in future}
+            nals = self.encode_frame_au(frames[poc], poc,
+                                        ra=(used, retained))
+            out.extend(write_annexb(nals))
+            dpb_map = dict(retained)
+            dpb_map[poc] = self._last_recon
         return bytes(out)
 
-    def encode_frame_au(self, frame: Frame, poc: int) -> list[NalUnit]:
+    def encode_frame_au(self, frame: Frame, poc: int,
+                        ra=None) -> list[NalUnit]:
         t0 = time.time()
         cfg = self.cfg
         nals: list[NalUnit] = []
-        is_idr = self._is_idr(poc)
+        is_idr = self._is_idr(poc) if ra is None else poc == 0
         if poc == 0:
             nals += [write_vps(self.vps), write_sps(self.sps),
                      write_pps(self.pps)]
@@ -149,12 +197,13 @@ class Encoder:
                              nal_type=NalUnitType.IDR_W_RADL)
             stype = "I"
             rel_poc = 0
-            field, ref_pocs = None, []
-        else:
+            field, ref_pocs, ref_pocs_l1 = None, [], []
+        elif ra is None:
             rel_poc = poc - self._last_idr       # POC restarts at each IDR
             n_ref = min(cfg.num_refs, len(self.dpb))
             refs = [f for _, f in self.dpb[-n_ref:]][::-1]   # newest first
             ref_pocs = [p for p, _ in self.dpb[-n_ref:]][::-1]
+            ref_pocs_l1 = []
             negs = [(rel_poc - p, True) for p in ref_pocs]
             sh = SliceHeader(
                 slice_type=SliceType.P, pps_id=0, slice_qp=cfg.qp,
@@ -167,6 +216,38 @@ class Encoder:
             recon, field, decisions, maps = pe.analyze(
                 frame, cfg.qp, refs, ref_pocs, rel_poc, sh)
             stype = "P"
+        else:
+            # random access: B slice with RPS covering the retained DPB
+            used, retained = ra
+            rel_poc = poc
+            past_u = sorted((p for p in used if p < poc), reverse=True)
+            futr_u = sorted(p for p in used if p > poc)
+            ref_pocs = past_u + futr_u                  # L0 default order
+            ref_pocs_l1 = futr_u + past_u               # L1 default order
+            all_pocs = set(retained) | set(used)
+            negs = [(poc - p, p in used)
+                    for p in sorted((q for q in all_pocs if q < poc),
+                                    reverse=True)]
+            poss = [(p - poc, p in used)
+                    for p in sorted(q for q in all_pocs if q > poc)]
+            dpb_all = dict(retained)
+            refs = [dpb_all[p] for p in ref_pocs]
+            refs_l1 = [dpb_all[p] for p in ref_pocs_l1]
+            sh = SliceHeader(
+                slice_type=SliceType.B, pps_id=0, slice_qp=cfg.qp,
+                pic_order_cnt_lsb=poc & ((1 << 8) - 1),
+                nal_type=NalUnitType.TRAIL_R,
+                negative_refs=negs, positive_refs=poss,
+                num_ref_idx_l0=len(ref_pocs),
+                num_ref_idx_l1=len(ref_pocs_l1),
+                five_minus_max_num_merge_cand=5 - cfg.max_num_merge_cand)
+            pe = PFrameEncoder(self.sps, self.pps, subpel=cfg.subpel,
+                               nn_params=self.nn_params,
+                               search_range=cfg.search_range)
+            recon, field, decisions, maps = pe.analyze(
+                frame, cfg.qp, refs, ref_pocs, poc, sh, refs_l1,
+                ref_pocs_l1)
+            stype = "B"
 
         if cfg.deblock:
             from hmtpu.common.motion import PicMotion
@@ -185,7 +266,8 @@ class Encoder:
                 cbf8[yi:yi + s8, xi:xi + s8] = \
                     lev is not None and bool(lev.any())
                 leaf_id8[yi:yi + s8, xi:xi + s8] = yi * w8 + xi
-            meta = meta_from_frame_state(field, cbf8, ref_pocs, leaf_id8)
+            meta = meta_from_frame_state(field, cbf8, ref_pocs, leaf_id8,
+                                         ref_pocs_l1)
             deblock_frame(recon.y, recon.u, recon.v, meta, cfg.qp,
                           cfg.bit_depth, cb_qp_off=self.pps.cb_qp_offset,
                           cr_qp_off=self.pps.cr_qp_offset)

@@ -245,6 +245,10 @@ class SliceHeader:
     num_ref_idx_override: bool = True
     sao_luma: bool = False
     sao_chroma: bool = False
+    # B slices: positive (future-POC) references and the L1 list size
+    positive_refs: list = None
+    num_ref_idx_l1: int = 0
+    mvd_l1_zero: bool = False
     five_minus_max_num_merge_cand: int = 3
     # filled by parser: bit offset where slice data (CABAC) starts
     data_start_byte: int = 0
@@ -272,11 +276,17 @@ def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps) -> BitWriter:
         # inter_ref_pic_set_prediction_flag absent (sps has 0 RPS).
         assert sps.num_short_term_rps == 0
         negs = sh.negative_refs or []
+        poss = sh.positive_refs or []
         bw.write_ue(len(negs))                   # num_negative_pics
-        bw.write_ue(0)                           # num_positive_pics
+        bw.write_ue(len(poss))                   # num_positive_pics
         prev = 0
         for delta_poc, used in negs:
             bw.write_ue(delta_poc - prev - 1)    # delta_poc_s0_minus1
+            bw.write_flag(used)
+            prev = delta_poc
+        prev = 0
+        for delta_poc, used in poss:
+            bw.write_ue(delta_poc - prev - 1)    # delta_poc_s1_minus1
             bw.write_flag(used)
             prev = delta_poc
         if sps.long_term_ref_pics_present:
@@ -291,8 +301,10 @@ def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps) -> BitWriter:
         if sh.num_ref_idx_override:
             bw.write_ue(sh.num_ref_idx_l0 - 1)
             if sh.slice_type == SliceType.B:
-                raise NotImplementedError
+                bw.write_ue(sh.num_ref_idx_l1 - 1)
         assert not pps.lists_modification_present
+        if sh.slice_type == SliceType.B:
+            bw.write_flag(sh.mvd_l1_zero)
         assert not pps.cabac_init_present
         assert not (pps.weighted_pred or pps.weighted_bipred)
         bw.write_ue(sh.five_minus_max_num_merge_cand)
@@ -322,13 +334,19 @@ def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
         assert not st_sps, "SPS-indexed RPS not in envelope"
         n_neg = br.read_ue()
         n_pos = br.read_ue()
-        assert n_pos == 0, "positive refs land with B slices"
         sh.negative_refs = []
         prev = 0
         for _ in range(n_neg):
             delta = prev + br.read_ue() + 1
             used = bool(br.read_flag())
             sh.negative_refs.append((delta, used))
+            prev = delta
+        sh.positive_refs = []
+        prev = 0
+        for _ in range(n_pos):
+            delta = prev + br.read_ue() + 1
+            used = bool(br.read_flag())
+            sh.positive_refs.append((delta, used))
             prev = delta
         if sps.temporal_mvp_enabled:
             br.read_flag()
@@ -339,8 +357,12 @@ def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
         sh.num_ref_idx_override = bool(br.read_flag())
         if sh.num_ref_idx_override:
             sh.num_ref_idx_l0 = br.read_ue() + 1
+            if sh.slice_type == SliceType.B:
+                sh.num_ref_idx_l1 = br.read_ue() + 1
         else:
             sh.num_ref_idx_l0 = pps.num_ref_idx_l0_default
+        if sh.slice_type == SliceType.B:
+            sh.mvd_l1_zero = bool(br.read_flag())
         sh.five_minus_max_num_merge_cand = br.read_ue()
     sh.slice_qp = pps.init_qp + br.read_se()
     if pps.loop_filter_across_slices and \

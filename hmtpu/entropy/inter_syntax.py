@@ -89,6 +89,22 @@ def decode_merge_idx(dec, ctx, max_cand: int) -> int:
     return idx
 
 
+# -- inter_pred_idc (9.3.3.7): bin0 ctx = CtDepth, bin1 ctx 4 ---------------
+# (the nPbW+nPbH==12 single-bin form never occurs with 2Nx2N PUs)
+
+def encode_inter_dir(enc, inter_dir: int, depth: int) -> None:
+    """inter_dir: 1 = PRED_L0, 2 = PRED_L1, 3 = PRED_BI."""
+    enc.encode_bin(OFF["INTER_DIR"] + depth, int(inter_dir == 3))
+    if inter_dir != 3:
+        enc.encode_bin(OFF["INTER_DIR"] + 4, int(inter_dir == 2))
+
+
+def decode_inter_dir(dec, ctx, depth: int) -> int:
+    if dec.decode_bin(ctx, OFF["INTER_DIR"] + depth):
+        return 3
+    return 2 if dec.decode_bin(ctx, OFF["INTER_DIR"] + 4) else 1
+
+
 # -- ref_idx: TR cMax = numRef-1, bins 0/1 ctx-coded, rest EP ---------------
 
 def encode_ref_idx(enc, idx: int, num_ref: int) -> None:

@@ -34,16 +34,70 @@ assert BETA_TABLE.size == 52 and TC_TABLE.size == 54
 @dataclass
 class DeblockMeta:
     """Per-4x4-block coding metadata the BS derivation needs
-    (8.7.2.4), all shaped (H/4, W/4)."""
-    intra: np.ndarray       # bool: block is intra-coded
-    cbf: np.ndarray         # bool: block's TU has nonzero luma coeffs
-    mv_x: np.ndarray        # int32 quarter-pel (L0)
+    (8.7.2.4); mv/ref arrays carry both reference lists."""
+    intra: np.ndarray       # (H/4, W/4) bool: block is intra-coded
+    cbf: np.ndarray         # (H/4, W/4) bool: TU has nonzero luma coeffs
+    mv_x: np.ndarray        # (2, H/4, W/4) int32 quarter-pel
     mv_y: np.ndarray
-    ref_poc: np.ndarray     # int32; -1 for intra
+    ref_poc: np.ndarray     # (2, H/4, W/4) int32; -1 when list unused
     # CU/TU/PU boundary masks on the 8-pel grid (8.7.2.2 edgeFlags);
     # None = every 8-grid edge is a boundary (uniform 8x8 CUs)
     edge_v: np.ndarray | None = None    # (H/8, W/8 - 1) bool
     edge_h: np.ndarray | None = None    # (H/8 - 1, W/8) bool
+
+
+def _motion_bs(pmx, pmy, pr, qmx, qmy, qr) -> np.ndarray:
+    """Vectorized 8.7.2.4 motion-difference test between inter blocks.
+    Inputs shaped (2, ...) over the two lists; -1 ref = unused."""
+    big = 1 << 20
+    pu0, pu1 = pr[0] >= 0, pr[1] >= 0
+    qu0, qu1 = qr[0] >= 0, qr[1] >= 0
+    cnt_p = pu0.astype(np.int32) + pu1
+    cnt_q = qu0.astype(np.int32) + qu1
+    # sorted reference-picture pair (single-MV: lo == hi == the ref)
+    p_lo = np.minimum(np.where(pu0, pr[0], big), np.where(pu1, pr[1], big))
+    p_hi = np.maximum(np.where(pu0, pr[0], -big),
+                      np.where(pu1, pr[1], -big))
+    q_lo = np.minimum(np.where(qu0, qr[0], big), np.where(qu1, qr[1], big))
+    q_hi = np.maximum(np.where(qu0, qr[0], -big),
+                      np.where(qu1, qr[1], -big))
+    diff_set = (cnt_p != cnt_q) | (p_lo != q_lo) | (p_hi != q_hi)
+
+    def far(ax, ay, bx, by):
+        return (np.abs(ax - bx) >= 4) | (np.abs(ay - by) >= 4)
+
+    # single MV each: compare the used vectors
+    pux = np.where(pu0, pmx[0], pmx[1])
+    puy = np.where(pu0, pmy[0], pmy[1])
+    qux = np.where(qu0, qmx[0], qmx[1])
+    quy = np.where(qu0, qmy[0], qmy[1])
+    far_single = far(pux, puy, qux, quy)
+
+    # two MVs each, two distinct refs: match vectors by ref picture
+    p_is_lo = np.where(pu0 & (pr[0] == p_lo), True, False)
+    q_is_lo = np.where(qu0 & (qr[0] == q_lo), True, False)
+    plx = np.where(p_is_lo, pmx[0], pmx[1])
+    ply = np.where(p_is_lo, pmy[0], pmy[1])
+    phx = np.where(p_is_lo, pmx[1], pmx[0])
+    phy = np.where(p_is_lo, pmy[1], pmy[0])
+    qlx = np.where(q_is_lo, qmx[0], qmx[1])
+    qly = np.where(q_is_lo, qmy[0], qmy[1])
+    qhx = np.where(q_is_lo, qmx[1], qmx[0])
+    qhy = np.where(q_is_lo, qmy[1], qmy[0])
+    far_matched = far(plx, ply, qlx, qly) | far(phx, phy, qhx, qhy)
+
+    # two MVs each, both referencing the same picture: BS 1 only if
+    # both pairings exceed the threshold
+    far_same = (far(pmx[0], pmy[0], qmx[0], qmy[0])
+                | far(pmx[1], pmy[1], qmx[1], qmy[1])) \
+        & (far(pmx[0], pmy[0], qmx[1], qmy[1])
+           | far(pmx[1], pmy[1], qmx[0], qmy[0]))
+
+    both_two = (cnt_p == 2) & (cnt_q == 2)
+    mv_far = np.where(both_two,
+                      np.where(p_lo == p_hi, far_same, far_matched),
+                      far_single)
+    return diff_set | mv_far
 
 
 def boundary_strengths(meta: DeblockMeta, vertical: bool) -> np.ndarray:
@@ -52,24 +106,28 @@ def boundary_strengths(meta: DeblockMeta, vertical: bool) -> np.ndarray:
     Returns (H/4, W/8) for vertical edges (edge x = 8*j, segment rows
     of 4) or (H/8, W/4) for horizontal edges."""
     if vertical:
-        p = (meta.intra[:, 1::2], meta.cbf[:, 1::2], meta.mv_x[:, 1::2],
-             meta.mv_y[:, 1::2], meta.ref_poc[:, 1::2])
-        q = (meta.intra[:, 2::2], meta.cbf[:, 2::2], meta.mv_x[:, 2::2],
-             meta.mv_y[:, 2::2], meta.ref_poc[:, 2::2])
+        sel_p, sel_q = np.s_[..., :, 1::2], np.s_[..., :, 2::2]
     else:
-        p = (meta.intra[1::2, :], meta.cbf[1::2, :], meta.mv_x[1::2, :],
-             meta.mv_y[1::2, :], meta.ref_poc[1::2, :])
-        q = (meta.intra[2::2, :], meta.cbf[2::2, :], meta.mv_x[2::2, :],
-             meta.mv_y[2::2, :], meta.ref_poc[2::2, :])
+        sel_p, sel_q = np.s_[..., 1::2, :], np.s_[..., 2::2, :]
+    qi = meta.intra[sel_q]
+    pi = meta.intra[sel_p]
+    pc = meta.cbf[sel_p]
+    qc = meta.cbf[sel_q]
+    pmx, qmx = meta.mv_x[sel_p], meta.mv_x[sel_q]
+    pmy, qmy = meta.mv_y[sel_p], meta.mv_y[sel_q]
+    pr, qr = meta.ref_poc[sel_p], meta.ref_poc[sel_q]
     # p: blocks left of/above internal edges 8,16,... ; q: right/below.
-    pi, pc, pmx, pmy, pr = (a[: q[0].shape[0], : q[0].shape[1]] for a in p)
-    qi, qc, qmx, qmy, qr = q
+    sh = qi.shape
+    pi = pi[: sh[0], : sh[1]]
+    pc = pc[: sh[0], : sh[1]]
+    pmx = pmx[:, : sh[0], : sh[1]]
+    pmy = pmy[:, : sh[0], : sh[1]]
+    pr = pr[:, : sh[0], : sh[1]]
 
-    bs = np.zeros(qi.shape, dtype=np.int32)
+    bs = np.zeros(sh, dtype=np.int32)
     any_intra = pi | qi
     bs[any_intra] = 2
-    mv_far = (np.abs(pmx - qmx) >= 4) | (np.abs(pmy - qmy) >= 4)
-    cond1 = pc | qc | mv_far | (pr != qr)
+    cond1 = pc | qc | _motion_bs(pmx, pmy, pr, qmx, qmy, qr)
     bs[~any_intra & cond1] = 1
 
     # mask out 8-grid positions that are not CU/TU/PU boundaries
@@ -229,24 +287,29 @@ def deblock_frame(rec_y: np.ndarray, rec_u: np.ndarray,
 
 def meta_from_frame_state(field, cbf8: np.ndarray,
                           ref_pocs: list[int],
-                          leaf_id8: np.ndarray | None = None
+                          leaf_id8: np.ndarray | None = None,
+                          ref_pocs_l1: list[int] | None = None
                           ) -> DeblockMeta:
     """Build DeblockMeta from a PicMotion field (4x4 granularity), a
     per-8x8 luma-cbf map and an optional per-8x8 leaf-id map (CU==TU==PU
     in this envelope, so CU boundaries are the only filtered edges)."""
     intra4 = field.inter_dir == 0
     cbf4 = np.repeat(np.repeat(cbf8.astype(bool), 2, 0), 2, 1)
-    ridx = field.ref_idx[0]
-    poc_lut = np.asarray(list(ref_pocs) + [0], dtype=np.int32)
-    ref_poc = np.where(ridx >= 0, poc_lut[np.clip(ridx, 0, None)], -1)
+    ref_poc = np.full((2,) + intra4.shape, -1, dtype=np.int32)
+    for li, pocs in enumerate((ref_pocs, ref_pocs_l1 or [])):
+        if not pocs:
+            continue
+        ridx = field.ref_idx[li]
+        lut = np.asarray(list(pocs) + [0], dtype=np.int32)
+        ref_poc[li] = np.where(ridx >= 0, lut[np.clip(ridx, 0, None)], -1)
     edge_v = edge_h = None
     if leaf_id8 is not None:
         edge_v = leaf_id8[:, :-1] != leaf_id8[:, 1:]
         edge_h = leaf_id8[:-1, :] != leaf_id8[1:, :]
     return DeblockMeta(
         intra=intra4, cbf=cbf4,
-        mv_x=field.mv[0, :, :, 0].copy(),
-        mv_y=field.mv[0, :, :, 1].copy(),
-        ref_poc=ref_poc.astype(np.int32),
+        mv_x=field.mv[:, :, :, 0].copy(),
+        mv_y=field.mv[:, :, :, 1].copy(),
+        ref_poc=ref_poc,
         edge_v=edge_v, edge_h=edge_h,
     )

@@ -127,6 +127,33 @@ def mc_chroma_np(plane: np.ndarray, x0: int, y0: int, nw: int, nh: int,
 
 
 # --------------------------------------------------------------------------
+# bi-prediction: both hypotheses kept at IF_INTERNAL_PREC, then averaged
+# (TComYuv::addAvg / spec 8.5.4.2.3.2 weighted sample prediction default)
+
+def mc_luma_np_i(plane, x0, y0, nw, nh, mv_x_q, mv_y_q, bd=8):
+    """Luma MC at intermediate (14-bit, offset-centred) precision."""
+    ix, fx = (x0 + (mv_x_q >> 2)), mv_x_q & 3
+    iy, fy = (y0 + (mv_y_q >> 2)), mv_y_q & 3
+    return _mc_block_np(plane, ix, iy, nw, nh, fx, fy,
+                        LUMA_FILTERS, NTAPS_LUMA, bd, is_last=False)
+
+
+def mc_chroma_np_i(plane, x0, y0, nw, nh, mv_x_q, mv_y_q, bd=8):
+    ix, fx = (x0 + (mv_x_q >> 3)), mv_x_q & 7
+    iy, fy = (y0 + (mv_y_q >> 3)), mv_y_q & 7
+    return _mc_block_np(plane, ix, iy, nw, nh, fx, fy,
+                        CHROMA_FILTERS, NTAPS_CHROMA, bd, is_last=False)
+
+
+def bi_average(p0: np.ndarray, p1: np.ndarray, bd: int = 8) -> np.ndarray:
+    """Average two intermediate-precision hypotheses to output samples."""
+    shift = IF_INTERNAL_PREC + 1 - bd
+    off = (1 << (shift - 1)) + 2 * IF_INTERNAL_OFFS
+    return np.clip((p0.astype(np.int64) + p1 + off) >> shift,
+                   0, (1 << bd) - 1).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
 # Batched JAX path: MC for B blocks of one shared size in one call.
 
 def _mc_batch_jax(plane, xs0, ys0, fxs, fys, n_w, n_h, filters, ntaps, bd):

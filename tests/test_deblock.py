@@ -25,8 +25,9 @@ def _intra_meta(w, h):
     return DeblockMeta(
         intra=np.ones(n4, dtype=bool),
         cbf=np.ones(n4, dtype=bool),
-        mv_x=np.zeros(n4, np.int32), mv_y=np.zeros(n4, np.int32),
-        ref_poc=np.full(n4, -1, np.int32))
+        mv_x=np.zeros((2,) + n4, np.int32),
+        mv_y=np.zeros((2,) + n4, np.int32),
+        ref_poc=np.full((2,) + n4, -1, np.int32))
 
 
 def test_bs_intra_all_two():
