@@ -189,10 +189,13 @@ def merge_candidates(ctx: MotionCtx, x: int, y: int, w: int, h: int,
 
 
 def _scale_mv(mv, tb: int, td: int):
-    """8.5.3.1.3 temporal/POC-distance MV scaling."""
+    """8.5.3.1.3 temporal/POC-distance MV scaling.  NB: tx divides by a
+    possibly negative td — C truncates toward zero, so mirror that
+    (Python // floors)."""
     if td == tb:
         return mv
-    tx = (16384 + (abs(td) >> 1)) // td
+    num = 16384 + (abs(td) >> 1)
+    tx = num // td if td > 0 else -(num // -td)
     dsf = int(np.clip((tb * tx + 32) >> 6, -4096, 4095))
     def s(v):
         p = dsf * v
@@ -250,8 +253,11 @@ def amvp_candidates(ctx: MotionCtx, x: int, y: int, w: int, h: int,
         mv_b = from_pos(px, py, False)
         if mv_b is not None:
             break
-    if not a_has_inter and mv_b is None:
-        # B does the scaled fallback only when no A neighbour is inter
+    if not a_has_inter:
+        # isScaledFlagLX == 0 (8.5.3.1.6): the same-POC B candidate
+        # moves into the A slot and B is re-derived with scaling
+        mv_a = mv_b
+        mv_b = None
         for px, py in b_positions:
             mv_b = from_pos(px, py, True)
             if mv_b is not None:

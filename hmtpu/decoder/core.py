@@ -408,7 +408,8 @@ class Decoder:
                     left = sao_grid[cty][ctx_i - 1] if ctx_i > 0 else None
                     up = sao_grid[cty - 1][ctx_i] if cty > 0 else None
                     sao_grid[cty][ctx_i] = decode_sao_ctu(
-                        dec, ctx, left, up, sh.sao_luma, sh.sao_chroma)
+                        dec, ctx, left, up, sh.sao_luma, sh.sao_chroma,
+                        bd)
                 decode_quadtree(ctx_i * ctu, cty * ctu, sps.log2_ctu_size, 0)
                 last = (cty == n_ctu_y - 1) and (ctx_i == n_ctu_x - 1)
                 end = dec.decode_bin_trm()

@@ -211,7 +211,7 @@ class IntraFrameEncoder:
                 if sao is not None:
                     grid, sl, sc = sao
                     encode_sao_ctu(enc, grid[cty][ctx_i], ctx_i > 0,
-                                   cty > 0, sl, sc)
+                                   cty > 0, sl, sc, self.bd)
                 encode_quadtree(ctx_i * ctu, cty * ctu, sps.log2_ctu_size, 0)
                 last = (cty == n_ctu_y - 1) and (ctx_i == n_ctu_x - 1)
                 if not last:

@@ -584,7 +584,7 @@ class PFrameEncoder:
                 if sao is not None:
                     grid, sl, sc = sao
                     encode_sao_ctu(enc, grid[cty][ctxi], ctxi > 0,
-                                   cty > 0, sl, sc)
+                                   cty > 0, sl, sc, self.bd)
                 encode_quadtree(ctxi * ctu, cty * ctu, sps.log2_ctu_size, 0)
                 last = (cty == n_ctu_y - 1) and (ctxi == n_ctu_x - 1)
                 if not last:

@@ -81,10 +81,15 @@ class Encoder:
             # hierarchical GOP-8: up to 4 retained refs + reordering
             self.sps.max_dec_pic_buffering = 6
             self.sps.max_num_reorder_pics = 4
+        if cfg.bit_depth == 10:
+            # Main10 profile signalling (A.3.3)
+            self.sps.ptl.general_profile_idc = 2
+            self.sps.ptl.general_profile_compatibility = 1 << 2
         self.pps = Pps(init_qp=cfg.qp, sign_data_hiding=cfg.sign_data_hiding,
                        deblocking_filter_disabled=not cfg.deblock)
         self.vps = Vps(max_dec_pic_buffering=self.sps.max_dec_pic_buffering,
-                       max_num_reorder_pics=self.sps.max_num_reorder_pics)
+                       max_num_reorder_pics=self.sps.max_num_reorder_pics,
+                       ptl=self.sps.ptl)
         self.results: list[FrameResult] = []
         self.dpb: list[tuple[int, Frame]] = []   # (poc, recon) newest last
         self._last_idr = 0                       # input index of last IDR

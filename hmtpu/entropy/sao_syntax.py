@@ -11,26 +11,27 @@ from __future__ import annotations
 import numpy as np
 
 from hmtpu.entropy.contexts import OFF
-from hmtpu.ops.sao import MAX_OFFSET, CtuSaoParams
+from hmtpu.ops.sao import CtuSaoParams, max_offset
 
 
-def _enc_offset_abs(enc, v: int) -> None:
-    # TR, cMax = MAX_OFFSET, bypass bins
+def _enc_offset_abs(enc, v: int, cmax: int) -> None:
+    # TR, cMax = saoMaxOffsetQVal, bypass bins
     for _ in range(v):
         enc.encode_bin_ep(1)
-    if v < MAX_OFFSET:
+    if v < cmax:
         enc.encode_bin_ep(0)
 
 
-def _dec_offset_abs(dec) -> int:
+def _dec_offset_abs(dec, cmax: int) -> int:
     v = 0
-    while v < MAX_OFFSET and dec.decode_bin_ep():
+    while v < cmax and dec.decode_bin_ep():
         v += 1
     return v
 
 
 def encode_sao_ctu(enc, params3, left_avail: bool, up_avail: bool,
-                   sao_luma: bool, sao_chroma: bool) -> None:
+                   sao_luma: bool, sao_chroma: bool,
+                   bd: int = 8) -> None:
     """Serialise one CTU's SAO params (no merge in this encoder: the
     merge flags are coded 0 whenever present)."""
     if left_avail:
@@ -54,7 +55,7 @@ def encode_sao_ctu(enc, params3, left_avail: bool, up_avail: bool,
             continue
         offs = [int(v) for v in p.offsets]
         for v in offs:
-            _enc_offset_abs(enc, abs(v))
+            _enc_offset_abs(enc, abs(v), max_offset(bd))
         if t == 1:                       # band: signs + position
             for v in offs:
                 if v != 0:
@@ -65,7 +66,7 @@ def encode_sao_ctu(enc, params3, left_avail: bool, up_avail: bool,
 
 
 def decode_sao_ctu(dec, ctx, left_params3, up_params3,
-                   sao_luma: bool, sao_chroma: bool):
+                   sao_luma: bool, sao_chroma: bool, bd: int = 8):
     """Parse one CTU's SAO params; returns [luma, cb, cr]."""
     if left_params3 is not None and \
             dec.decode_bin(ctx, OFF["SAO_MERGE_FLAG"]):
@@ -92,7 +93,8 @@ def decode_sao_ctu(dec, ctx, left_params3, up_params3,
             p.type_idx = t
         if t == 0:
             continue
-        mags = [_dec_offset_abs(dec) for _ in range(4)]
+        mags = [_dec_offset_abs(dec, max_offset(bd))
+                for _ in range(4)]
         if t == 1:
             offs = []
             for v in mags:

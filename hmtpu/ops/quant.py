@@ -34,7 +34,10 @@ def transform_shift(log2_size: int, bit_depth: int) -> int:
 def quantize(coeff: jax.Array, qp: int, log2_size: int, bit_depth: int = 8,
              is_intra: bool = True) -> jax.Array:
     """Forward quant with HM's deadzone offsets (171/512 intra, 85/512
-    inter).  coeff int32 (..., N, N) -> levels int32."""
+    inter).  coeff int32 (..., N, N) -> levels int32.  qp is the
+    signalled QP; the bit-depth offset Qp' = qp + 6*(bd-8) (8.6.1) is
+    applied here."""
+    qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     qbits = QUANT_SHIFT + per + transform_shift(log2_size, bit_depth)
     add = (171 if is_intra else 85) << (qbits - 9)
@@ -48,7 +51,9 @@ def quantize(coeff: jax.Array, qp: int, log2_size: int, bit_depth: int = 8,
 @partial(jax.jit, static_argnames=("qp", "log2_size", "bit_depth"))
 def dequantize(level: jax.Array, qp: int, log2_size: int,
                bit_depth: int = 8) -> jax.Array:
-    """Inverse quant (flat scaling list), spec 8.6.3 clip to 16-bit."""
+    """Inverse quant (flat scaling list), spec 8.6.3 clip to 16-bit;
+    applies the bit-depth QP offset (8.6.1)."""
+    qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     shift = IQUANT_SHIFT - transform_shift(log2_size, bit_depth)
     base = _INV_QUANT_SCALES[rem]
@@ -70,6 +75,7 @@ def dequantize(level: jax.Array, qp: int, log2_size: int,
 
 def quantize_ref(coeff: np.ndarray, qp: int, log2_size: int,
                  bit_depth: int = 8, is_intra: bool = True) -> np.ndarray:
+    qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     qbits = QUANT_SHIFT + per + transform_shift(log2_size, bit_depth)
     add = (171 if is_intra else 85) << (qbits - 9)
@@ -85,6 +91,7 @@ def quantize_ref(coeff: np.ndarray, qp: int, log2_size: int,
 
 def dequantize_ref(level: np.ndarray, qp: int, log2_size: int,
                    bit_depth: int = 8) -> np.ndarray:
+    qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     shift = IQUANT_SHIFT - transform_shift(log2_size, bit_depth)
     scale = _INV_QUANT_SCALES[rem] << per
@@ -102,6 +109,7 @@ def dequantize_ref(level: np.ndarray, qp: int, log2_size: int,
 
 def quantize_np(coeff: np.ndarray, qp: int, log2_size: int,
                 bit_depth: int = 8, is_intra: bool = True) -> np.ndarray:
+    qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     qbits = QUANT_SHIFT + per + transform_shift(log2_size, bit_depth)
     add = (171 if is_intra else 85) << (qbits - 9)
@@ -112,6 +120,7 @@ def quantize_np(coeff: np.ndarray, qp: int, log2_size: int,
 
 def dequantize_np(level: np.ndarray, qp: int, log2_size: int,
                   bit_depth: int = 8) -> np.ndarray:
+    qp = qp + 6 * (bit_depth - 8)
     per, rem = qp // 6, qp % 6
     shift = IQUANT_SHIFT - transform_shift(log2_size, bit_depth)
     scale = _INV_QUANT_SCALES[rem] << per

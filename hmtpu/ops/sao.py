@@ -25,7 +25,12 @@ EO_NEIGHBORS = {
     2: ((-1, -1), (1, 1)),     # 135 degree
     3: ((-1, 1), (1, -1)),     # 45 degree
 }
-MAX_OFFSET = 7  # 8-bit saoMaxOffsetQVal
+MAX_OFFSET = 7  # 8-bit saoMaxOffsetQVal (see max_offset() for >8bit)
+
+
+def max_offset(bd: int) -> int:
+    """saoMaxOffsetQVal = (1 << (Min(bitDepth, 10) - 5)) - 1."""
+    return (1 << (min(bd, 10) - 5)) - 1
 
 
 @dataclass
@@ -87,6 +92,7 @@ def estimate_sao_plane(org: np.ndarray, rec: np.ndarray, ctu: int,
     picture-wide (dense ops), reduced per CTU, then the best
     (type, class/band, offsets) is picked by estimated RD cost."""
     diff = org.astype(np.int64) - rec.astype(np.int64)
+    max_off = max_offset(bd)
     h, w = rec.shape
     n_y, n_x = -(-h // ctu), -(-w // ctu)
     best_cost = np.zeros((n_y, n_x))           # type off = 0 cost
@@ -98,7 +104,7 @@ def estimate_sao_plane(org: np.ndarray, rec: np.ndarray, ctu: int,
         with np.errstate(divide="ignore", invalid="ignore"):
             off = np.where(cnt > 0, np.round(e_sum / np.maximum(cnt, 1)),
                            0.0)
-        off = np.clip(off, -MAX_OFFSET, MAX_OFFSET)
+        off = np.clip(off, -max_off, max_off)
         if sign_constrained is not None:
             if sign_constrained > 0:
                 off = np.maximum(off, 0)
@@ -202,7 +208,8 @@ def estimate_sao_chroma(org_cb, rec_cb, org_cr, rec_cr, ctu: int,
                 offs = np.zeros(4, dtype=np.int32)
                 for c in range(1, 5):
                     m = cat == c
-                    lo, hi = (0, MAX_OFFSET) if c <= 2 else (-MAX_OFFSET, 0)
+                    mo = max_offset(bd)
+                    lo, hi = (0, mo) if c <= 2 else (-mo, 0)
                     offs[c - 1], _ = best_off(int(d[m].sum()),
                                               int(m.sum()), lo, hi)
                 cr[cy][cx] = CtuSaoParams(2, cls, 0, offs)
@@ -214,7 +221,7 @@ def estimate_sao_chroma(org_cb, rec_cb, org_cr, rec_cr, ctu: int,
                     m = b == bi
                     boffs[bi], bdelta[bi] = best_off(
                         int(d[m].sum()), int(m.sum()),
-                        -MAX_OFFSET, MAX_OFFSET)
+                        -max_offset(bd), max_offset(bd))
                 runs = np.array([bdelta[p:p + 4].sum() for p in range(29)])
                 pos = int(np.argmin(runs))
                 cr[cy][cx] = CtuSaoParams(
