@@ -1,0 +1,56 @@
+"""CLI apps + HM-style option system: cfg parsing, cascading,
+overrides, end-to-end encoder/decoder app run."""
+import sys
+
+import numpy as np
+import pytest
+
+from hmtpu.apps.options import parse_cfg_file, parse_cli, resolve
+from tools.gen_test_yuv import synth_clip
+
+CFG_DIR = __file__.rsplit("/", 2)[0] + "/cfg"
+
+
+def test_parse_cfg_files():
+    opts = parse_cfg_file(f"{CFG_DIR}/encoder_lowdelay_P_main.cfg")
+    assert opts["QP"] == "32"
+    assert opts["SubPel"] == "nn"
+    assert opts["Frame1"].split()[0] == "P"
+
+
+def test_resolve_baseline_configs():
+    ai = resolve(parse_cfg_file(f"{CFG_DIR}/encoder_intra_main.cfg"))
+    assert ai.gop == "ai"
+    ldp = resolve(parse_cfg_file(f"{CFG_DIR}/encoder_lowdelay_P_main.cfg"))
+    assert ldp.gop == "ldp" and ldp.subpel == "nn" and ldp.num_refs == 4
+    ra = resolve(parse_cfg_file(
+        f"{CFG_DIR}/encoder_randomaccess_main10.cfg"))
+    assert ra.gop == "ra" and ra.internal_bit_depth == 10
+
+
+def test_cli_cascade_and_override():
+    opts = parse_cli(["-c", f"{CFG_DIR}/encoder_intra_main.cfg",
+                      "-q", "22", "--SourceWidth=96", "-wdt", "64"])
+    cfg = resolve(opts)
+    assert cfg.qp == 22 and cfg.width == 64
+
+
+def test_apps_end_to_end(tmp_path):
+    from hmtpu.apps import decoder_app, encoder_app
+
+    yuv = tmp_path / "in.yuv"
+    with open(yuv, "wb") as f:
+        for y, u, v in synth_clip(64, 64, 2):
+            f.write(y.astype(np.uint8).tobytes())
+            f.write(u.astype(np.uint8).tobytes())
+            f.write(v.astype(np.uint8).tobytes())
+    bs = tmp_path / "out.hevc"
+    rc = encoder_app.main([
+        "-c", f"{CFG_DIR}/encoder_intra_main.cfg",
+        "-i", str(yuv), "-b", str(bs), "--SourceWidth=64",
+        "--SourceHeight=64", "-f", "2", "-q", "30"])
+    assert rc == 0 and bs.stat().st_size > 0
+    rec = tmp_path / "rec.yuv"
+    rc = decoder_app.main(["-b", str(bs), "-o", str(rec)])
+    assert rc == 0
+    assert rec.stat().st_size == 2 * (64 * 64 + 2 * 32 * 32)
