@@ -46,7 +46,8 @@ from hmtpu.ops.interp import (
     mc_luma_np,
     mc_luma_np_i,
 )
-from hmtpu.ops.intra_pred import predict_all_modes_np
+from hmtpu.ops.intra_pred import predict_all_modes_np, \
+    predict_mode_np
 from hmtpu.ops.intra_ref import filter_reference, substitute_unavailable
 from hmtpu.ops.quant import dequantize_np, quantize_np
 from hmtpu.ops.transform import forward_np, inverse_np
@@ -250,6 +251,20 @@ class PFrameEncoder:
         return tuple(bi_average(a, b, bd)
                      for a, b in zip(hyp[0], hyp[1]))
 
+    def _mc_pred_luma(self, refs01, inter_dir, mv01, ridx01, x, y):
+        # luma-only hypothesis for candidate screening
+        bd = self.bd
+        if inter_dir != 3:
+            li = 0 if inter_dir == 1 else 1
+            ref = refs01[li][ridx01[li]]
+            mv = mv01[li]
+            return mc_luma_np(ref.y, x, y, 8, 8, mv[0], mv[1], bd)
+        h0 = mc_luma_np_i(refs01[0][ridx01[0]].y, x, y, 8, 8,
+                          mv01[0][0], mv01[0][1], bd)
+        h1 = mc_luma_np_i(refs01[1][ridx01[1]].y, x, y, 8, 8,
+                          mv01[1][0], mv01[1][1], bd)
+        return bi_average(h0, h1, bd)
+
     def _intra_candidate(self, frame, qp, x, y, rec_y, modes):
         sps, bd = self.sps, self.bd
         w, h = sps.pic_width, sps.pic_height
@@ -293,34 +308,28 @@ class PFrameEncoder:
 
         merge = merge_candidates(mctx, x, y, n, n, max_merge, num_ref,
                                  is_b, num_ref_l1)
-        # best merge candidate by prediction SSE (luma+chroma)
-        best_mi, best_msse, best_mpred = 0, None, None
+        # screen merge candidates by luma-only prediction SSE, then
+        # evaluate the winner at full (luma+chroma) precision
+        best_mi, best_lsse = 0, None
         seen = []
         for mi, cand in enumerate(merge):
             key = (cand.inter_dir, cand.mv, cand.ref_idx)
             if key in seen:
                 continue
             seen.append(key)
-            pred = self._mc_pred_dir(refs01, cand.inter_dir, cand.mv,
-                                     cand.ref_idx, x, y)
-            sse = sse3(*pred)
-            if best_msse is None or sse < best_msse:
-                best_mi, best_msse, best_mpred = mi, sse, pred
+            pl = self._mc_pred_luma(refs01, cand.inter_dir, cand.mv,
+                                    cand.ref_idx, x, y)
+            sse = float(((org - pl) ** 2).sum())
+            if best_lsse is None or sse < best_lsse:
+                best_mi, best_lsse = mi, sse
         mcand = merge[best_mi]
+        best_mpred = self._mc_pred_dir(refs01, mcand.inter_dir, mcand.mv,
+                                       mcand.ref_idx, x, y)
+        best_msse = sse3(*best_mpred)
 
         # candidate 1: SKIP (merge MV, no residual)
         cost_skip = best_msse + lam * (1.0 + best_mi + 1.0)
 
-        # candidate 2: merge + residual
-        lev_y_m, ry_m = code_residual_block(org, best_mpred[0], qp, 3, bd)
-        lev_cb_m, ru_m = code_residual_block(org_u, best_mpred[1], qpc, 2, bd)
-        lev_cr_m, rv_m = code_residual_block(org_v, best_mpred[2], qpc, 2, bd)
-        d_merge = sse3(np.clip(best_mpred[0] + ry_m, 0, maxv),
-                       np.clip(best_mpred[1] + ru_m, 0, maxv),
-                       np.clip(best_mpred[2] + rv_m, 0, maxv))
-        bits_merge = 4.0 + best_mi + est_level_bits(lev_y_m) \
-            + est_level_bits(lev_cb_m) + est_level_bits(lev_cr_m)
-        cost_merge = d_merge + lam * bits_merge
 
         # candidate 3: AMVP inter with the searched MV(s)
         def mvd_bits_of(mv, amvp):
@@ -345,26 +354,71 @@ class PFrameEncoder:
             amvp_opts.append((3, (mv0, mv1), (mvd0, mvd1), (mvp0, mvp1),
                               7.0 + bits0 + bits1))
 
-        best_a = None           # (cost, dir, mv01, mvd01, mvp01, levs, rs)
-        for adir, mv01, mvd01, mvp01, hdr in amvp_opts:
-            pred = self._mc_pred_dir(refs01, adir, mv01,
-                                     (0, 0), x, y)
-            lev_y_a, ry_a = code_residual_block(org, pred[0], qp, 3, bd)
-            lev_cb_a, ru_a = code_residual_block(org_u, pred[1], qpc, 2, bd)
-            lev_cr_a, rv_a = code_residual_block(org_v, pred[2], qpc, 2, bd)
-            d = sse3(np.clip(pred[0] + ry_a, 0, maxv),
-                     np.clip(pred[1] + ru_a, 0, maxv),
-                     np.clip(pred[2] + rv_a, 0, maxv))
-            bits = hdr + est_level_bits(lev_y_a) \
-                + est_level_bits(lev_cb_a) + est_level_bits(lev_cr_a)
-            cost = d + lam * bits
-            if best_a is None or cost < best_a[0]:
-                best_a = (cost, adir, mv01, mvd01, mvp01,
-                          (lev_y_a, lev_cb_a, lev_cr_a),
-                          (ry_a, ru_a, rv_a), pred)
-        cost_amvp = best_a[0]
+        # screen AMVP directions by luma SSE, full RD on the winner
+        if len(amvp_opts) > 1:
+            lsse = [float(((org - self._mc_pred_luma(
+                refs01, ad, mv01, (0, 0), x, y)) ** 2).sum())
+                for ad, mv01, _, _, _ in amvp_opts]
+            amvp_opts = [amvp_opts[int(np.argmin(lsse))]]
+        adir, mv01, mvd01, mvp01, hdr_a = amvp_opts[0]
+        pred_a = self._mc_pred_dir(refs01, adir, mv01, (0, 0), x, y)
+        sse_a = sse3(*pred_a)
 
-        # candidate 4: intra
+        # decide merge vs AMVP on prediction SSE + header bits, then
+        # code the winner's residual once (TEncCu keeps both full-RD
+        # paths; this is the fast-decision analogue)
+        code_merge = best_msse + lam * (4.0 + best_mi) \
+            <= sse_a + lam * hdr_a
+        if code_merge:
+            lev_y_m, ry_m = code_residual_block(org, best_mpred[0], qp,
+                                                3, bd)
+            lev_cb_m, ru_m = code_residual_block(org_u, best_mpred[1],
+                                                 qpc, 2, bd)
+            lev_cr_m, rv_m = code_residual_block(org_v, best_mpred[2],
+                                                 qpc, 2, bd)
+            d_merge = sse3(np.clip(best_mpred[0] + ry_m, 0, maxv),
+                           np.clip(best_mpred[1] + ru_m, 0, maxv),
+                           np.clip(best_mpred[2] + rv_m, 0, maxv))
+            bits_merge = 4.0 + best_mi + est_level_bits(lev_y_m) \
+                + est_level_bits(lev_cb_m) + est_level_bits(lev_cr_m)
+            cost_merge = d_merge + lam * bits_merge
+            lev_y_a = lev_cb_a = lev_cr_a = None
+            cost_amvp = np.inf
+            best_a = None
+        else:
+            lev_y_m = lev_cb_m = lev_cr_m = np.zeros((8, 8), np.int32)
+            ry_m = ru_m = rv_m = 0
+            cost_merge = np.inf
+            lev_y_a, ry_a = code_residual_block(org, pred_a[0], qp, 3, bd)
+            lev_cb_a, ru_a = code_residual_block(org_u, pred_a[1], qpc,
+                                                 2, bd)
+            lev_cr_a, rv_a = code_residual_block(org_v, pred_a[2], qpc,
+                                                 2, bd)
+            d = sse3(np.clip(pred_a[0] + ry_a, 0, maxv),
+                     np.clip(pred_a[1] + ru_a, 0, maxv),
+                     np.clip(pred_a[2] + rv_a, 0, maxv))
+            bits = hdr_a + est_level_bits(lev_y_a) \
+                + est_level_bits(lev_cb_a) + est_level_bits(lev_cr_a)
+            best_a = (d + lam * bits, adir, mv01, mvd01, mvp01,
+                      (lev_y_a, lev_cb_a, lev_cr_a),
+                      (ry_a, ru_a, rv_a), pred_a)
+            cost_amvp = best_a[0]
+
+        # candidate 4: intra — evaluated only when inter prediction is
+        # poor (the reference's FEN fast-encoder-decision analogue)
+        inter_best = min(cost_skip, cost_merge, cost_amvp)
+        if inter_best <= 24.0 * lam:
+            costs = [cost_skip, cost_merge, cost_amvp, np.inf]
+            choice = int(np.argmin(costs))
+            if choice == 1 and not (lev_y_m.any() or lev_cb_m.any()
+                                    or lev_cr_m.any()):
+                choice = 0
+            return self._commit_inter(
+                choice, x, y, rec_y, rec_u, rec_v, skip_map, field,
+                decisions, maxv, best_mi, best_mpred, mcand,
+                (lev_y_m, lev_cb_m, lev_cr_m), (ry_m, ru_m, rv_m),
+                best_a)
+
         imode, ipred, ibits = self._intra_candidate(frame, qp, x, y,
                                                     rec_y, modes)
         lev_y_i, ry_i = code_residual_block(org, ipred, qp, 3, bd)
@@ -378,7 +432,7 @@ class PFrameEncoder:
                                        self.sps.log2_ctu_size - 1)
             raw_c = gather_ref_line(plane_rec, cx, cy, 4)
             ref_c = substitute_unavailable(raw_c, avail_c, bd)
-            pred_c = predict_all_modes_np(ref_c, ref_c, 4, False, bd)[imode]
+            pred_c = predict_mode_np(ref_c, ref_c, 4, imode, False, bd)
             lv, rc = code_residual_block(corg, pred_c, qpc, 2, bd)
             ich.append((pred_c, lv, rc))
         d_intra = sse3(np.clip(ipred + ry_i, 0, maxv),
@@ -394,6 +448,31 @@ class PFrameEncoder:
         if choice == 1 and not (lev_y_m.any() or lev_cb_m.any()
                                 or lev_cr_m.any()):
             choice = 0
+        if choice < 3:
+            return self._commit_inter(
+                choice, x, y, rec_y, rec_u, rec_v, skip_map, field,
+                decisions, maxv, best_mi, best_mpred, mcand,
+                (lev_y_m, lev_cb_m, lev_cr_m), (ry_m, ru_m, rv_m),
+                best_a)
+        # intra
+        rec_y[y:y + n, x:x + n] = np.clip(ipred + ry_i, 0, maxv)
+        rec_u[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
+            np.clip(ich[0][0] + ich[0][2], 0, maxv)
+        rec_v[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
+            np.clip(ich[1][0] + ich[1][2], 0, maxv)
+        modes[byi, bxi] = imode
+        intra_map[byi, bxi] = 1
+        decisions[(x, y)] = PuDec("intra", intra_mode=imode,
+                                  lev_y=lev_y_i, lev_cb=ich[0][1],
+                                  lev_cr=ich[1][1])
+
+    def _commit_inter(self, choice, x, y, rec_y, rec_u, rec_v, skip_map,
+                      field, decisions, maxv, best_mi, best_mpred,
+                      mcand, mlevs, mres, best_a):
+        n = 8
+        bxi, byi = x // 8, y // 8
+        lev_y_m, lev_cb_m, lev_cr_m = mlevs
+        ry_m, ru_m, rv_m = mres
 
         def set_field(cand_dir, mv01, ridx01):
             field.set_block(x, y, n, n, cand_dir, mv01[0], ridx01[0],
@@ -422,7 +501,7 @@ class PFrameEncoder:
                                       ref_idx=mcand.ref_idx[0],
                                       lev_y=lev_y_m, lev_cb=lev_cb_m,
                                       lev_cr=lev_cr_m)
-        elif choice == 2:     # AMVP
+        else:                 # AMVP
             _, adir, mv01, mvd01, mvp01, levs, rs, pred = best_a
             rec_y[y:y + n, x:x + n] = np.clip(pred[0] + rs[0], 0, maxv)
             rec_u[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
@@ -436,17 +515,6 @@ class PFrameEncoder:
                 ref_idx=0, inter_dir=adir, mv_l1=mv01[1],
                 mvd_l1=mvd01[1], mvp_idx_l1=mvp01[1], ref_idx_l1=0,
                 lev_y=levs[0], lev_cb=levs[1], lev_cr=levs[2])
-        else:                 # intra
-            rec_y[y:y + n, x:x + n] = np.clip(ipred + ry_i, 0, maxv)
-            rec_u[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
-                np.clip(ich[0][0] + ich[0][2], 0, maxv)
-            rec_v[y // 2:y // 2 + 4, x // 2:x // 2 + 4] = \
-                np.clip(ich[1][0] + ich[1][2], 0, maxv)
-            modes[byi, bxi] = imode
-            intra_map[byi, bxi] = 1
-            decisions[(x, y)] = PuDec("intra", intra_mode=imode,
-                                      lev_y=lev_y_i, lev_cb=ich[0][1],
-                                      lev_cr=ich[1][1])
 
     # -- entropy ------------------------------------------------------------
     def _entropy_pass(self, qp, modes, skip_map, intra_map, decisions,

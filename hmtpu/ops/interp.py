@@ -82,28 +82,42 @@ def _mc_block_np(plane: np.ndarray, x0: int, y0: int, nw: int, nh: int,
             return blk.astype(np.int32)
         shift = headroom
         return (blk.astype(np.int32) << shift) - (IF_INTERNAL_OFFS)
+
+    def conv_axis(patch, f, axis, out_len):
+        """8/4-tap FIR along one axis via shifted-slice accumulation
+        (faster than windowed einsum on small MC blocks)."""
+        acc = None
+        for k in range(ntaps):
+            c = int(f[k])
+            if c == 0:
+                continue
+            sl = (patch[k:k + out_len] if axis == 0
+                  else patch[:, k:k + out_len])
+            acc = c * sl if acc is None else acc + c * sl
+        return acc
+
+    h, w = plane.shape
     if fy == 0:
-        xs = x0 + np.arange(nw)[:, None] + np.arange(ntaps) - half
-        src = plane[np.clip(y0 + np.arange(nh), 0, plane.shape[0] - 1)[:, None, None],
-                    np.clip(xs, 0, plane.shape[1] - 1)[None, :, :]]
-        acc = (src.astype(np.int64) * filters[fx]).sum(-1)
+        patch = _gather_clamped(plane, y0 + np.arange(nh),
+                                x0 - half + np.arange(nw + ntaps - 1)
+                                ).astype(np.int32)
+        acc = conv_axis(patch, filters[fx], 1, nw)
         return last_stage(acc, True).astype(np.int32)
     if fx == 0:
-        ys = y0 + np.arange(nh)[:, None] + np.arange(ntaps) - half
-        src = plane[np.clip(ys, 0, plane.shape[0] - 1)[:, :, None],
-                    np.clip(x0 + np.arange(nw), 0, plane.shape[1] - 1)[None, None, :]]
-        acc = (src.astype(np.int64) * filters[fy][None, :, None]).sum(1)
+        patch = _gather_clamped(plane,
+                                y0 - half + np.arange(nh + ntaps - 1),
+                                x0 + np.arange(nw)).astype(np.int32)
+        acc = conv_axis(patch, filters[fy], 0, nh)
         return last_stage(acc, True).astype(np.int32)
-    # two passes: horizontal (first) over nh + ntaps - 1 rows, then vertical
-    ys = y0 + np.arange(-half, nh + ntaps - 1 - half)
-    xs = x0 + np.arange(nw)[:, None] + np.arange(ntaps) - half
-    src = plane[np.clip(ys, 0, plane.shape[0] - 1)[:, None, None],
-                np.clip(xs, 0, plane.shape[1] - 1)[None, :, :]]
-    acc = (src.astype(np.int64) * filters[fx]).sum(-1)
+    # two passes: horizontal (first) over nh + ntaps - 1 rows, vertical
+    patch = _gather_clamped(plane,
+                            y0 - half + np.arange(nh + ntaps - 1),
+                            x0 - half + np.arange(nw + ntaps - 1)
+                            ).astype(np.int32)
+    acc = conv_axis(patch, filters[fx], 1, nw)
     shift1 = bd - 8
-    tmp = (acc - (IF_INTERNAL_OFFS << shift1)) >> shift1      # 14-bit domain
-    win = np.lib.stride_tricks.sliding_window_view(tmp, ntaps, axis=0)
-    acc2 = (win * filters[fy]).sum(-1)
+    tmp = (acc - (IF_INTERNAL_OFFS << shift1)) >> shift1      # 14-bit
+    acc2 = conv_axis(tmp, filters[fy], 0, nh)
     return last_stage(acc2, False).astype(np.int32)
 
 

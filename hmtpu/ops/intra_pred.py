@@ -258,13 +258,14 @@ def predict_all_modes_np(ref_unfilt: np.ndarray, ref_filt: np.ndarray,
     xs = np.arange(n)
     out = np.zeros((35, n, n), dtype=np.int64)
 
-    # angular
-    src = use_filt[2:].astype(np.int32)
-    for mi in range(33):
-        r = refs[src[mi]]
-        r0 = r[idx0[mi]]
-        r1 = r[idx1[mi]]
-        out[2 + mi] = ((32 - fact[mi]) * r0 + fact[mi] * r1 + 16) >> 5
+    # angular: one fused gather over all 33 modes (same layout as the
+    # device path: source-selected flat indices into [unfilt|filt])
+    line = 4 * n + 1
+    src = use_filt[2:].astype(np.int64)[:, None, None]
+    flat = refs.reshape(-1)
+    r0 = flat[idx0 + src * line]
+    r1 = flat[idx1 + src * line]
+    out[2:] = ((32 - fact) * r0 + fact * r1 + 16) >> 5
 
     # planar
     pref = refs[1] if use_filt[0] else refs[0]
