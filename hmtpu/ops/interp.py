@@ -170,20 +170,26 @@ def bi_average(p0: np.ndarray, p1: np.ndarray, bd: int = 8) -> np.ndarray:
 # --------------------------------------------------------------------------
 # Batched JAX path: MC for B blocks of one shared size in one call.
 
-def _mc_batch_jax(plane, xs0, ys0, fxs, fys, n_w, n_h, filters, ntaps, bd):
+def _mc_batch_jax(plane, xs0, ys0, fxs, fys, n_w, n_h, filters, ntaps, bd,
+                  ridx=None):
     import jax.numpy as jnp
 
     half = ntaps // 2 - 1
     headroom = IF_INTERNAL_PREC - bd
     maxv = (1 << bd) - 1
-    h, w = plane.shape
+    h, w = plane.shape[-2:]
     filt = jnp.asarray(filters)
 
     # gather an (nh + ntaps - 1) x (nw + ntaps - 1) patch per block
     py = ys0[:, None] + jnp.arange(-half, n_h + ntaps - 1 - half)[None, :]
     px = xs0[:, None] + jnp.arange(-half, n_w + ntaps - 1 - half)[None, :]
-    patch = plane[jnp.clip(py, 0, h - 1)[:, :, None],
-                  jnp.clip(px, 0, w - 1)[:, None, :]].astype(jnp.int32)
+    cy = jnp.clip(py, 0, h - 1)[:, :, None]
+    cx = jnp.clip(px, 0, w - 1)[:, None, :]
+    if plane.ndim == 3:
+        # stacked reference planes (R, H, W) with a per-block index
+        patch = plane[ridx[:, None, None], cy, cx].astype(jnp.int32)
+    else:
+        patch = plane[cy, cx].astype(jnp.int32)
 
     cx = filt[fxs]                                  # (B, ntaps)
     cy = filt[fys]
@@ -230,3 +236,17 @@ def mc_chroma_batch(plane, xs0, ys0, mvx_q, mvy_q, n_w, n_h, bd=8):
     return _mc_batch_jax(plane, xs0 + (mvx_q >> 3), ys0 + (mvy_q >> 3),
                          mvx_q & 7, mvy_q & 7, n_w, n_h,
                          CHROMA_FILTERS, NTAPS_CHROMA, bd)
+
+
+def mc_luma_batch_refs(refs, ridx, xs0, ys0, mvx_q, mvy_q, n_w, n_h, bd=8):
+    """Batched luma MC over stacked reference planes (R, H, W): each
+    block selects its reference with ridx (B,)."""
+    return _mc_batch_jax(refs, xs0 + (mvx_q >> 2), ys0 + (mvy_q >> 2),
+                         mvx_q & 3, mvy_q & 3, n_w, n_h,
+                         LUMA_FILTERS, NTAPS_LUMA, bd, ridx=ridx)
+
+
+def mc_chroma_batch_refs(refs, ridx, xs0, ys0, mvx_q, mvy_q, n_w, n_h, bd=8):
+    return _mc_batch_jax(refs, xs0 + (mvx_q >> 3), ys0 + (mvy_q >> 3),
+                         mvx_q & 7, mvy_q & 7, n_w, n_h,
+                         CHROMA_FILTERS, NTAPS_CHROMA, bd, ridx=ridx)

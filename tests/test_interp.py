@@ -53,6 +53,35 @@ def test_halfpel_of_ramp_is_midpoint():
     np.testing.assert_array_equal(out, expect)
 
 
+def test_batch_refs_matches_scalar():
+    """Stacked-reference batched MC: each block picks its own reference
+    plane via ridx, result must match the per-plane scalar path."""
+    rng = np.random.RandomState(7)
+    refs = rng.randint(0, 256, (3, 48, 48)).astype(np.int32)
+    B = 30
+    xs = rng.randint(0, 40, B)
+    ys = rng.randint(0, 40, B)
+    mvx = rng.randint(-9, 9, B)
+    mvy = rng.randint(-9, 9, B)
+    ridx = rng.randint(0, 3, B)
+    import jax.numpy as jnp
+    from hmtpu.ops.interp import mc_chroma_batch_refs, mc_luma_batch_refs
+    got = np.asarray(mc_luma_batch_refs(
+        jnp.asarray(refs), jnp.asarray(ridx), jnp.asarray(xs),
+        jnp.asarray(ys), jnp.asarray(mvx), jnp.asarray(mvy), 8, 8, 8))
+    for i in range(B):
+        want = mc_luma_np(refs[ridx[i]], int(xs[i]), int(ys[i]), 8, 8,
+                          int(mvx[i]), int(mvy[i]), 8)
+        np.testing.assert_array_equal(got[i], want, err_msg=str(i))
+    gotc = np.asarray(mc_chroma_batch_refs(
+        jnp.asarray(refs), jnp.asarray(ridx), jnp.asarray(xs),
+        jnp.asarray(ys), jnp.asarray(mvx), jnp.asarray(mvy), 4, 4, 8))
+    for i in range(B):
+        want = mc_chroma_np(refs[ridx[i]], int(xs[i]), int(ys[i]), 4, 4,
+                            int(mvx[i]), int(mvy[i]), 8)
+        np.testing.assert_array_equal(gotc[i], want, err_msg=str(i))
+
+
 @pytest.mark.parametrize("bd", [8, 10])
 def test_batch_matches_scalar_luma(bd):
     rng = np.random.RandomState(1)
