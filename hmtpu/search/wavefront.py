@@ -1,0 +1,284 @@
+"""Device-resident wavefront decision pass for inter (P) slices.
+
+HM decides CUs depth-first, one at a time, because merge/AMVP candidate
+derivation (TComDataCU getInterMergeCandidates / fillMvpCand) and intra
+reference construction read *finalised* neighbour state.  The TPU-first
+inversion used here: the z-scan dependency DAG over the uniform 8x8
+block grid is statically levelised once per geometry (the generalised
+form of HM's WPP diagonal, TEncSlice.cpp:751-870), every independent
+level is decided as one batched device step inside a single
+`lax.scan`, and all state a block's decision needs — the reconstruction
+and the motion field — lives on device for the whole frame.
+
+Everything that does NOT depend on neighbour decisions is hoisted out
+of the scan entirely (integer ME, NN-FME sub-pel, the AMVP candidate's
+prediction + residual coding): see encoder/pframe_dev.py.
+
+Static machinery (this file, host, cached per geometry):
+  * z-scan order + dependency levels over 8x8 blocks (6.4.1)
+  * per-block static availability of the five merge/AMVP neighbour
+    positions (A1, B1, B0, A0, B2) — purely geometric because
+    constrained_intra_pred is off and there is one slice/tile
+  * per-block *substituted* reference-line gather indices: because
+    availability is geometric, HM's reference sample substitution
+    (8.4.4.2.2, TComPattern) collapses to a constant gather map
+
+Device derivations (pure jnp, property-tested against common/motion.py):
+  * merge candidate list (8.5.3.1.2, TMVP off, P slices)
+  * AMVP list (8.5.3.1.5/6) incl. POC-distance MV scaling (8.5.3.1.3)
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# neighbour slot order used throughout: [A1, B1, B0, A0, B2]
+# block-grid offsets (dy, dx) of the 8x8 block containing each sample
+NB_OFFS = ((0, -1), (-1, 0), (-1, 1), (1, -1), (-1, -1))
+SLOT_A1, SLOT_B1, SLOT_B0, SLOT_A0, SLOT_B2 = range(5)
+
+
+def zscan_map8(bw: int, bh: int, log2_ctu: int) -> np.ndarray:
+    """Coding-order index of every 8x8 block: CTU raster order, z-order
+    (Morton) inside the CTU (6.4.1 at 8-sample granularity)."""
+    c8 = 1 << (log2_ctu - 3)
+    ys, xs = np.mgrid[0:bh, 0:bw]
+    ctu_x, ctu_y = xs // c8, ys // c8
+    n_ctu_x = (bw + c8 - 1) // c8
+    base = (ctu_y * n_ctu_x + ctu_x) * c8 * c8
+    zx, zy = xs % c8, ys % c8
+    z = np.zeros_like(zx)
+    for b in range(log2_ctu - 3):
+        z |= ((zx >> b) & 1) << (2 * b)
+        z |= ((zy >> b) & 1) << (2 * b + 1)
+    return base + z
+
+
+@lru_cache(maxsize=None)
+def block_schedule(w: int, h: int, log2_ctu: int):
+    """Static wavefront schedule over the 8x8 grid.
+
+    Returns dict of numpy arrays:
+      level   (bh, bw)  dependency level of each block
+      nb_ok   (bh, bw, 5) z-scan availability of each neighbour slot
+      nb_flat (bh, bw, 5) flat block index of each neighbour (clamped)
+      lv_blk  (L, Bmax) flat block index per level, -1 padded
+    """
+    bw, bh = w // 8, h // 8
+    z = zscan_map8(bw, bh, log2_ctu)
+    nb_ok = np.zeros((bh, bw, 5), dtype=bool)
+    nb_flat = np.zeros((bh, bw, 5), dtype=np.int32)
+    level = np.zeros((bh, bw), dtype=np.int32)
+    order = np.argsort(z.ravel(), kind="stable")
+    for f in order:
+        y, x = divmod(int(f), bw)
+        lv = 0
+        for s, (dy, dx) in enumerate(NB_OFFS):
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < bh and 0 <= nx < bw:
+                nb_flat[y, x, s] = ny * bw + nx
+                if z[ny, nx] < z[y, x]:
+                    nb_ok[y, x, s] = True
+                    lv = max(lv, level[ny, nx] + 1)
+        level[y, x] = lv
+
+    nlev = int(level.max()) + 1
+    counts = np.bincount(level.ravel(), minlength=nlev)
+    bmax = int(counts.max())
+    lv_blk = np.full((nlev, bmax), -1, dtype=np.int32)
+    fill = np.zeros(nlev, dtype=np.int64)
+    for f in order:
+        y, x = divmod(int(f), bw)
+        lv = level[y, x]
+        lv_blk[lv, fill[lv]] = f
+        fill[lv] += 1
+    return dict(level=level, nb_ok=nb_ok, nb_flat=nb_flat, lv_blk=lv_blk)
+
+
+@lru_cache(maxsize=None)
+def static_ref_gather(w: int, h: int, log2_ctu: int, n: int):
+    """Per-block substituted reference-line gather map.
+
+    For every n x n block of a (h, w) plane: a (4n+1,) index into the
+    flat plane such that plane.ravel()[idx] equals
+    substitute_unavailable(gather_ref_line(plane, x, y, n), avail)
+    whenever at least one reference sample is available.
+
+    Returns (idx (P, 4n+1) int32, none_avail (P,) bool), P raster."""
+    from hmtpu.common.geometry import ref_availability
+
+    bw, bh = w // n, h // n
+    out = np.zeros((bh * bw, 4 * n + 1), dtype=np.int32)
+    none = np.zeros(bh * bw, dtype=bool)
+    k = np.arange(4 * n + 1)
+    for byi in range(bh):
+        for bxi in range(bw):
+            x, y = bxi * n, byi * n
+            avail = ref_availability(x, y, n, w, h, log2_ctu)
+            # raw clamped gather positions (encoder/intra.gather_ref_line)
+            ys = np.empty(4 * n + 1, dtype=np.int64)
+            xs = np.empty(4 * n + 1, dtype=np.int64)
+            ys[: 2 * n] = np.clip(np.arange(2 * n - 1, -1, -1) + y, 0, h - 1)
+            xs[: 2 * n] = max(x - 1, 0)
+            ys[2 * n] = max(y - 1, 0)
+            xs[2 * n] = max(x - 1, 0)
+            ys[2 * n + 1:] = max(y - 1, 0)
+            xs[2 * n + 1:] = np.clip(np.arange(2 * n) + x, 0, w - 1)
+            raw = ys * w + xs
+            p = byi * bw + bxi
+            if not avail.any():
+                none[p] = True
+                out[p] = 0
+                continue
+            # substitution source per entry (8.4.4.2.2): forward fill
+            av = avail.copy()
+            first = int(np.argmax(av))
+            av0 = av.copy()
+            av0[0] = True
+            src = np.maximum.accumulate(np.where(av0, k, 0))
+            if not avail[0]:
+                src = np.where(src == 0, first, src)
+            out[p] = raw[src]
+    return out, none
+
+
+# ---------------------------------------------------------------------------
+# device merge / AMVP derivation
+
+
+def _first(flags, *vals):
+    """Select per row the first slot whose flag is set.  flags (B, K);
+    vals each (B, K).  Returns (found (B,), picked values...)."""
+    found = jnp.any(flags, axis=1)
+    idx = jnp.argmax(flags, axis=1)
+    picked = tuple(jnp.take_along_axis(v, idx[:, None], axis=1)[:, 0]
+                   for v in vals)
+    return (found,) + picked
+
+
+def merge_candidates_dev(nb_valid, nb_mvx, nb_mvy, nb_ref,
+                         num_ref: int, max_merge: int):
+    """Vectorised merge list (8.5.3.1.2, P slice, TMVP off).
+
+    nb_* are (B, 5) in slot order [A1, B1, B0, A0, B2]; nb_valid already
+    folds z-scan availability AND inter-coded-ness of the neighbour.
+    Returns (cand_mvx, cand_mvy, cand_ref) each (B, max_merge)."""
+    v = nb_valid
+
+    def same(i, j):
+        return v[:, i] & v[:, j] & (nb_mvx[:, i] == nb_mvx[:, j]) \
+            & (nb_mvy[:, i] == nb_mvy[:, j]) & (nb_ref[:, i] == nb_ref[:, j])
+
+    incl = [v[:, SLOT_A1],
+            v[:, SLOT_B1] & ~same(SLOT_B1, SLOT_A1),
+            v[:, SLOT_B0] & ~same(SLOT_B0, SLOT_B1),
+            v[:, SLOT_A0] & ~same(SLOT_A0, SLOT_A1)]
+    cnt4 = sum(f.astype(jnp.int32) for f in incl)
+    incl.append(v[:, SLOT_B2] & ~same(SLOT_B2, SLOT_A1)
+                & ~same(SLOT_B2, SLOT_B1) & (cnt4 < 4))
+    incl = jnp.stack(incl, axis=1)                       # (B, 5)
+    pos = jnp.cumsum(incl.astype(jnp.int32), axis=1) - incl
+    target = jnp.where(incl, pos, max_merge)             # dump lane
+    b = nb_mvx.shape[0]
+    rows = jnp.arange(b)[:, None]
+
+    def scatter(vals):
+        out = jnp.zeros((b, max_merge + 1), vals.dtype)
+        return out.at[rows, target].set(vals)[:, :max_merge]
+
+    cand_mvx = scatter(nb_mvx)
+    cand_mvy = scatter(nb_mvy)
+    cand_ref = scatter(nb_ref)
+    n_spatial = jnp.sum(incl, axis=1).astype(jnp.int32)  # (B,)
+
+    k = jnp.arange(max_merge)[None, :]
+    fill = k >= n_spatial[:, None]
+    fill_ref = k - n_spatial[:, None]
+    fill_ref = jnp.where(fill_ref < num_ref, fill_ref, 0)
+    cand_mvx = jnp.where(fill, 0, cand_mvx)
+    cand_mvy = jnp.where(fill, 0, cand_mvy)
+    cand_ref = jnp.where(fill, fill_ref, cand_ref)
+    return cand_mvx, cand_mvy, cand_ref
+
+
+def _scale_mv_dev(mvx, mvy, tb, td):
+    """8.5.3.1.3 distance scaling, C-truncation division semantics."""
+    abs_td = jnp.abs(td)
+    num = 16384 + (abs_td >> 1)
+    tx = jnp.where(td > 0, num // jnp.maximum(td, 1),
+                   -(num // jnp.maximum(abs_td, 1)))
+    dsf = jnp.clip((tb * tx + 32) >> 6, -4096, 4095)
+
+    def s(v):
+        p = dsf * v
+        m = (jnp.abs(p) + 127) >> 8
+        return jnp.clip(jnp.where(p >= 0, m, -m), -32768, 32767)
+
+    keep = td == tb
+    return (jnp.where(keep, mvx, s(mvx)).astype(jnp.int32),
+            jnp.where(keep, mvy, s(mvy)).astype(jnp.int32))
+
+
+def amvp_candidates_dev(nb_valid, nb_mvx, nb_mvy, nb_refpoc,
+                        target_poc, cur_poc):
+    """Vectorised AMVP list (8.5.3.1.5/6), P slice, target ref idx 0,
+    TMVP off.  nb_* (B, 5) slot order [A1, B1, B0, A0, B2]; nb_refpoc is
+    the POC of the neighbour's L0 reference picture.
+
+    Returns (mvp0x, mvp0y, mvp1x, mvp1y) each (B,)."""
+    tb = cur_poc - target_poc
+    smvx, smvy = _scale_mv_dev(nb_mvx, nb_mvy, tb, cur_poc - nb_refpoc)
+    unscaled_ok = nb_valid & (nb_refpoc == target_poc)
+
+    a_slots = (SLOT_A0, SLOT_A1)
+    b_slots = (SLOT_B0, SLOT_B1, SLOT_B2)
+
+    def group(slots, flags, mx, my):
+        f = jnp.stack([flags[:, s] for s in slots], axis=1)
+        gx = jnp.stack([mx[:, s] for s in slots], axis=1)
+        gy = jnp.stack([my[:, s] for s in slots], axis=1)
+        return _first(f, gx, gy)
+
+    a_u_found, a_u_x, a_u_y = group(a_slots, unscaled_ok, nb_mvx, nb_mvy)
+    a_s_found, a_s_x, a_s_y = group(a_slots, nb_valid, smvx, smvy)
+    found_a = a_u_found | a_s_found
+    mv_a_x = jnp.where(a_u_found, a_u_x, a_s_x)
+    mv_a_y = jnp.where(a_u_found, a_u_y, a_s_y)
+    a_has_inter = nb_valid[:, SLOT_A0] | nb_valid[:, SLOT_A1]
+
+    b_u_found, b_u_x, b_u_y = group(b_slots, unscaled_ok, nb_mvx, nb_mvy)
+    b_s_found, b_s_x, b_s_y = group(b_slots, nb_valid, smvx, smvy)
+
+    # isScaledFlagLX == 0: B's same-POC candidate moves into the A slot
+    # and B re-derives with scaling allowed (8.5.3.1.6)
+    mv_a_x = jnp.where(a_has_inter, mv_a_x, b_u_x)
+    mv_a_y = jnp.where(a_has_inter, mv_a_y, b_u_y)
+    found_a2 = jnp.where(a_has_inter, found_a, b_u_found)
+    mv_b_x = jnp.where(a_has_inter, b_u_x, b_s_x)
+    mv_b_y = jnp.where(a_has_inter, b_u_y, b_s_y)
+    found_b = jnp.where(a_has_inter, b_u_found, b_s_found)
+
+    dup = found_a2 & found_b & (mv_a_x == mv_b_x) & (mv_a_y == mv_b_y)
+    found_b = found_b & ~dup
+
+    # assemble [a?, b?, (0,0)...]
+    mvp0x = jnp.where(found_a2, mv_a_x, jnp.where(found_b, mv_b_x, 0))
+    mvp0y = jnp.where(found_a2, mv_a_y, jnp.where(found_b, mv_b_y, 0))
+    second_is_b = found_a2 & found_b
+    mvp1x = jnp.where(second_is_b, mv_b_x, 0)
+    mvp1y = jnp.where(second_is_b, mv_b_y, 0)
+    return (mvp0x.astype(jnp.int32), mvp0y.astype(jnp.int32),
+            mvp1x.astype(jnp.int32), mvp1y.astype(jnp.int32))
+
+
+def mv_bits_dev(vx, vy):
+    """Signed Exp-Golomb MVD bit estimate matching pframe.mvd_bits_of:
+    2*bit_length(|vx|) + 2*bit_length(|vy|) + 2."""
+    def bl(v):
+        a = jnp.abs(v).astype(jnp.uint32)
+        return jnp.where(a > 0, 32 - jax.lax.clz(a), 0).astype(jnp.int32)
+
+    return 2 * bl(vx) + 2 * bl(vy) + 2

@@ -1,0 +1,154 @@
+"""Device wavefront machinery: static schedule correctness, substituted
+reference-gather parity, and merge/AMVP device-vs-host property tests
+(the device derivations must match common/motion.py bit-for-bit, since
+the decoder re-derives candidate lists from the same rules)."""
+import numpy as np
+import pytest
+
+from hmtpu.common.motion import (
+    MotionCtx,
+    PicMotion,
+    amvp_candidates,
+    merge_candidates,
+)
+from hmtpu.search.wavefront import (
+    NB_OFFS,
+    block_schedule,
+    merge_candidates_dev,
+    amvp_candidates_dev,
+    static_ref_gather,
+    zscan_map8,
+)
+
+W, H, LOG2CTU = 416, 240, 6
+BW, BH = W // 8, H // 8
+
+
+def test_schedule_respects_zscan_deps():
+    s = block_schedule(W, H, LOG2CTU)
+    z = zscan_map8(BW, BH, LOG2CTU)
+    level, nb_ok = s["level"], s["nb_ok"]
+    for y in range(BH):
+        for x in range(BW):
+            for si, (dy, dx) in enumerate(NB_OFFS):
+                ny, nx = y + dy, x + dx
+                inb = 0 <= ny < BH and 0 <= nx < BW
+                expect = inb and z[ny, nx] < z[y, x]
+                assert nb_ok[y, x, si] == expect, (y, x, si)
+                if expect:
+                    assert level[ny, nx] < level[y, x]
+    # every block appears exactly once in the level packing
+    blks = s["lv_blk"][s["lv_blk"] >= 0]
+    assert sorted(blks.tolist()) == list(range(BW * BH))
+
+
+def test_schedule_level_count_is_wavefront_like():
+    s = block_schedule(W, H, LOG2CTU)
+    # a sequential scan would need BW*BH (=1560) steps; the z-scan DAG
+    # critical path is ~2x the WPP raster diagonal (below-left AND
+    # above-right both constrain) — ~238 levels for 416x240
+    assert s["lv_blk"].shape[0] < 2 * (BW + 2 * BH) + 20
+
+
+@pytest.mark.parametrize("n,log2c", [(8, 6), (4, 5)])
+def test_static_ref_gather_matches_host(n, log2c):
+    from hmtpu.common.geometry import ref_availability
+    from hmtpu.encoder.intra import gather_ref_line
+    from hmtpu.ops.intra_ref import substitute_unavailable
+
+    w, h = (W, H) if n == 8 else (W // 2, H // 2)
+    rng = np.random.RandomState(3)
+    plane = rng.randint(0, 256, (h, w)).astype(np.int32)
+    idx, none = static_ref_gather(w, h, log2c, n)
+    got = plane.ravel()[idx]
+    got[none] = 128
+    p = 0
+    for byi in range(h // n):
+        for bxi in range(w // n):
+            x, y = bxi * n, byi * n
+            avail = ref_availability(x, y, n, w, h, log2c)
+            want = substitute_unavailable(
+                gather_ref_line(plane, x, y, n), avail, 8)
+            np.testing.assert_array_equal(got[p], want, err_msg=str((x, y)))
+            p += 1
+
+
+def _random_field(rng, num_ref):
+    """Random committed motion state over the 8x8 grid (uniform blocks):
+    dir 0 (intra) or 1, random mv/ref."""
+    dirs = (rng.rand(BH, BW) < 0.85).astype(np.int32)
+    mvx = rng.randint(-64, 65, (BH, BW)).astype(np.int32)
+    mvy = rng.randint(-64, 65, (BH, BW)).astype(np.int32)
+    ref = rng.randint(0, num_ref, (BH, BW)).astype(np.int32)
+    return dirs, mvx, mvy, ref
+
+
+def _host_ctx(dirs, mvx, mvy, ref, ref_pocs, cur_poc):
+    field = PicMotion.create(W, H)
+    for y in range(BH):
+        for x in range(BW):
+            if dirs[y, x]:
+                field.set_block(x * 8, y * 8, 8, 8, 1,
+                                (int(mvx[y, x]), int(mvy[y, x])),
+                                int(ref[y, x]))
+    return MotionCtx(field, W, H, LOG2CTU, ref_pocs, cur_poc=cur_poc)
+
+
+def _gather_slots(s, dirs, mvx, mvy, ref):
+    """Neighbour slot data exactly as the wavefront kernel gathers it."""
+    nb = s["nb_flat"].reshape(-1, 5)
+    ok = s["nb_ok"].reshape(-1, 5)
+    d = dirs.ravel()[nb]
+    return (ok & (d > 0), mvx.ravel()[nb], mvy.ravel()[nb],
+            ref.ravel()[nb])
+
+
+@pytest.mark.parametrize("num_ref", [1, 2])
+def test_merge_dev_matches_host(num_ref):
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11 + num_ref)
+    dirs, mvx, mvy, ref = _random_field(rng, num_ref)
+    ref_pocs = list(range(10, 10 - num_ref, -1))
+    s = block_schedule(W, H, LOG2CTU)
+    v, nmx, nmy, nrf = _gather_slots(s, dirs, mvx, mvy, ref)
+    cmx, cmy, crf = merge_candidates_dev(
+        jnp.asarray(v), jnp.asarray(nmx), jnp.asarray(nmy),
+        jnp.asarray(nrf), num_ref, 5)
+    cmx, cmy, crf = np.asarray(cmx), np.asarray(cmy), np.asarray(crf)
+
+    ctx = _host_ctx(dirs, mvx, mvy, ref, ref_pocs, cur_poc=11)
+    for y in range(BH):
+        for x in range(BW):
+            want = merge_candidates(ctx, x * 8, y * 8, 8, 8, 5, num_ref)
+            p = y * BW + x
+            for k, c in enumerate(want):
+                assert c.inter_dir == 1
+                assert (cmx[p, k], cmy[p, k]) == c.mv[0], (x, y, k)
+                assert crf[p, k] == c.ref_idx[0], (x, y, k)
+
+
+@pytest.mark.parametrize("num_ref", [1, 3])
+def test_amvp_dev_matches_host(num_ref):
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(29 + num_ref)
+    dirs, mvx, mvy, ref = _random_field(rng, num_ref)
+    cur_poc = 11
+    ref_pocs = [10, 8, 5][:num_ref]
+    s = block_schedule(W, H, LOG2CTU)
+    v, nmx, nmy, nrf = _gather_slots(s, dirs, mvx, mvy, ref)
+    refpoc = np.asarray(ref_pocs, np.int32)[np.clip(nrf, 0, num_ref - 1)]
+    p0x, p0y, p1x, p1y = amvp_candidates_dev(
+        jnp.asarray(v), jnp.asarray(nmx), jnp.asarray(nmy),
+        jnp.asarray(refpoc), ref_pocs[0], cur_poc)
+    p0x, p0y = np.asarray(p0x), np.asarray(p0y)
+    p1x, p1y = np.asarray(p1x), np.asarray(p1y)
+
+    ctx = _host_ctx(dirs, mvx, mvy, ref, ref_pocs, cur_poc)
+    for y in range(BH):
+        for x in range(BW):
+            want = amvp_candidates(ctx, x * 8, y * 8, 8, 8, 0, 0)
+            p = y * BW + x
+            assert (p0x[p], p0y[p]) == want[0], (x, y, want)
+            assert (p1x[p], p1y[p]) == want[1], (x, y, want)
