@@ -45,6 +45,8 @@ class EncoderConfig:
     num_refs: int = 1
     # fractional-pel strategy: "nn" (NN-FME), "dctif" (HM-style), "none"
     subpel: str = "dctif"
+    # device wavefront decision pass for P slices (encoder/pframe_dev.py)
+    wavefront: bool = True
     nn_weights_dir: str | None = None
     search_range: int = 16
     max_num_merge_cand: int = 5
@@ -215,9 +217,16 @@ class Encoder:
                 pic_order_cnt_lsb=rel_poc, nal_type=NalUnitType.TRAIL_R,
                 negative_refs=negs, num_ref_idx_l0=n_ref,
                 five_minus_max_num_merge_cand=5 - cfg.max_num_merge_cand)
-            pe = PFrameEncoder(self.sps, self.pps, subpel=cfg.subpel,
-                               nn_params=self.nn_params,
-                               search_range=cfg.search_range)
+            if cfg.wavefront:
+                from hmtpu.encoder.pframe_dev import PFrameDeviceEncoder
+                pe = PFrameDeviceEncoder(
+                    self.sps, self.pps, subpel=cfg.subpel,
+                    nn_params=self.nn_params,
+                    search_range=cfg.search_range)
+            else:
+                pe = PFrameEncoder(self.sps, self.pps, subpel=cfg.subpel,
+                                   nn_params=self.nn_params,
+                                   search_range=cfg.search_range)
             recon, field, decisions, maps = pe.analyze(
                 frame, cfg.qp, refs, ref_pocs, rel_poc, sh)
             stype = "P"
