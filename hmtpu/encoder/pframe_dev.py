@@ -26,7 +26,7 @@ decision tensors this pass returns.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +58,22 @@ from hmtpu.search.wavefront import (
 
 INTRA_GATE = 24.0          # evaluate intra only when inter cost > gate*lam
 BIG = jnp.float32(3e38)
+
+
+@lru_cache(maxsize=None)
+def _dev_static(w: int, h: int, log2_ctu: int):
+    """Schedule + gather tables as device arrays, one upload per
+    geometry for the whole encode."""
+    sched = block_schedule(w, h, log2_ctu)
+    sub_y, none_y = static_ref_gather(w, h, log2_ctu, 8)
+    sub_c, none_c = static_ref_gather(w // 2, h // 2, log2_ctu - 1, 4)
+    return dict(
+        lv_blk=jnp.asarray(sched["lv_blk"]),
+        nb_ok=jnp.asarray(sched["nb_ok"].reshape(-1, 5)),
+        nb_flat=jnp.asarray(sched["nb_flat"].reshape(-1, 5)),
+        sub_y=jnp.asarray(sub_y), none_y=jnp.asarray(none_y),
+        sub_c=jnp.asarray(sub_c), none_c=jnp.asarray(none_c),
+    )
 
 
 def _blockify(plane, n):
@@ -314,10 +330,7 @@ class PFrameDeviceEncoder(PFrameEncoder):
 
         mvq_x, mvq_y, _, _ = self.motion_search(frame, refs[0], qp)
 
-        sched = block_schedule(w, h, sps.log2_ctu_size)
-        sub_y, none_y = static_ref_gather(w, h, sps.log2_ctu_size, 8)
-        sub_c, none_c = static_ref_gather(w // 2, h // 2,
-                                          sps.log2_ctu_size - 1, 4)
+        dev = _dev_static(w, h, sps.log2_ctu_size)
         refs_y = jnp.asarray(np.stack([r.y for r in refs]), jnp.int32)
         refs_u = jnp.asarray(np.stack([r.u for r in refs]), jnp.int32)
         refs_v = jnp.asarray(np.stack([r.v for r in refs]), jnp.int32)
@@ -326,30 +339,28 @@ class PFrameDeviceEncoder(PFrameEncoder):
             jnp.asarray(frame.y, jnp.int32), jnp.asarray(frame.u, jnp.int32),
             jnp.asarray(frame.v, jnp.int32), refs_y, refs_u, refs_v,
             jnp.asarray(mvq_x, jnp.int32), jnp.asarray(mvq_y, jnp.int32),
-            jnp.asarray(sched["lv_blk"]),
-            jnp.asarray(sched["nb_ok"].reshape(-1, 5)),
-            jnp.asarray(sched["nb_flat"].reshape(-1, 5)),
-            jnp.asarray(sub_y), jnp.asarray(none_y),
-            jnp.asarray(sub_c), jnp.asarray(none_c),
+            dev["lv_blk"], dev["nb_ok"], dev["nb_flat"],
+            dev["sub_y"], dev["none_y"], dev["sub_c"], dev["none_c"],
             jnp.asarray(ref_pocs, jnp.int32), jnp.int32(poc),
             w=w, h=h, num_ref=len(refs), max_merge=sh.max_num_merge_cand,
             qp=qp, qpc=qpc, bd=bd)
 
-        rec_y = np.array(st["rec_y"]).reshape(h, w)
-        rec_u = np.array(st["rec_u"]).reshape(h // 2, w // 2)
-        rec_v = np.array(st["rec_v"]).reshape(h // 2, w // 2)
-        kind = np.asarray(st["kind"]).reshape(bh, bw)
-        mi = np.asarray(st["mi"]).reshape(bh, bw)
-        mvdx = np.asarray(st["mvdx"]).reshape(bh, bw)
-        mvdy = np.asarray(st["mvdy"]).reshape(bh, bw)
-        mvpi = np.asarray(st["mvpi"]).reshape(bh, bw)
-        fmvx = np.asarray(st["fmvx"]).reshape(bh, bw)
-        fmvy = np.asarray(st["fmvy"]).reshape(bh, bw)
-        fref = np.asarray(st["fref"]).reshape(bh, bw)
-        imode = np.asarray(st["imode"]).reshape(bh, bw)
-        levy = np.asarray(st["levy"]).reshape(bh, bw, 8, 8)
-        levcb = np.asarray(st["levcb"]).reshape(bh, bw, 4, 4)
-        levcr = np.asarray(st["levcr"]).reshape(bh, bw, 4, 4)
+        st = jax.device_get(st)       # one transfer for the whole pytree
+        rec_y = st["rec_y"].reshape(h, w).copy()
+        rec_u = st["rec_u"].reshape(h // 2, w // 2).copy()
+        rec_v = st["rec_v"].reshape(h // 2, w // 2).copy()
+        kind = st["kind"].reshape(bh, bw)
+        mi = st["mi"].reshape(bh, bw)
+        mvdx = st["mvdx"].reshape(bh, bw)
+        mvdy = st["mvdy"].reshape(bh, bw)
+        mvpi = st["mvpi"].reshape(bh, bw)
+        fmvx = st["fmvx"].reshape(bh, bw)
+        fmvy = st["fmvy"].reshape(bh, bw)
+        fref = st["fref"].reshape(bh, bw)
+        imode = st["imode"].reshape(bh, bw)
+        levy = st["levy"].reshape(bh, bw, 8, 8)
+        levcb = st["levcb"].reshape(bh, bw, 4, 4)
+        levcr = st["levcr"].reshape(bh, bw, 4, 4)
 
         # motion field (4x4 granularity) for deblock + later frames
         field = PicMotion.create(w, h)
