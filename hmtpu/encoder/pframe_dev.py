@@ -407,4 +407,41 @@ class PFrameDeviceEncoder(PFrameEncoder):
         skip_map = (kind == 0).astype(np.int32)
         intra_map = (kind == 3).astype(np.int32)
         recon = Frame(rec_y, rec_u, rec_v, bd)
+        self._nat = dict(kind=kind, mi=mi, mvdx=mvdx, mvdy=mvdy,
+                         mvpi=mvpi, refi=fref, imode=imode, levy=levy,
+                         levcb=levcb, levcr=levcr)
         return recon, field, decisions, (modes, skip_map, intra_map)
+
+    def _entropy_pass(self, qp, modes, skip_map, intra_map, decisions,
+                      sh: SliceHeader, sao=None) -> bytes:
+        """Whole-slice serialisation in one native call from the
+        wavefront's decision tensors; Python walk as fallback."""
+        from hmtpu.entropy.contexts import make_contexts
+        from hmtpu.entropy.recorder import (
+            encode_pslice_native,
+            pack_sao_grid,
+        )
+
+        nat = getattr(self, "_nat", None)
+        if nat is not None:
+            sps = self.sps
+            sao_packed, sl, sc = None, 0, 0
+            if sao is not None:
+                grid, sl, sc = sao
+                sao_packed = pack_sao_grid(grid, sps.pic_width_in_ctus,
+                                           sps.pic_height_in_ctus)
+            geom = dict(w=sps.pic_width, h=sps.pic_height,
+                        ctu=sps.ctu_size,
+                        max_merge=sh.max_num_merge_cand,
+                        num_ref=sh.num_ref_idx_l0,
+                        sdh=int(self.pps.sign_data_hiding),
+                        sao_luma=int(sl), sao_chroma=int(sc), bd=self.bd)
+            ctx = make_contexts(sh.slice_type, qp)
+            rbsp = encode_pslice_native(
+                ctx, geom, nat["kind"], nat["mi"], nat["mvdx"],
+                nat["mvdy"], nat["mvpi"], nat["refi"], nat["imode"],
+                nat["levy"], nat["levcb"], nat["levcr"], sao_packed)
+            if rbsp is not None:
+                return rbsp
+        return super()._entropy_pass(qp, modes, skip_map, intra_map,
+                                     decisions, sh, sao=sao)

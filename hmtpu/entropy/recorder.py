@@ -173,3 +173,75 @@ def make_backend(ctx: np.ndarray):
     if native.available():
         return NativeBackend(ctx)
     return PyBackend(ctx)
+
+
+# CU-syntax context offsets in the order native/entropy.cpp expects
+_CU_OFF_KEYS = ("SAO_MERGE_FLAG", "SAO_TYPE_IDX", "SPLIT_FLAG",
+                "SKIP_FLAG", "PRED_MODE", "PART_SIZE", "INTRA_PRED_MODE",
+                "CHROMA_PRED_MODE", "QT_CBF_LUMA", "QT_CBF_CHROMA",
+                "QT_ROOT_CBF", "MERGE_FLAG", "MERGE_IDX", "MVD",
+                "REF_PIC", "MVP_IDX", "INTER_DIR")
+
+
+def pack_sao_grid(grid, n_ctu_x: int, n_ctu_y: int) -> np.ndarray:
+    """Per-CTU SAO params -> (nCtu, 21) int32 [3 x (type, eo_class,
+    band_pos, off0..3)] for the native slice writer."""
+    out = np.zeros((n_ctu_y * n_ctu_x, 21), dtype=np.int32)
+    for cy in range(n_ctu_y):
+        for cx in range(n_ctu_x):
+            row = out[cy * n_ctu_x + cx]
+            for c, p in enumerate(grid[cy][cx]):
+                row[c * 7 + 0] = p.type_idx
+                row[c * 7 + 1] = p.eo_class
+                row[c * 7 + 2] = p.band_pos
+                row[c * 7 + 3:c * 7 + 7] = p.offsets
+    return out
+
+
+def encode_pslice_native(ctx: np.ndarray, geom: dict,
+                         kind, mi, mvdx, mvdy, mvpi, refi, imode,
+                         levy, levcb, levcr, sao_packed) -> bytes | None:
+    """One-call native slice-data serialisation from decision tensors.
+    Returns None when the native engine is unavailable."""
+    import ctypes
+
+    lib = native.get_entropy_lib()
+    if lib is None:
+        return None
+    t = _tables()
+    g = np.asarray([geom["w"], geom["h"], geom["ctu"], geom["max_merge"],
+                    geom["num_ref"], geom["sdh"], geom["sao_luma"],
+                    geom["sao_chroma"], geom["bd"]], dtype=np.int32)
+    cu_off = np.asarray([OFF[k] for k in _CU_OFF_KEYS], dtype=np.int32)
+
+    def c32(a):
+        return np.ascontiguousarray(np.asarray(a, dtype=np.int32)
+                                    .reshape(-1))
+
+    arrs = [c32(a) for a in (kind, mi, mvdx, mvdy, mvpi, refi, imode,
+                             levy, levcb, levcr)]
+    n_blocks = arrs[0].size
+    cap = 4096 + 8 * (arrs[7].size + arrs[8].size + arrs[9].size) \
+        + 16 * n_blocks
+    out = np.zeros(cap, dtype=np.uint8)
+    ctxc = np.ascontiguousarray(ctx)
+
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+
+    def p8(a):
+        return a.ctypes.data_as(u8)
+
+    def p32(a):
+        return a.ctypes.data_as(i32)
+
+    sao_ptr = ctypes.cast(None, i32) if sao_packed is None \
+        else p32(np.ascontiguousarray(sao_packed))
+    n = lib.hmtpu_encode_pslice(
+        p8(t["next_mps"]), p8(t["next_lps"]), p8(t["lps"]),
+        p8(t["renorm"]), p32(t["blob"]), p32(t["index"]), p32(t["off"]),
+        p32(t["ctx4x4"]), p8(ctxc), p8(out), cap, p32(g), p32(cu_off),
+        *[p32(a) for a in arrs], sao_ptr)
+    if n < 0:
+        raise RuntimeError(f"native slice writer failed ({n})")
+    return out[:n].tobytes()

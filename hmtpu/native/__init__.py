@@ -56,6 +56,15 @@ def get_entropy_lib():
                    i32p, i32p, i32p, i32p,        # scan blob/index/off/4x4
                    u8p, i32p, ctypes.c_int64,     # ctx, cmds
                    i32p, u8p, ctypes.c_int64]     # levels, out
+    fn2 = lib.hmtpu_encode_pslice
+    fn2.restype = ctypes.c_int64
+    fn2.argtypes = [u8p, u8p, u8p, u8p,           # state/lps/renorm tables
+                    i32p, i32p, i32p, i32p,       # scan blob/index/off/4x4
+                    u8p, u8p, ctypes.c_int64,     # ctx, out, cap
+                    i32p, i32p,                   # geom, cu_off
+                    i32p, i32p, i32p, i32p, i32p, i32p, i32p,  # decisions
+                    i32p, i32p, i32p,             # levels y/cb/cr
+                    i32p]                         # sao (nullable)
     _LIB = lib
     return _LIB
 

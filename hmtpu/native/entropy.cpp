@@ -360,6 +360,258 @@ void encode_residual(Enc& e, const int32_t* levels, int log2, bool luma,
     }
 }
 
+// ---------------------------------------------------------------------
+// P-slice slice-data serialiser: walks the CTU quadtree over the 8x8
+// decision tensors the device wavefront produces and emits the complete
+// slice payload in one call (the native twin of the Python walk in
+// encoder/pframe.py::_entropy_pass, which remains the bit-exact
+// reference; parity enforced by tests/test_native_entropy.py).
+
+enum {                               // cu_off layout (python packs this)
+    CU_SAO_MERGE = 0, CU_SAO_TYPE, CU_SPLIT, CU_SKIP, CU_PRED_MODE,
+    CU_PART_SIZE, CU_INTRA_MODE, CU_CHROMA_MODE, CU_QT_CBF_LUMA,
+    CU_QT_CBF_CHROMA, CU_QT_ROOT_CBF, CU_MERGE_FLAG, CU_MERGE_IDX,
+    CU_MVD, CU_REF_PIC, CU_MVP_IDX, CU_INTER_DIR, CU_OFF_N,
+};
+
+struct SliceCfg {
+    int w, h, ctu, log2_ctu;
+    int bw, bh;                      // 8x8 block grid
+    int max_merge, num_ref;
+    int sdh;                         // sign data hiding
+    int sao_luma, sao_chroma, bd;
+    const int32_t* cu_off;
+    // per-block decision tensors (bh*bw)
+    const int32_t* kind;             // 0 skip 1 merge 2 amvp 3 intra
+    const int32_t* mi;               // merge idx
+    const int32_t* mvdx;
+    const int32_t* mvdy;
+    const int32_t* mvpi;
+    const int32_t* refi;
+    const int32_t* imode;            // intra mode (valid when kind==3)
+    const int32_t* levy;             // (bh*bw) * 64
+    const int32_t* levcb;            // (bh*bw) * 16
+    const int32_t* levcr;            // (bh*bw) * 16
+    // per-CTU SAO params: 21 int32 = 3 x (type, eo_class, band_pos, o0..o3)
+    const int32_t* sao;
+};
+
+inline int sao_max_offset(int bd) { return (1 << (bd < 10 ? bd : 10) - 5) - 1; }
+
+void write_sao_offset_abs(Enc& e, int v, int cmax) {
+    for (int i = 0; i < v; i++) e.encode_bin_ep(1);
+    if (v < cmax) e.encode_bin_ep(0);
+}
+
+void write_sao_ctu(Enc& e, const SliceCfg& s, const int32_t* p3,
+                   bool left, bool up) {
+    if (left) e.encode_bin(s.cu_off[CU_SAO_MERGE], 0);
+    if (up) e.encode_bin(s.cu_off[CU_SAO_MERGE], 0);
+    int cmax = sao_max_offset(s.bd);
+    for (int c = 0; c < 3; c++) {
+        if (c == 0 && !s.sao_luma) continue;
+        if (c > 0 && !s.sao_chroma) continue;
+        const int32_t* p = p3 + c * 7;
+        int t;
+        if (c < 2) {
+            t = p[0];
+            e.encode_bin(s.cu_off[CU_SAO_TYPE], t != 0);
+            if (t != 0) e.encode_bin_ep(t == 2);
+        } else {
+            t = p3[1 * 7 + 0];
+        }
+        if (t == 0) continue;
+        for (int i = 0; i < 4; i++) {
+            int v = p[3 + i];
+            write_sao_offset_abs(e, v < 0 ? -v : v, cmax);
+        }
+        if (t == 1) {
+            for (int i = 0; i < 4; i++)
+                if (p[3 + i] != 0) e.encode_bin_ep(p[3 + i] < 0);
+            e.encode_bins_ep((uint32_t)p[2], 5);
+        } else if (c < 2) {
+            e.encode_bins_ep((uint32_t)p[1], 2);
+        }
+    }
+}
+
+// candModeList (H.265 8.4.2)
+void mpm_list_c(int a, int b, int out[3]) {
+    if (a == b) {
+        if (a < 2) { out[0] = 0; out[1] = 1; out[2] = 26; return; }
+        out[0] = a;
+        out[1] = 2 + ((a + 29) % 32);
+        out[2] = 2 + ((a - 1) % 32);
+        return;
+    }
+    out[0] = a; out[1] = b;
+    if (a != 0 && b != 0) out[2] = 0;
+    else if (a != 1 && b != 1) out[2] = 1;
+    else out[2] = 26;
+}
+
+inline int intra_scan_of(int mode, int log2, bool luma) {
+    if (log2 > 3 || (!luma && log2 > 2)) return 0;
+    if (mode >= 6 && mode <= 14) return 2;
+    if (mode >= 22 && mode <= 30) return 1;
+    return 0;
+}
+
+inline bool any_nz(const int32_t* p, int n) {
+    for (int i = 0; i < n; i++) if (p[i]) return true;
+    return false;
+}
+
+void write_egk(Enc& e, int value, int k) {
+    while (value >= (1 << k)) { e.encode_bin_ep(1); value -= 1 << k; k++; }
+    e.encode_bin_ep(0);
+    if (k) e.encode_bins_ep((uint32_t)value, k);
+}
+
+void write_mvd(Enc& e, const SliceCfg& s, int mvd_x, int mvd_y) {
+    int ax = mvd_x < 0 ? -mvd_x : mvd_x, ay = mvd_y < 0 ? -mvd_y : mvd_y;
+    e.encode_bin(s.cu_off[CU_MVD] + 0, ax > 0);
+    e.encode_bin(s.cu_off[CU_MVD] + 0, ay > 0);
+    if (ax > 0) e.encode_bin(s.cu_off[CU_MVD] + 1, ax > 1);
+    if (ay > 0) e.encode_bin(s.cu_off[CU_MVD] + 1, ay > 1);
+    if (ax > 0) {
+        if (ax > 1) write_egk(e, ax - 2, 1);
+        e.encode_bin_ep(mvd_x < 0);
+    }
+    if (ay > 0) {
+        if (ay > 1) write_egk(e, ay - 2, 1);
+        e.encode_bin_ep(mvd_y < 0);
+    }
+}
+
+void write_merge_idx(Enc& e, const SliceCfg& s, int idx) {
+    if (s.max_merge <= 1) return;
+    e.encode_bin(s.cu_off[CU_MERGE_IDX], idx > 0);
+    if (idx > 0) {
+        for (int i = 1; i < idx; i++) e.encode_bin_ep(1);
+        if (idx < s.max_merge - 1) e.encode_bin_ep(0);
+    }
+}
+
+void write_ref_idx(Enc& e, const SliceCfg& s, int idx) {
+    if (s.num_ref <= 1) return;
+    e.encode_bin(s.cu_off[CU_REF_PIC] + 0, idx > 0);
+    if (idx > 0 && s.num_ref > 2) {
+        e.encode_bin(s.cu_off[CU_REF_PIC] + 1, idx > 1);
+        if (idx > 1) {
+            for (int i = 2; i < idx; i++) e.encode_bin_ep(1);
+            if (idx < s.num_ref - 1) e.encode_bin_ep(0);
+        }
+    }
+}
+
+void write_cu_p(Enc& e, const SliceCfg& s, int x0, int y0) {
+    int bxi = x0 >> 3, byi = y0 >> 3;
+    int p = byi * s.bw + bxi;
+    int k = s.kind[p];
+    int inc = 0;
+    if (bxi > 0 && s.kind[p - 1] == 0) inc++;
+    if (byi > 0 && s.kind[p - s.bw] == 0) inc++;
+    e.encode_bin(s.cu_off[CU_SKIP] + inc, k == 0);
+    if (k == 0) { write_merge_idx(e, s, s.mi[p]); return; }
+    e.encode_bin(s.cu_off[CU_PRED_MODE], k == 3);
+
+    const int32_t* ly = s.levy + p * 64;
+    const int32_t* lcb = s.levcb + p * 16;
+    const int32_t* lcr = s.levcr + p * 16;
+    bool cbf_y = any_nz(ly, 64), cbf_cb = any_nz(lcb, 16),
+         cbf_cr = any_nz(lcr, 16);
+
+    if (k == 3) {                    // intra
+        e.encode_bin(s.cu_off[CU_PART_SIZE], 1);   // 2Nx2N
+        int mode = s.imode[p];
+        int lm = (bxi > 0 && s.kind[p - 1] == 3) ? s.imode[p - 1] : 1;
+        int am = (byi > 0 && (y0 & (s.ctu - 1)) != 0
+                  && s.kind[p - s.bw] == 3) ? s.imode[p - s.bw] : 1;
+        int mpm[3];
+        mpm_list_c(lm, am, mpm);
+        int mi_idx = -1;
+        for (int i = 0; i < 3; i++) if (mpm[i] == mode) { mi_idx = i; break; }
+        if (mi_idx >= 0) {
+            e.encode_bin(s.cu_off[CU_INTRA_MODE], 1);
+            e.encode_bin_ep(mi_idx == 0 ? 0 : 1);
+            if (mi_idx) e.encode_bin_ep(mi_idx - 1);
+        } else {
+            e.encode_bin(s.cu_off[CU_INTRA_MODE], 0);
+            // remove-sorted-mpms remainder
+            int srt[3] = {mpm[0], mpm[1], mpm[2]};
+            for (int i = 0; i < 2; i++)
+                for (int j = i + 1; j < 3; j++)
+                    if (srt[j] < srt[i]) { int t = srt[i]; srt[i] = srt[j]; srt[j] = t; }
+            int rem = mode;
+            for (int i = 2; i >= 0; i--) if (mode > srt[i]) rem--;
+            e.encode_bins_ep((uint32_t)rem, 5);
+        }
+        e.encode_bin(s.cu_off[CU_CHROMA_MODE], 0);   // DM
+        e.encode_bin(s.cu_off[CU_QT_CBF_CHROMA], cbf_cb);
+        e.encode_bin(s.cu_off[CU_QT_CBF_CHROMA], cbf_cr);
+        e.encode_bin(s.cu_off[CU_QT_CBF_LUMA] + 1, cbf_y);
+        if (cbf_y)
+            encode_residual(e, ly, 3, true,
+                            intra_scan_of(mode, 3, true), s.sdh);
+        if (cbf_cb)
+            encode_residual(e, lcb, 2, false,
+                            intra_scan_of(mode, 2, false), s.sdh);
+        if (cbf_cr)
+            encode_residual(e, lcr, 2, false,
+                            intra_scan_of(mode, 2, false), s.sdh);
+        return;
+    }
+
+    // inter 2Nx2N
+    e.encode_bin(s.cu_off[CU_PART_SIZE], 1);
+    if (k == 1) {                    // merge
+        e.encode_bin(s.cu_off[CU_MERGE_FLAG], 1);
+        write_merge_idx(e, s, s.mi[p]);
+    } else {                         // AMVP (P: L0 only)
+        e.encode_bin(s.cu_off[CU_MERGE_FLAG], 0);
+        write_ref_idx(e, s, s.refi[p]);
+        write_mvd(e, s, s.mvdx[p], s.mvdy[p]);
+        e.encode_bin(s.cu_off[CU_MVP_IDX], s.mvpi[p]);
+    }
+    if (k == 2) {
+        int root = (cbf_y || cbf_cb || cbf_cr) ? 1 : 0;
+        e.encode_bin(s.cu_off[CU_QT_ROOT_CBF], root);
+        if (!root) return;
+    }
+    e.encode_bin(s.cu_off[CU_QT_CBF_CHROMA], cbf_cb);
+    e.encode_bin(s.cu_off[CU_QT_CBF_CHROMA], cbf_cr);
+    if (cbf_cb || cbf_cr)
+        e.encode_bin(s.cu_off[CU_QT_CBF_LUMA] + 1, cbf_y);
+    if (cbf_y) encode_residual(e, ly, 3, true, 0, s.sdh);
+    if (cbf_cb) encode_residual(e, lcb, 2, false, 0, s.sdh);
+    if (cbf_cr) encode_residual(e, lcr, 2, false, 0, s.sdh);
+}
+
+void write_quadtree_p(Enc& e, const SliceCfg& s, int x0, int y0, int log2,
+                      int depth) {
+    int size = 1 << log2;
+    bool inside = x0 + size <= s.w && y0 + size <= s.h;
+    if (inside && log2 > 3) {
+        int inc = (x0 > 0 ? 1 : 0) + (y0 > 0 ? 1 : 0);
+        e.encode_bin(s.cu_off[CU_SPLIT] + inc, 1);
+    }
+    if (log2 > 3) {
+        int half = size >> 1;
+        if (x0 < s.w && y0 < s.h)
+            write_quadtree_p(e, s, x0, y0, log2 - 1, depth + 1);
+        if (x0 + half < s.w && y0 < s.h)
+            write_quadtree_p(e, s, x0 + half, y0, log2 - 1, depth + 1);
+        if (x0 < s.w && y0 + half < s.h)
+            write_quadtree_p(e, s, x0, y0 + half, log2 - 1, depth + 1);
+        if (x0 + half < s.w && y0 + half < s.h)
+            write_quadtree_p(e, s, x0 + half, y0 + half, log2 - 1,
+                             depth + 1);
+    } else {
+        write_cu_p(e, s, x0, y0);
+    }
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------
@@ -410,5 +662,58 @@ extern "C" int64_t hmtpu_entropy_encode(
         }
         if (e.overflow) return -1;
     }
+    return e.pos;
+}
+
+// Whole-slice serialisation from decision tensors (device wavefront
+// output).  geom = [w, h, ctu_size, max_merge, num_ref, sdh, sao_luma,
+// sao_chroma, bd].  sao may be null (no per-CTU SAO syntax).
+extern "C" int64_t hmtpu_encode_pslice(
+    const uint8_t* next_mps, const uint8_t* next_lps,
+    const uint8_t* lps_tab, const uint8_t* renorm,
+    const int32_t* scan_blob, const int32_t* scan_index,
+    const int32_t* off, const int32_t* ctx4x4,
+    uint8_t* ctx, uint8_t* out, int64_t out_cap,
+    const int32_t* geom, const int32_t* cu_off,
+    const int32_t* kind, const int32_t* mi,
+    const int32_t* mvdx, const int32_t* mvdy,
+    const int32_t* mvpi, const int32_t* refi, const int32_t* imode,
+    const int32_t* levy, const int32_t* levcb, const int32_t* levcr,
+    const int32_t* sao) {
+    Tables t{next_mps, next_lps, lps_tab, renorm,
+             scan_blob, scan_index, off, ctx4x4};
+    Enc e;
+    e.low = 0; e.range = 510; e.bits_left = 23;
+    e.num_buffered = 0; e.buffered_byte = 0xFF;
+    e.out = out; e.pos = 0; e.cap = out_cap;
+    e.ctx = ctx; e.t = &t; e.overflow = false;
+
+    SliceCfg s;
+    s.w = geom[0]; s.h = geom[1]; s.ctu = geom[2];
+    s.log2_ctu = 31 - __builtin_clz((unsigned)s.ctu);
+    s.bw = s.w >> 3; s.bh = s.h >> 3;
+    s.max_merge = geom[3]; s.num_ref = geom[4]; s.sdh = geom[5];
+    s.sao_luma = geom[6]; s.sao_chroma = geom[7]; s.bd = geom[8];
+    s.cu_off = cu_off;
+    s.kind = kind; s.mi = mi; s.mvdx = mvdx; s.mvdy = mvdy;
+    s.mvpi = mvpi; s.refi = refi; s.imode = imode;
+    s.levy = levy; s.levcb = levcb; s.levcr = levcr; s.sao = sao;
+
+    int n_ctu_x = (s.w + s.ctu - 1) / s.ctu;
+    int n_ctu_y = (s.h + s.ctu - 1) / s.ctu;
+    for (int cy = 0; cy < n_ctu_y; cy++) {
+        for (int cx = 0; cx < n_ctu_x; cx++) {
+            if (sao)
+                write_sao_ctu(e, s, sao + (cy * n_ctu_x + cx) * 21,
+                              cx > 0, cy > 0);
+            write_quadtree_p(e, s, cx * s.ctu, cy * s.ctu, s.log2_ctu, 0);
+            bool last = cy == n_ctu_y - 1 && cx == n_ctu_x - 1;
+            if (!last) e.encode_bin_trm(0);
+            if (e.overflow) return -1;
+        }
+    }
+    e.encode_bin_trm(1);
+    e.finish_and_terminate();
+    if (e.overflow) return -1;
     return e.pos;
 }

@@ -131,3 +131,50 @@ def test_full_frame_native_matches_python(monkeypatch):
         enc = Encoder(EncoderConfig(width=96, height=96, qp=30, gop="ai"))
         streams.append(enc.encode_sequence(frames))
     assert streams[0] == streams[1]
+
+
+def test_pslice_native_writer_matches_python_walk():
+    """The one-call native slice serialiser (hmtpu_encode_pslice) must
+    be byte-identical to the Python CU-tree walk over the same
+    wavefront decision tensors, with SAO syntax."""
+    import pytest
+
+    from hmtpu import native
+    if not native.available():
+        pytest.skip("native engine unavailable")
+
+    from hmtpu.encoder.pframe import PFrameEncoder
+    from hmtpu.encoder.pframe_dev import PFrameDeviceEncoder
+    from hmtpu.encoder.top import Encoder, EncoderConfig
+    from hmtpu.io.yuv import Frame
+    from tools.gen_test_yuv import synth_clip
+
+    frames = [Frame(y.astype(np.int32), u.astype(np.int32),
+                    v.astype(np.int32))
+              for y, u, v in synth_clip(176, 144, 3)]
+
+    seen = []
+
+    class Cmp(PFrameDeviceEncoder):
+        def _entropy_pass(self, qp, modes, skip_map, intra_map,
+                          decisions, sh, sao=None):
+            nat = super()._entropy_pass(qp, modes, skip_map, intra_map,
+                                        decisions, sh, sao=sao)
+            py = PFrameEncoder._entropy_pass(
+                self, qp, modes, skip_map, intra_map, decisions, sh,
+                sao=sao)
+            assert nat == py
+            seen.append(len(nat))
+            return nat
+
+    import hmtpu.encoder.pframe_dev as pd
+    orig = pd.PFrameDeviceEncoder
+    pd.PFrameDeviceEncoder = Cmp
+    try:
+        enc = Encoder(EncoderConfig(width=176, height=144, qp=30,
+                                    gop="ldp", subpel="dctif",
+                                    search_range=8))
+        enc.encode_sequence(frames)
+    finally:
+        pd.PFrameDeviceEncoder = orig
+    assert len(seen) == 2 and all(n > 0 for n in seen)
