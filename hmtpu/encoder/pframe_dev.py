@@ -45,7 +45,11 @@ from hmtpu.ops.interp import (
     mc_luma_batch,
     mc_luma_batch_refs,
 )
-from hmtpu.ops.intra_pred import filter_reference_batched, predict_all_modes
+from hmtpu.ops.intra_pred import (
+    filter_reference_batched,
+    predict_all_modes,
+    predict_one_mode,
+)
 from hmtpu.ops.quant import dequantize, quantize
 from hmtpu.ops.transform import forward_transform, inverse_transform
 from hmtpu.search.wavefront import (
@@ -148,23 +152,24 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     imode = jnp.argmin(satd + lam_sqrt * jnp.asarray(_MODE_BITS)[None],
                        axis=1).astype(jnp.int32)
 
-    # ---- phase 2: wavefront scan over dependency levels
+    # phase-1 products packed for single-gather access in the scan
+    lev_a96 = jnp.concatenate([lev_ay.reshape(P, 64),
+                               lev_au.reshape(P, 16),
+                               lev_av.reshape(P, 16)], axis=1)
+    refs_c = jnp.concatenate([refs_u, refs_v], axis=0)   # (2R, H/2, W/2)
+
+    # ---- phase 2: wavefront scan over dependency levels.  Per-block
+    # state is packed into one (P, 9) tensor [kind, mi, mvdx, mvdy,
+    # mvpi, dir, mvx, mvy, ref] and one (P, 96) level tensor so each
+    # step costs one gather + one scatter per consumer.
+    K_KIND, K_MI, K_MVDX, K_MVDY, K_MVPI, K_DIR, K_MVX, K_MVY, K_REF = \
+        range(9)
     state = dict(
         rec_y=jnp.zeros(h * w, jnp.int32),
         rec_u=jnp.zeros(h * w // 4, jnp.int32),
         rec_v=jnp.zeros(h * w // 4, jnp.int32),
-        dirf=jnp.zeros(P, jnp.int32),
-        fmvx=jnp.zeros(P, jnp.int32),
-        fmvy=jnp.zeros(P, jnp.int32),
-        fref=jnp.zeros(P, jnp.int32),
-        kind=jnp.zeros(P, jnp.int32),
-        mi=jnp.zeros(P, jnp.int32),
-        mvdx=jnp.zeros(P, jnp.int32),
-        mvdy=jnp.zeros(P, jnp.int32),
-        mvpi=jnp.zeros(P, jnp.int32),
-        levy=jnp.zeros((P, 8, 8), jnp.int32),
-        levcb=jnp.zeros((P, 4, 4), jnp.int32),
-        levcr=jnp.zeros((P, 4, 4), jnp.int32),
+        blk=jnp.zeros((P, 9), jnp.int32),
+        levs=jnp.zeros((P, 96), jnp.int32),
     )
 
     def step(st, blk):
@@ -177,10 +182,11 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         orgu = orgu_blk[b]
         orgv = orgv_blk[b]
 
-        # merge list from committed neighbour motion
+        # merge list from committed neighbour motion (one packed gather)
         nb = nb_flat[b]                                     # (B, 5)
-        nbv = nb_ok[b] & (st["dirf"][nb] > 0)
-        nmx, nmy, nrf = st["fmvx"][nb], st["fmvy"][nb], st["fref"][nb]
+        nbp = st["blk"][nb]                                 # (B, 5, 9)
+        nbv = nb_ok[b] & (nbp[..., K_DIR] > 0)
+        nmx, nmy, nrf = nbp[..., K_MVX], nbp[..., K_MVY], nbp[..., K_REF]
         cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
                                              num_ref, max_merge)
 
@@ -197,21 +203,16 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
         pred_m = jnp.take_along_axis(
             pred_l, mi[:, None, None, None], 1)[:, 0]
-        pred_mu = mc_chroma_batch_refs(refs_u, w_ref, bxi * 4, byi * 4,
-                                       w_mvx, w_mvy, 4, 4, bd)
-        pred_mv_ = mc_chroma_batch_refs(refs_v, w_ref, bxi * 4, byi * 4,
-                                        w_mvx, w_mvy, 4, 4, bd)
+        # winner chroma, both planes in one MC over the stacked refs
+        two = lambda a: jnp.concatenate([a, a])
+        pred_c2 = mc_chroma_batch_refs(
+            refs_c, jnp.concatenate([w_ref, w_ref + num_ref]),
+            two(bxi * 4), two(byi * 4), two(w_mvx), two(w_mvy), 4, 4, bd)
+        pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
         msse3 = (jnp.sum((org - pred_m) ** 2, axis=(-1, -2))
                  + jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
                  + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
                  ).astype(jnp.float32)
-        lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 3, bd)
-        lev_mu, rec_mu, d_mu, b_mu = _code(orgu, pred_mu, qpc, 2, bd)
-        lev_mv_, rec_mv_, d_mv, b_mv = _code(orgv, pred_mv_, qpc, 2, bd)
-        mif = mi.astype(jnp.float32)
-        cost_skip = msse3 + lam * (2.0 + mif)
-        cost_merge = d_my + d_mu + d_mv \
-            + lam * (4.0 + mif + b_my + b_mu + b_mv)
 
         # AMVP: exact list -> mvd bits
         nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
@@ -227,27 +228,40 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         bits_mvd = jnp.minimum(bits0, bits1).astype(jnp.float32)
         cost_amvp = dist_a[b] + lam * (6.0 + bits_mvd + bits_a_lev[b])
 
-        inter_best = jnp.minimum(cost_skip,
-                                 jnp.minimum(cost_merge, cost_amvp))
-
-        # intra candidate: exact reconstruction from committed recon
+        # intra prediction: exact, from committed recon
         iref = jnp.where(none_y[b, None], mid, st["rec_y"][sub_y[b]])
         iref_f = filter_reference_batched(iref, 8, bd, strong=False)
-        ipreds = predict_all_modes(iref, iref_f, 8, True, bd)
         im = imode[b]
-        ipred = jnp.take_along_axis(
-            ipreds, im[:, None, None, None], 1)[:, 0]
-        lev_iy, rec_iy, d_iy, b_iy = _code(org, ipred, qp, 3, bd)
+        ipred = predict_one_mode(iref, iref_f, im, 8, True, bd)
         irefu = jnp.where(none_c[b, None], mid, st["rec_u"][sub_u[b]])
         irefv = jnp.where(none_c[b, None], mid, st["rec_v"][sub_u[b]])
-        cpu = jnp.take_along_axis(
-            predict_all_modes(irefu, irefu, 4, False, bd),
-            im[:, None, None, None], 1)[:, 0]
-        cpv = jnp.take_along_axis(
-            predict_all_modes(irefv, irefv, 4, False, bd),
-            im[:, None, None, None], 1)[:, 0]
-        lev_iu, rec_iu, d_iu, b_iu = _code(orgu, cpu, qpc, 2, bd)
-        lev_iv, rec_iv, d_iv, b_iv = _code(orgv, cpv, qpc, 2, bd)
+        cp2 = predict_one_mode(jnp.concatenate([irefu, irefv]),
+                               jnp.concatenate([irefu, irefv]),
+                               two(im), 4, False, bd)
+        cpu, cpv = cp2[:B], cp2[B:]
+
+        # fused residual coding: merge+intra luma in one transform
+        # batch, all four chroma blocks in another
+        levY2, recY2, dY2, bY2 = _code(
+            two(org), jnp.concatenate([pred_m, ipred]), qp, 3, bd)
+        lev_my, lev_iy = levY2[:B], levY2[B:]
+        rec_my, rec_iy = recY2[:B], recY2[B:]
+        d_my, d_iy = dY2[:B], dY2[B:]
+        b_my, b_iy = bY2[:B], bY2[B:]
+        orgC4 = jnp.concatenate([orgu, orgv, orgu, orgv])
+        predC4 = jnp.concatenate([pred_mu, pred_mv_, cpu, cpv])
+        levC4, recC4, dC4, bC4 = _code(orgC4, predC4, qpc, 2, bd)
+        lev_mu, lev_mv_, lev_iu, lev_iv = jnp.split(levC4, 4)
+        rec_mu, rec_mv_, rec_iu, rec_iv = jnp.split(recC4, 4)
+        d_mu, d_mv, d_iu, d_iv = jnp.split(dC4, 4)
+        b_mu, b_mv, b_iu, b_iv = jnp.split(bC4, 4)
+
+        mif = mi.astype(jnp.float32)
+        cost_skip = msse3 + lam * (2.0 + mif)
+        cost_merge = d_my + d_mu + d_mv \
+            + lam * (4.0 + mif + b_my + b_mu + b_mv)
+        inter_best = jnp.minimum(cost_skip,
+                                 jnp.minimum(cost_merge, cost_amvp))
         cost_intra = jnp.where(
             inter_best <= INTRA_GATE * lam, BIG,
             d_iy + d_iu + d_iv
@@ -267,11 +281,20 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         out_y = pick4(pred_m, rec_my, rec_ay[b], rec_iy)
         out_u = pick4(pred_mu, rec_mu, rec_au[b], rec_iu)
         out_v = pick4(pred_mv_, rec_mv_, rec_av[b], rec_iv)
-        zero8 = jnp.zeros_like(lev_my)
-        zero4 = jnp.zeros_like(lev_mu)
-        o_levy = pick4(zero8, lev_my, lev_ay[b], lev_iy)
-        o_levcb = pick4(zero4, lev_mu, lev_au[b], lev_iu)
-        o_levcr = pick4(zero4, lev_mv_, lev_av[b], lev_iv)
+        f96 = lambda a8, c4a, c4b: jnp.concatenate(
+            [a8.reshape(B, 64), c4a.reshape(B, 16), c4b.reshape(B, 16)],
+            axis=1)
+        o_lev = pick4(jnp.zeros((B, 96), jnp.int32),
+                      f96(lev_my, lev_mu, lev_mv_), lev_a96[b],
+                      f96(lev_iy, lev_iu, lev_iv))
+
+        new_mvx = pick4(w_mvx, w_mvx, amx, jnp.zeros_like(amx))
+        new_mvy = pick4(w_mvy, w_mvy, amy, jnp.zeros_like(amy))
+        new_ref = pick4(w_ref, w_ref, jnp.zeros_like(w_ref),
+                        jnp.zeros_like(w_ref))
+        new_dir = jnp.where(choice == 3, 0, 1)
+        o_blk = jnp.stack([choice, mi, mvdx, mvdy, mvpi,
+                           new_dir, new_mvx, new_mvy, new_ref], axis=1)
 
         # scatters (invalid lanes -> out-of-bounds index, dropped)
         drop = jnp.where(valid, b, P)
@@ -284,34 +307,62 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         fl_c = cyy[:, :, None] * (w // 2) + cxx[:, None, :]
         fl_c = jnp.where(valid[:, None, None], fl_c, h * w // 4)
 
-        new_mvx = pick4(w_mvx, w_mvx, amx, jnp.zeros_like(amx))
-        new_mvy = pick4(w_mvy, w_mvy, amy, jnp.zeros_like(amy))
-        new_ref = pick4(w_ref, w_ref, jnp.zeros_like(w_ref),
-                        jnp.zeros_like(w_ref))
-        new_dir = jnp.where(choice == 3, 0, 1)
-
         st = dict(
             rec_y=st["rec_y"].at[fl_y].set(out_y),
             rec_u=st["rec_u"].at[fl_c].set(out_u),
             rec_v=st["rec_v"].at[fl_c].set(out_v),
-            dirf=st["dirf"].at[drop].set(new_dir),
-            fmvx=st["fmvx"].at[drop].set(new_mvx),
-            fmvy=st["fmvy"].at[drop].set(new_mvy),
-            fref=st["fref"].at[drop].set(new_ref),
-            kind=st["kind"].at[drop].set(choice),
-            mi=st["mi"].at[drop].set(mi),
-            mvdx=st["mvdx"].at[drop].set(mvdx),
-            mvdy=st["mvdy"].at[drop].set(mvdy),
-            mvpi=st["mvpi"].at[drop].set(mvpi),
-            levy=st["levy"].at[drop].set(o_levy),
-            levcb=st["levcb"].at[drop].set(o_levcb),
-            levcr=st["levcr"].at[drop].set(o_levcr),
+            blk=st["blk"].at[drop].set(o_blk),
+            levs=st["levs"].at[drop].set(o_lev),
         )
         return st, None
 
     state, _ = jax.lax.scan(step, state, lv_blk)
     state["imode"] = imode
     return state
+
+
+@partial(jax.jit, static_argnames=("w", "h", "num_ref", "max_merge",
+                                   "qp", "qpc", "bd", "srange", "subpel"))
+def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
+                     lv_blk, nb_ok, nb_flat, sub_y, none_y, sub_c,
+                     none_c, ref_pocs, cur_poc, *, w: int, h: int,
+                     num_ref: int, max_merge: int, qp: int, qpc: int,
+                     bd: int, srange: int, subpel: str):
+    """ME + sub-pel + wavefront decision in ONE dispatch, with compact
+    output dtypes (spec coefficient range is int16; recon fits the bit
+    depth) to minimise the device->host transfer."""
+    from hmtpu.search.me import frac_refine_batch, integer_me
+
+    bw, bh = w // 8, h // 8
+    lam_sqrt = jnp.float32(np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0)))
+    zeros = jnp.zeros((bh, bw), jnp.int32)
+    (mvx, mvy), stencil, _ = integer_me(refs_y[0], org_y, 8, srange,
+                                        lam_sqrt, zeros, zeros)
+    if subpel == "nn":
+        from hmtpu.models.nnfme import predict_offsets
+        st9 = stencil.reshape(-1, 9).astype(jnp.float32)
+        sizes = jnp.full((bw * bh,), 8, jnp.int32)
+        _, offs = predict_offsets(nn, st9, sizes, sizes)
+        mvq_x = (mvx.reshape(-1) * 4 + offs[:, 0]).reshape(bh, bw)
+        mvq_y = (mvy.reshape(-1) * 4 + offs[:, 1]).reshape(bh, bw)
+    elif subpel == "dctif":
+        ys0, xs0 = jnp.mgrid[0:bh, 0:bw] * 8
+        qx, qy = frac_refine_batch(
+            refs_y[0], xs0.reshape(-1), ys0.reshape(-1),
+            _blockify(org_y, 8), mvx.reshape(-1), mvy.reshape(-1), 8, bd)
+        mvq_x, mvq_y = qx.reshape(bh, bw), qy.reshape(bh, bw)
+    else:
+        mvq_x, mvq_y = mvx * 4, mvy * 4
+
+    st = wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
+                        mvq_x, mvq_y, lv_blk, nb_ok, nb_flat, sub_y,
+                        none_y, sub_c, none_c, ref_pocs, cur_poc,
+                        w=w, h=h, num_ref=num_ref, max_merge=max_merge,
+                        qp=qp, qpc=qpc, bd=bd)
+    rec_t = jnp.uint8 if bd == 8 else jnp.uint16
+    small = dict(rec_y=rec_t, rec_u=rec_t, rec_v=rec_t,
+                 blk=jnp.int16, levs=jnp.int16, imode=jnp.int8)
+    return {k: v.astype(small[k]) for k, v in st.items()}
 
 
 class PFrameDeviceEncoder(PFrameEncoder):
@@ -328,39 +379,35 @@ class PFrameDeviceEncoder(PFrameEncoder):
         bw, bh = w // 8, h // 8
         qpc = chroma_qp_from_luma(qp + self.pps.cb_qp_offset)
 
-        mvq_x, mvq_y, _, _ = self.motion_search(frame, refs[0], qp)
-
         dev = _dev_static(w, h, sps.log2_ctu_size)
         refs_y = jnp.asarray(np.stack([r.y for r in refs]), jnp.int32)
         refs_u = jnp.asarray(np.stack([r.u for r in refs]), jnp.int32)
         refs_v = jnp.asarray(np.stack([r.v for r in refs]), jnp.int32)
 
-        st = wavefront_pass(
+        st = full_pframe_pass(
             jnp.asarray(frame.y, jnp.int32), jnp.asarray(frame.u, jnp.int32),
             jnp.asarray(frame.v, jnp.int32), refs_y, refs_u, refs_v,
-            jnp.asarray(mvq_x, jnp.int32), jnp.asarray(mvq_y, jnp.int32),
+            self.nn_params,
             dev["lv_blk"], dev["nb_ok"], dev["nb_flat"],
             dev["sub_y"], dev["none_y"], dev["sub_c"], dev["none_c"],
             jnp.asarray(ref_pocs, jnp.int32), jnp.int32(poc),
             w=w, h=h, num_ref=len(refs), max_merge=sh.max_num_merge_cand,
-            qp=qp, qpc=qpc, bd=bd)
+            qp=qp, qpc=qpc, bd=bd, srange=self.search_range,
+            subpel=self.subpel)
 
         st = jax.device_get(st)       # one transfer for the whole pytree
-        rec_y = st["rec_y"].reshape(h, w).copy()
-        rec_u = st["rec_u"].reshape(h // 2, w // 2).copy()
-        rec_v = st["rec_v"].reshape(h // 2, w // 2).copy()
-        kind = st["kind"].reshape(bh, bw)
-        mi = st["mi"].reshape(bh, bw)
-        mvdx = st["mvdx"].reshape(bh, bw)
-        mvdy = st["mvdy"].reshape(bh, bw)
-        mvpi = st["mvpi"].reshape(bh, bw)
-        fmvx = st["fmvx"].reshape(bh, bw)
-        fmvy = st["fmvy"].reshape(bh, bw)
-        fref = st["fref"].reshape(bh, bw)
+        st = {k: v.astype(np.int32) for k, v in st.items()}
+        rec_y = st["rec_y"].reshape(h, w)
+        rec_u = st["rec_u"].reshape(h // 2, w // 2)
+        rec_v = st["rec_v"].reshape(h // 2, w // 2)
+        blk = st["blk"].reshape(bh, bw, 9)
+        kind, mi, mvdx, mvdy, mvpi = (blk[..., k] for k in range(5))
+        fmvx, fmvy, fref = blk[..., 6], blk[..., 7], blk[..., 8]
         imode = st["imode"].reshape(bh, bw)
-        levy = st["levy"].reshape(bh, bw, 8, 8)
-        levcb = st["levcb"].reshape(bh, bw, 4, 4)
-        levcr = st["levcr"].reshape(bh, bw, 4, 4)
+        levs = st["levs"].reshape(bh, bw, 96)
+        levy = levs[..., :64].reshape(bh, bw, 8, 8)
+        levcb = levs[..., 64:80].reshape(bh, bw, 4, 4)
+        levcr = levs[..., 80:96].reshape(bh, bw, 4, 4)
 
         # motion field (4x4 granularity) for deblock + later frames
         field = PicMotion.create(w, h)

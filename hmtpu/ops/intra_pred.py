@@ -145,6 +145,84 @@ def predict_all_modes(ref_unfilt: jax.Array, ref_filt: jax.Array, n: int,
     ).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("n", "is_luma", "bit_depth"))
+def predict_one_mode(ref_unfilt: jax.Array, ref_filt: jax.Array,
+                     mode: jax.Array, n: int, is_luma: bool = True,
+                     bit_depth: int = 8) -> jax.Array:
+    """(B, 4N+1) x2 refs + (B,) mode -> (B, N, N): each block predicted
+    with its own mode.  Same tables/arithmetic as predict_all_modes but
+    gathering only the chosen mode's taps — the cheap inner-loop form
+    for the wavefront scan, where the mode is already decided."""
+    b = ref_unfilt.shape[0]
+    idx0, idx1, fact = _angular_tables(n)
+    use_filt = _mode_uses_filtered(n, is_luma)
+    line = 4 * n + 1
+    refs = jnp.stack([ref_unfilt, ref_filt], axis=1).reshape(b, 2 * line)
+
+    am = jnp.clip(mode - 2, 0, 32)
+    src = jnp.asarray(use_filt.astype(np.int32))[mode]       # (B,)
+    f0 = jnp.asarray(idx0)[am] + (src * line)[:, None, None]
+    f1 = jnp.asarray(idx1)[am] + (src * line)[:, None, None]
+    ff = jnp.asarray(fact)[am]
+    r0 = jnp.take_along_axis(refs, f0.reshape(b, -1), axis=1) \
+        .reshape(b, n, n)
+    r1 = jnp.take_along_axis(refs, f1.reshape(b, -1), axis=1) \
+        .reshape(b, n, n)
+    out = ((32 - ff) * r0 + ff * r1 + 16) >> 5
+
+    def left(r, y):
+        return jnp.take(r, 2 * n - 1 - y, axis=-1)
+
+    def top(r, x):
+        return jnp.take(r, 2 * n + 1 + x, axis=-1)
+
+    ys = np.arange(n)
+    xs = np.arange(n)
+    uref = ref_unfilt
+
+    if is_luma and n < 32:
+        maxv = (1 << bit_depth) - 1
+        corner_u = left(uref, np.array(-1))[:, None]
+        col = jnp.clip(top(uref, np.array(0))[:, None]
+                       + ((left(uref, ys) - corner_u) >> 1), 0, maxv)
+        out = jnp.where((mode == 26)[:, None, None],
+                        out.at[:, :, 0].set(col), out)
+        row = jnp.clip(left(uref, np.array(0))[:, None]
+                       + ((top(uref, xs) - corner_u) >> 1), 0, maxv)
+        out = jnp.where((mode == 10)[:, None, None],
+                        out.at[:, 0, :].set(row), out)
+
+    # planar
+    pref = ref_filt if use_filt[0] else ref_unfilt
+    log2n = int(n).bit_length() - 1
+    l_col = left(pref, ys)[:, :, None]
+    t_row = top(pref, xs)[:, None, :]
+    top_n = top(pref, np.array(n))[:, None, None]
+    left_n = left(pref, np.array(n))[:, None, None]
+    wx = jnp.asarray(n - 1 - xs)[None, None, :]
+    wy = jnp.asarray(n - 1 - ys)[None, :, None]
+    planar = ((wx * l_col + (xs + 1)[None, None, :] * top_n
+               + wy * t_row + (ys + 1)[None, :, None] * left_n
+               + n) >> (log2n + 1))
+    out = jnp.where((mode == 0)[:, None, None], planar, out)
+
+    # DC
+    dc = (jnp.sum(top(uref, xs), axis=-1)
+          + jnp.sum(left(uref, ys), axis=-1) + n) >> (log2n + 1)
+    dcb = dc[:, None, None]
+    dc_pred = jnp.broadcast_to(dcb, (b, n, n))
+    if is_luma and n < 32:
+        row0 = (top(uref, xs) + 3 * dcb[:, :, 0] + 2) >> 2
+        col0 = (left(uref, ys) + 3 * dcb[:, :, 0] + 2) >> 2
+        corner = (left(uref, np.array(0)) + 2 * dc
+                  + top(uref, np.array(0)) + 2) >> 2
+        dc_pred = dc_pred.at[:, 0, :].set(row0)
+        dc_pred = dc_pred.at[:, :, 0].set(col0)
+        dc_pred = dc_pred.at[:, 0, 0].set(corner)
+    out = jnp.where((mode == 1)[:, None, None], dc_pred, out)
+    return out.astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # batched reference-line filtering (8.4.4.2.3)
 

@@ -82,3 +82,32 @@ def test_predict_mode_np_matches_all_modes():
             for mode in range(35):
                 one = predict_mode_np(ref_u, ref_f, n, mode, luma, 8)
                 assert (one == full[mode]).all(), (n, luma, mode)
+
+
+def test_predict_one_mode_matches_all_modes():
+    """Per-block single-mode predictor (wavefront inner loop) must match
+    the all-modes kernel at the selected mode."""
+    import jax.numpy as jnp
+
+    from hmtpu.ops.intra_pred import (
+        filter_reference_batched,
+        predict_all_modes,
+        predict_one_mode,
+    )
+
+    rng = np.random.RandomState(5)
+    for n, is_luma in ((8, True), (4, False), (16, True), (4, True)):
+        B = 64
+        ref_u = jnp.asarray(rng.randint(0, 256, (B, 4 * n + 1)),
+                            jnp.int32)
+        ref_f = filter_reference_batched(ref_u, n, 8, strong=False)
+        modes = jnp.asarray(np.r_[np.arange(35),
+                                  rng.randint(0, 35, B - 35)],
+                            jnp.int32)
+        allm = predict_all_modes(ref_u, ref_f, n, is_luma, 8)
+        want = np.take_along_axis(
+            np.asarray(allm), np.asarray(modes)[:, None, None, None],
+            axis=1)[:, 0]
+        got = np.asarray(predict_one_mode(ref_u, ref_f, modes, n,
+                                          is_luma, 8))
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
