@@ -322,15 +322,20 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 
 
 @partial(jax.jit, static_argnames=("w", "h", "num_ref", "max_merge",
-                                   "qp", "qpc", "bd", "srange", "subpel"))
+                                   "qp", "qpc", "bd", "srange", "subpel",
+                                   "deblock", "sao", "ctu", "cb_off",
+                                   "cr_off"))
 def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                      lv_blk, nb_ok, nb_flat, sub_y, none_y, sub_c,
                      none_c, ref_pocs, cur_poc, *, w: int, h: int,
                      num_ref: int, max_merge: int, qp: int, qpc: int,
-                     bd: int, srange: int, subpel: str):
-    """ME + sub-pel + wavefront decision in ONE dispatch, with compact
-    output dtypes (spec coefficient range is int16; recon fits the bit
-    depth) to minimise the device->host transfer."""
+                     bd: int, srange: int, subpel: str,
+                     deblock: bool = False, sao: bool = False,
+                     ctu: int = 64, cb_off: int = 0, cr_off: int = 0):
+    """ME + sub-pel + wavefront decision + in-loop filters in ONE
+    dispatch, with compact output dtypes (spec coefficient range is
+    int16; recon fits the bit depth) to minimise the device->host
+    transfer."""
     from hmtpu.search.me import frac_refine_batch, integer_me
 
     bw, bh = w // 8, h // 8
@@ -359,9 +364,49 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                         none_y, sub_c, none_c, ref_pocs, cur_poc,
                         w=w, h=h, num_ref=num_ref, max_merge=max_merge,
                         qp=qp, qpc=qpc, bd=bd)
+
+    # ---- in-loop filters, still on device (8.7.2 deblock, 8.7.3 SAO)
+    if deblock or sao:
+        from hmtpu.ops.deblock import deblock_frame_dev
+        from hmtpu.ops.sao import sao_frame_dev
+
+        rec_y = st["rec_y"].reshape(h, w)
+        rec_u = st["rec_u"].reshape(h // 2, w // 2)
+        rec_v = st["rec_v"].reshape(h // 2, w // 2)
+        blk = st["blk"]
+        rep4 = lambda a: jnp.repeat(jnp.repeat(
+            a.reshape(bh, bw), 2, 0), 2, 1)
+        dirf = blk[:, 5]
+        intra4 = rep4(dirf == 0)
+        # 8.7.2.4: the cbf condition counts LUMA coefficients only
+        cbf4 = rep4(jnp.any(st["levs"][:, :64] != 0, axis=1))
+        zeros4 = jnp.zeros((h // 4, w // 4), jnp.int32)
+        mv_x4 = jnp.stack([rep4(jnp.where(dirf > 0, blk[:, 6], 0)),
+                           zeros4])
+        mv_y4 = jnp.stack([rep4(jnp.where(dirf > 0, blk[:, 7], 0)),
+                           zeros4])
+        refpoc4 = jnp.stack(
+            [rep4(jnp.where(dirf > 0,
+                            ref_pocs[jnp.clip(blk[:, 8], 0,
+                                              num_ref - 1)], -1)),
+             jnp.full((h // 4, w // 4), -1, jnp.int32)])
+        if deblock:
+            rec_y, rec_u, rec_v = deblock_frame_dev(
+                rec_y, rec_u, rec_v, intra4, cbf4, mv_x4, mv_y4,
+                refpoc4, qp, bd, cb_qp_off=cb_off, cr_qp_off=cr_off)
+        if sao:
+            lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+            rec_y, rec_u, rec_v, sao_params = sao_frame_dev(
+                org_y, rec_y, org_u, rec_u, org_v, rec_v, ctu, lam, bd)
+            st["sao"] = sao_params.astype(jnp.int8)
+        st["rec_y"] = rec_y.reshape(-1)
+        st["rec_u"] = rec_u.reshape(-1)
+        st["rec_v"] = rec_v.reshape(-1)
+
     rec_t = jnp.uint8 if bd == 8 else jnp.uint16
     small = dict(rec_y=rec_t, rec_u=rec_t, rec_v=rec_t,
-                 blk=jnp.int16, levs=jnp.int16, imode=jnp.int8)
+                 blk=jnp.int16, levs=jnp.int16, imode=jnp.int8,
+                 sao=jnp.int8)
     return {k: v.astype(small[k]) for k, v in st.items()}
 
 
@@ -384,6 +429,8 @@ class PFrameDeviceEncoder(PFrameEncoder):
         refs_u = jnp.asarray(np.stack([r.u for r in refs]), jnp.int32)
         refs_v = jnp.asarray(np.stack([r.v for r in refs]), jnp.int32)
 
+        deblock_on = not self.pps.deblocking_filter_disabled
+        sao_on = bool(sps.sao_enabled)
         st = full_pframe_pass(
             jnp.asarray(frame.y, jnp.int32), jnp.asarray(frame.u, jnp.int32),
             jnp.asarray(frame.v, jnp.int32), refs_y, refs_u, refs_v,
@@ -393,10 +440,15 @@ class PFrameDeviceEncoder(PFrameEncoder):
             jnp.asarray(ref_pocs, jnp.int32), jnp.int32(poc),
             w=w, h=h, num_ref=len(refs), max_merge=sh.max_num_merge_cand,
             qp=qp, qpc=qpc, bd=bd, srange=self.search_range,
-            subpel=self.subpel)
+            subpel=self.subpel, deblock=deblock_on, sao=sao_on,
+            ctu=sps.ctu_size, cb_off=self.pps.cb_qp_offset,
+            cr_off=self.pps.cr_qp_offset)
 
         st = jax.device_get(st)       # one transfer for the whole pytree
         st = {k: v.astype(np.int32) for k, v in st.items()}
+        # in-loop filters already ran on device; tell the top level
+        self.post_done = deblock_on or sao_on
+        self._sao_packed = st["sao"].reshape(-1, 21) if sao_on else None
         rec_y = st["rec_y"].reshape(h, w)
         rec_u = st["rec_u"].reshape(h // 2, w // 2)
         rec_v = st["rec_v"].reshape(h // 2, w // 2)
@@ -469,11 +521,23 @@ class PFrameDeviceEncoder(PFrameEncoder):
             pack_sao_grid,
         )
 
+        if isinstance(sao, tuple) and len(sao) == 2 \
+                and sao[0] == "packed":
+            from hmtpu import native
+            if not native.available():
+                from hmtpu.ops.sao import grid_from_packed
+                ny = self.sps.pic_height_in_ctus
+                nx = self.sps.pic_width_in_ctus
+                sao = (grid_from_packed(sao[1].reshape(ny, nx, 3, 7)),
+                       True, True)
+
         nat = getattr(self, "_nat", None)
         if nat is not None:
             sps = self.sps
             sao_packed, sl, sc = None, 0, 0
-            if sao is not None:
+            if isinstance(sao, tuple) and sao[0] == "packed":
+                sao_packed, sl, sc = sao[1], 1, 1
+            elif sao is not None:
                 grid, sl, sc = sao
                 sao_packed = pack_sao_grid(grid, sps.pic_width_in_ctus,
                                            sps.pic_height_in_ctus)

@@ -189,6 +189,7 @@ class Encoder:
         t0 = time.time()
         cfg = self.cfg
         nals: list[NalUnit] = []
+        device_post = False      # in-loop filters already run on device
         is_idr = self._is_idr(poc) if ra is None else poc == 0
         if poc == 0:
             nals += [write_vps(self.vps), write_sps(self.sps),
@@ -230,6 +231,7 @@ class Encoder:
             recon, field, decisions, maps = pe.analyze(
                 frame, cfg.qp, refs, ref_pocs, rel_poc, sh)
             stype = "P"
+            device_post = getattr(pe, "post_done", False)
         else:
             # random access: B slice with RPS covering the retained DPB
             used, retained = ra
@@ -263,7 +265,7 @@ class Encoder:
                 ref_pocs_l1)
             stype = "B"
 
-        if cfg.deblock:
+        if cfg.deblock and not device_post:
             from hmtpu.common.motion import PicMotion
             from hmtpu.ops.deblock import deblock_frame, \
                 meta_from_frame_state
@@ -287,7 +289,11 @@ class Encoder:
                           cr_qp_off=self.pps.cr_qp_offset)
 
         sao = None
-        if self.sps.sao_enabled:
+        if device_post and self.sps.sao_enabled:
+            sh.sao_luma = True
+            sh.sao_chroma = True
+            sao = ("packed", pe._sao_packed)
+        elif self.sps.sao_enabled:
             from hmtpu.common.spec_tables import chroma_qp_from_luma
             from hmtpu.ops.sao import (
                 apply_sao_plane,

@@ -285,6 +285,209 @@ def deblock_frame(rec_y: np.ndarray, rec_u: np.ndarray,
         _filter_chroma_edges(plane, h2.T, qp_c, bd, tc_off, False)
 
 
+# ---------------------------------------------------------------------------
+# Device (jnp) twin: dense, gather-free.  Vertical-edge patches
+# (columns 8k+4 .. 8k+11 around the edge at 8(k+1)) tile the plane, so
+# the whole pass is reshape + masked elementwise math — ideal VPU
+# shape.  Bit-exact vs the numpy path (tests/test_deblock.py).
+
+def _luma_edges_dev(pl, bs, qp: int, bd: int, beta_off: int,
+                    tc_off: int):
+    """Filter all internal vertical luma edges of `pl` (H, W) given BS
+    (H/4, W/8) and return the filtered plane.  Call on the transposed
+    plane with transposed BS for horizontal edges."""
+    import jax.numpy as jnp
+
+    h, w = pl.shape
+    ne = w // 8 - 1                    # internal edges
+    ns = h // 4
+    bsv = bs[:, :ne]
+    tc_q = jnp.clip(qp + 2 * (bsv - 1) + (tc_off << 1), 0, 53)
+    b_q = int(np.clip(qp + (beta_off << 1), 0, 51))
+    beta = int(BETA_TABLE[b_q]) << (bd - 8)
+    tc = (jnp.asarray(TC_TABLE)[tc_q] << (bd - 8)).astype(jnp.int32)
+    tc = tc[:, :, None]                # (ns, ne, 1) per line broadcast
+    maxv = (1 << bd) - 1
+
+    # (ns, 4, ne, 8) -> (ns, ne, 4, 8) patches around each edge
+    seg0 = pl[:, 4:4 + ne * 8].reshape(ns, 4, ne, 8).transpose(0, 2, 1, 3)
+    seg = seg0.astype(jnp.int32)
+    p3, p2, p1, p0 = (seg[..., i] for i in range(4))
+    q0, q1, q2, q3 = (seg[..., i] for i in range(4, 8))
+
+    dp = jnp.abs(p2 - 2 * p1 + p0)               # (ns, ne, 4)
+    dq = jnp.abs(q2 - 2 * q1 + q0)
+    dp03 = dp[..., 0] + dp[..., 3]
+    dq03 = dq[..., 0] + dq[..., 3]
+    d = dp03 + dq03
+    on = (d < beta) & (bsv > 0)
+
+    def dsam(i):
+        return ((2 * (dp[..., i] + dq[..., i]) < (beta >> 2))
+                & (jnp.abs(p3[..., i] - p0[..., i])
+                   + jnp.abs(q0[..., i] - q3[..., i]) < (beta >> 3))
+                & (jnp.abs(p0[..., i] - q0[..., i])
+                   < ((5 * tc[..., 0] + 1) >> 1)))
+
+    strong = (on & dsam(0) & dsam(3))[..., None]  # (ns, ne, 1)
+    weak = on[..., None] & ~strong
+
+    t2 = 2 * tc
+    sp0 = jnp.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                   p0 - t2, p0 + t2)
+    sp1 = jnp.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - t2, p1 + t2)
+    sp2 = jnp.clip((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3,
+                   p2 - t2, p2 + t2)
+    sq0 = jnp.clip((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                   q0 - t2, q0 + t2)
+    sq1 = jnp.clip((q2 + q1 + q0 + p0 + 2) >> 2, q1 - t2, q1 + t2)
+    sq2 = jnp.clip((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3,
+                   q2 - t2, q2 + t2)
+
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    do_line = weak & (jnp.abs(delta) < 10 * tc)
+    dcl = jnp.clip(delta, -tc, tc)
+    wp0 = jnp.clip(p0 + dcl, 0, maxv)
+    wq0 = jnp.clip(q0 - dcl, 0, maxv)
+    side = (beta + (beta >> 1)) >> 3
+    tch = tc >> 1
+    filt_p = (dp03 < side)[..., None] & do_line
+    filt_q = (dq03 < side)[..., None] & do_line
+    dp1 = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + dcl) >> 1, -tch, tch)
+    dq1 = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - dcl) >> 1, -tch, tch)
+
+    o_p2 = jnp.where(strong, sp2, p2)
+    o_p1 = jnp.where(strong, sp1,
+                     jnp.where(filt_p, jnp.clip(p1 + dp1, 0, maxv), p1))
+    o_p0 = jnp.where(strong, sp0, jnp.where(do_line, wp0, p0))
+    o_q0 = jnp.where(strong, sq0, jnp.where(do_line, wq0, q0))
+    o_q1 = jnp.where(strong, sq1,
+                     jnp.where(filt_q, jnp.clip(q1 + dq1, 0, maxv), q1))
+    o_q2 = jnp.where(strong, sq2, q2)
+
+    out = jnp.stack([p3, o_p2, o_p1, o_p0, o_q0, o_q1, o_q2, q3],
+                    axis=-1)
+    mid = out.transpose(0, 2, 1, 3).reshape(ns * 4, ne * 8)
+    return jnp.concatenate([pl[:, :4], mid, pl[:, 4 + ne * 8:]], axis=1)
+
+
+def _chroma_edges_dev(pl, bs2, qp_c: int, bd: int, tc_off: int):
+    """Chroma vertical edges: bs2 bool (H/4, W/8) on the chroma 8-grid;
+    returns the filtered plane.  Transpose for horizontal."""
+    import jax.numpy as jnp
+
+    h, w = pl.shape
+    ne = w // 8 - 1
+    ns = h // 4
+    on = bs2[:, :ne, None]
+    q_idx = int(np.clip(qp_c + 2 + (tc_off << 1), 0, 53))
+    tc = int(TC_TABLE[q_idx]) << (bd - 8)
+    maxv = (1 << bd) - 1
+
+    seg0 = pl[:, 6:6 + ne * 8].reshape(ns, 4, ne, 8).transpose(0, 2, 1, 3)
+    seg = seg0.astype(jnp.int32)
+    p1, p0, q0, q1 = (seg[..., i] for i in range(4))
+    delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    o_p0 = jnp.where(on, jnp.clip(p0 + delta, 0, maxv), p0)
+    o_q0 = jnp.where(on, jnp.clip(q0 - delta, 0, maxv), q0)
+    out = seg.at[..., 1].set(o_p0).at[..., 2].set(o_q0)
+    mid = out.transpose(0, 2, 1, 3).reshape(ns * 4, ne * 8)
+    return jnp.concatenate([pl[:, :6], mid, pl[:, 6 + ne * 8:]], axis=1)
+
+
+def _motion_bs_dev(jnp, pmx, pmy, pr, qmx, qmy, qr):
+    """jnp twin of _motion_bs (identical arithmetic)."""
+    big = 1 << 20
+    pu0, pu1 = pr[0] >= 0, pr[1] >= 0
+    qu0, qu1 = qr[0] >= 0, qr[1] >= 0
+    cnt_p = pu0.astype(jnp.int32) + pu1
+    cnt_q = qu0.astype(jnp.int32) + qu1
+    p_lo = jnp.minimum(jnp.where(pu0, pr[0], big),
+                       jnp.where(pu1, pr[1], big))
+    p_hi = jnp.maximum(jnp.where(pu0, pr[0], -big),
+                       jnp.where(pu1, pr[1], -big))
+    q_lo = jnp.minimum(jnp.where(qu0, qr[0], big),
+                       jnp.where(qu1, qr[1], big))
+    q_hi = jnp.maximum(jnp.where(qu0, qr[0], -big),
+                       jnp.where(qu1, qr[1], -big))
+    diff_set = (cnt_p != cnt_q) | (p_lo != q_lo) | (p_hi != q_hi)
+
+    def far(ax, ay, bx, by):
+        return (jnp.abs(ax - bx) >= 4) | (jnp.abs(ay - by) >= 4)
+
+    pux = jnp.where(pu0, pmx[0], pmx[1])
+    puy = jnp.where(pu0, pmy[0], pmy[1])
+    qux = jnp.where(qu0, qmx[0], qmx[1])
+    quy = jnp.where(qu0, qmy[0], qmy[1])
+    far_single = far(pux, puy, qux, quy)
+    p_is_lo = pu0 & (pr[0] == p_lo)
+    q_is_lo = qu0 & (qr[0] == q_lo)
+    plx = jnp.where(p_is_lo, pmx[0], pmx[1])
+    ply = jnp.where(p_is_lo, pmy[0], pmy[1])
+    phx = jnp.where(p_is_lo, pmx[1], pmx[0])
+    phy = jnp.where(p_is_lo, pmy[1], pmy[0])
+    qlx = jnp.where(q_is_lo, qmx[0], qmx[1])
+    qly = jnp.where(q_is_lo, qmy[0], qmy[1])
+    qhx = jnp.where(q_is_lo, qmx[1], qmx[0])
+    qhy = jnp.where(q_is_lo, qmy[1], qmy[0])
+    far_matched = far(plx, ply, qlx, qly) | far(phx, phy, qhx, qhy)
+    far_same = (far(pmx[0], pmy[0], qmx[0], qmy[0])
+                | far(pmx[1], pmy[1], qmx[1], qmy[1])) \
+        & (far(pmx[0], pmy[0], qmx[1], qmy[1])
+           | far(pmx[1], pmy[1], qmx[0], qmy[0]))
+    both_two = (cnt_p == 2) & (cnt_q == 2)
+    mv_far = jnp.where(both_two,
+                       jnp.where(p_lo == p_hi, far_same, far_matched),
+                       far_single)
+    return diff_set | mv_far
+
+
+def _bs_dev(jnp, intra4, cbf4, mv_x, mv_y, ref_poc, vertical: bool):
+    if vertical:
+        sel_p, sel_q = np.s_[..., :, 1::2], np.s_[..., :, 2::2]
+    else:
+        sel_p, sel_q = np.s_[..., 1::2, :], np.s_[..., 2::2, :]
+    qi = intra4[sel_q]
+    sh = qi.shape
+    crop = (np.s_[: sh[0], : sh[1]], np.s_[:, : sh[0], : sh[1]])
+    pi = intra4[sel_p][crop[0]]
+    pc = cbf4[sel_p][crop[0]]
+    qc = cbf4[sel_q]
+    pmx, qmx = mv_x[sel_p][crop[1]], mv_x[sel_q]
+    pmy, qmy = mv_y[sel_p][crop[1]], mv_y[sel_q]
+    pr, qr = ref_poc[sel_p][crop[1]], ref_poc[sel_q]
+    any_intra = pi | qi
+    cond1 = pc | qc | _motion_bs_dev(jnp, pmx, pmy, pr, qmx, qmy, qr)
+    return jnp.where(any_intra, 2, jnp.where(cond1, 1, 0))
+
+
+def deblock_frame_dev(rec_y, rec_u, rec_v, intra4, cbf4, mv_x, mv_y,
+                      ref_poc, qp: int, bd: int = 8, beta_off: int = 0,
+                      tc_off: int = 0, cb_qp_off: int = 0,
+                      cr_qp_off: int = 0):
+    """Device deblock of one picture (uniform 8x8 CU grid: every 8-pel
+    edge is a CU/TU boundary).  Returns filtered (y, u, v)."""
+    import jax.numpy as jnp
+
+    bs_v = _bs_dev(jnp, intra4, cbf4, mv_x, mv_y, ref_poc, True)
+    rec_y = _luma_edges_dev(rec_y, bs_v, qp, bd, beta_off, tc_off)
+    bs_h = _bs_dev(jnp, intra4, cbf4, mv_x, mv_y, ref_poc, False)
+    rec_y = _luma_edges_dev(rec_y.T, bs_h.T, qp, bd, beta_off,
+                            tc_off).T
+    for i, (off, pl) in enumerate(((cb_qp_off, rec_u),
+                                   (cr_qp_off, rec_v))):
+        qp_c = chroma_qp_from_luma(qp + off)
+        v2 = bs_v[0::2, 1::2] == 2
+        h2 = bs_h[1::2, 0::2] == 2
+        pl = _chroma_edges_dev(pl, v2, qp_c, bd, tc_off)
+        pl = _chroma_edges_dev(pl.T, h2.T, qp_c, bd, tc_off).T
+        if i == 0:
+            rec_u = pl
+        else:
+            rec_v = pl
+    return rec_y, rec_u, rec_v
+
+
 def meta_from_frame_state(field, cbf8: np.ndarray,
                           ref_pocs: list[int],
                           leaf_id8: np.ndarray | None = None,

@@ -229,6 +229,192 @@ def estimate_sao_chroma(org_cb, rec_cb, org_cr, rec_cr, ctu: int,
     return cb, cr
 
 
+# ---------------------------------------------------------------------------
+# Device (jnp) twin: dense per-CTU statistics + vectorised RD choice +
+# dense apply.  Params tensor layout per CTU: (7,) = [type, eo_class,
+# band_pos, off0..off3] — the native slice writer's packed layout.
+
+def _edge_categories_dev(jnp, plane, cls: int):
+    h, w = plane.shape
+    (ady, adx), (bdy, bdx) = EO_NEIGHBORS[cls]
+    pad = jnp.pad(plane, 1, mode="edge")
+    a = pad[1 + ady:1 + ady + h, 1 + adx:1 + adx + w]
+    b = pad[1 + bdy:1 + bdy + h, 1 + bdx:1 + bdx + w]
+    raw = 2 + jnp.sign(plane - a) + jnp.sign(plane - b)
+    cat = jnp.asarray([1, 2, 0, 3, 4], jnp.int32)[raw]
+    if adx or bdx:
+        cat = cat.at[:, 0].set(0).at[:, -1].set(0)
+    if ady or bdy:
+        cat = cat.at[0, :].set(0).at[-1, :].set(0)
+    return cat
+
+
+def _pad_to(jnp, a, ctu: int):
+    h, w = a.shape
+    hh, ww = -(-h // ctu) * ctu, -(-w // ctu) * ctu
+    return jnp.pad(a, ((0, hh - h), (0, ww - w)))
+
+
+def _ctu_reduce_dev(jnp, values, mask, ctu: int):
+    v = _pad_to(jnp, jnp.where(mask, values, 0), ctu)
+    m = _pad_to(jnp, mask.astype(jnp.int32), ctu)
+    hh, ww = v.shape
+    v4 = v.reshape(hh // ctu, ctu, ww // ctu, ctu)
+    m4 = m.reshape(hh // ctu, ctu, ww // ctu, ctu)
+    return v4.sum(axis=(1, 3)), m4.sum(axis=(1, 3))
+
+
+def _offsets_and_delta_dev(jnp, e_sum, cnt, sign_constrained, max_off):
+    off = jnp.where(cnt > 0,
+                    jnp.round(e_sum / jnp.maximum(cnt, 1)), 0.0)
+    off = jnp.clip(off, -max_off, max_off)
+    if sign_constrained is not None:
+        off = jnp.maximum(off, 0) if sign_constrained > 0 \
+            else jnp.minimum(off, 0)
+    off = off.astype(jnp.int32)
+    d0 = cnt * off * off - 2 * off * e_sum
+    shr = off - jnp.sign(off)
+    d1 = cnt * shr * shr - 2 * shr * e_sum
+    take = d1 < d0
+    return jnp.where(take, shr, off), jnp.where(take, d1, d0)
+
+
+def _sao_stats_dev(jnp, org, rec, ctu: int, bd: int):
+    """Per-CTU stats: edge (4 cls x 4 cat) sums/counts and band (32)."""
+    diff = org - rec
+    es, ec = [], []
+    for cls in range(4):
+        cat = _edge_categories_dev(jnp, rec, cls)
+        s = [None] * 4
+        c = [None] * 4
+        for k in range(1, 5):
+            s[k - 1], c[k - 1] = _ctu_reduce_dev(jnp, diff, cat == k,
+                                                 ctu)
+        es.append(jnp.stack(s))
+        ec.append(jnp.stack(c))
+    band = rec >> (bd - 5)
+    bs_, bc_ = [], []
+    for b in range(32):
+        s, c = _ctu_reduce_dev(jnp, diff, band == b, ctu)
+        bs_.append(s)
+        bc_.append(c)
+    return (jnp.stack(es), jnp.stack(ec),
+            jnp.stack(bs_), jnp.stack(bc_))      # (4,4,Y,X),(32,Y,X)
+
+
+def _choose_params_dev(jnp, es, ec, bsum, bcnt, lam, bd: int,
+                       force_type=None, force_cls=None):
+    """RD choice per CTU.  force_type/cls: Cr under Cb's shared type.
+    Returns (params (Y, X, 7) int32)."""
+    mo = max_offset(bd)
+    esf, ecf = es.astype(jnp.float32), ec.astype(jnp.float32)
+    # edge candidates: offsets per class (4, 4, Y, X)
+    e_off_p, e_del_p = _offsets_and_delta_dev(jnp, esf[:, :2],
+                                              ecf[:, :2], 1, mo)
+    e_off_n, e_del_n = _offsets_and_delta_dev(jnp, esf[:, 2:],
+                                              ecf[:, 2:], -1, mo)
+    e_off = jnp.concatenate([e_off_p, e_off_n], axis=1)
+    e_delta = (e_del_p.sum(axis=1) + e_del_n.sum(axis=1))  # (4, Y, X)
+    e_bits = 6.0 + jnp.abs(e_off).sum(axis=1)
+    e_cost = e_delta + lam * e_bits
+    best_cls = jnp.argmin(e_cost, axis=0)                  # (Y, X)
+    if force_cls is not None:
+        best_cls = force_cls
+    e_cost_b = jnp.take_along_axis(e_cost, best_cls[None], 0)[0]
+    e_off_b = jnp.take_along_axis(
+        e_off, best_cls[None, None], 0)[0]                 # (4, Y, X)
+
+    # band candidates
+    b_off, b_delta = _offsets_and_delta_dev(
+        jnp, bsum.astype(jnp.float32), bcnt.astype(jnp.float32),
+        None, mo)                                          # (32, Y, X)
+    runs = jnp.stack([b_delta[p:p + 4].sum(axis=0)
+                      for p in range(29)])                 # (29, Y, X)
+    best_pos = jnp.argmin(runs, axis=0)                    # (Y, X)
+    b_del_b = jnp.take_along_axis(runs, best_pos[None], 0)[0]
+    sel = jnp.stack([jnp.take_along_axis(
+        b_off, jnp.clip(best_pos + k, 0, 31)[None], 0)[0]
+        for k in range(4)])                                # (4, Y, X)
+    b_bits = 9.0 + (jnp.abs(sel) + (sel != 0)).sum(axis=0)
+    b_cost = b_del_b + lam * b_bits
+
+    off_cost = jnp.zeros_like(b_cost)
+    if force_type is None:
+        typ = jnp.where(
+            (e_cost_b < off_cost) & (e_cost_b <= b_cost), 2,
+            jnp.where(b_cost < off_cost, 1, 0)).astype(jnp.int32)
+    else:
+        typ = force_type
+    use_edge = typ == 2
+    offs = jnp.where(use_edge[None], e_off_b, sel)         # (4, Y, X)
+    offs = jnp.where((typ == 0)[None], 0, offs)
+    return jnp.stack(
+        [typ, jnp.where(use_edge, best_cls, 0).astype(jnp.int32),
+         jnp.where(typ == 1, best_pos, 0).astype(jnp.int32),
+         offs[0], offs[1], offs[2], offs[3]],
+        axis=-1)                                           # (Y, X, 7)
+
+
+def apply_sao_dev(jnp, rec, params, ctu: int, bd: int):
+    """Dense SAO apply: params (Y, X, 7) per CTU -> filtered plane."""
+    h, w = rec.shape
+    maxv = (1 << bd) - 1
+    cats = jnp.stack([_edge_categories_dev(jnp, rec, c)
+                      for c in range(4)])                  # (4, H, W)
+    iy = jnp.arange(h) // ctu
+    ix = jnp.arange(w) // ctu
+    px = params[iy[:, None], ix[None, :]]                  # (H, W, 7)
+    typ, cls, bpos = px[..., 0], px[..., 1], px[..., 2]
+    offs = px[..., 3:]                                     # (H, W, 4)
+    cat = jnp.take_along_axis(cats, cls[None], 0)[0]       # (H, W)
+    e_off = jnp.where(
+        cat > 0,
+        jnp.take_along_axis(offs, jnp.maximum(cat - 1, 0)[..., None],
+                            -1)[..., 0], 0)
+    bidx = ((rec >> (bd - 5)) - bpos) & 31
+    b_off = jnp.where(
+        bidx < 4,
+        jnp.take_along_axis(offs, jnp.minimum(bidx, 3)[..., None],
+                            -1)[..., 0], 0)
+    delta = jnp.where(typ == 2, e_off, jnp.where(typ == 1, b_off, 0))
+    return jnp.clip(rec + delta, 0, maxv)
+
+
+def sao_frame_dev(org_y, rec_y, org_u, rec_u, org_v, rec_v, ctu: int,
+                  lam: float, bd: int):
+    """Estimate + apply SAO for a whole picture on device.
+
+    Returns (new_y, new_u, new_v, params (Y, X, 3, 7) int32) with the
+    chroma type/class sharing rule (Cr follows Cb)."""
+    import jax.numpy as jnp
+
+    p_y = _choose_params_dev(jnp, *_sao_stats_dev(jnp, org_y, rec_y,
+                                                  ctu, bd), lam, bd)
+    p_cb = _choose_params_dev(jnp, *_sao_stats_dev(jnp, org_u, rec_u,
+                                                   ctu // 2, bd),
+                              lam, bd)
+    p_cr = _choose_params_dev(
+        jnp, *_sao_stats_dev(jnp, org_v, rec_v, ctu // 2, bd), lam, bd,
+        force_type=p_cb[..., 0], force_cls=p_cb[..., 1])
+    new_y = apply_sao_dev(jnp, rec_y, p_y, ctu, bd)
+    new_u = apply_sao_dev(jnp, rec_u, p_cb, ctu // 2, bd)
+    new_v = apply_sao_dev(jnp, rec_v, p_cr, ctu // 2, bd)
+    return new_y, new_u, new_v, jnp.stack([p_y, p_cb, p_cr], axis=2)
+
+
+def grid_from_packed(packed: np.ndarray):
+    """(nY, nX, 3, 7) int tensor -> [luma, cb, cr]-per-cell grid of
+    CtuSaoParams (the host/entropy-fallback representation)."""
+    ny, nx = packed.shape[:2]
+    return [[tuple(CtuSaoParams(int(packed[y, x, c, 0]),
+                                int(packed[y, x, c, 1]),
+                                int(packed[y, x, c, 2]),
+                                np.asarray(packed[y, x, c, 3:],
+                                           np.int32))
+                   for c in range(3)) for x in range(nx)]
+            for y in range(ny)]
+
+
 def apply_sao_plane(rec: np.ndarray, params: list[list[CtuSaoParams]],
                     ctu: int, bd: int) -> np.ndarray:
     """Apply SAO to one component; reads the full pre-SAO plane (the

@@ -118,3 +118,53 @@ def test_hm_oracle_deblock(tmp_path, gop, qp):
     bs.write_bytes(stream)
     log = decode(str(bs), str(tmp_path / "rec.yuv"))
     assert log.count("(OK)") == 3 and "ERROR" not in log, log
+
+
+def test_device_deblock_matches_numpy():
+    """deblock_frame_dev (gather-free jnp) must be bit-exact vs the
+    numpy path over random frame state (uniform 8x8 grid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hmtpu.ops.deblock import (
+        DeblockMeta,
+        deblock_frame,
+        deblock_frame_dev,
+    )
+
+    rng = np.random.RandomState(17)
+    w, h = 128, 96
+    for qp, bd in ((27, 8), (37, 8), (30, 10)):
+        maxv = (1 << bd) - 1
+        y = rng.randint(0, maxv + 1, (h, w)).astype(np.int32)
+        u = rng.randint(0, maxv + 1, (h // 2, w // 2)).astype(np.int32)
+        v = rng.randint(0, maxv + 1, (h // 2, w // 2)).astype(np.int32)
+        h4, w4 = h // 4, w // 4
+        intra8 = rng.rand(h // 8, w // 8) < 0.2
+        cbf8 = rng.rand(h // 8, w // 8) < 0.5
+        rep = lambda a: np.repeat(np.repeat(a, 2, 0), 2, 1)
+        intra4 = rep(intra8)
+        cbf4 = rep(cbf8)
+        mv_x = np.zeros((2, h4, w4), np.int32)
+        mv_y = np.zeros((2, h4, w4), np.int32)
+        mv_x[0] = rep(rng.randint(-32, 32, (h // 8, w // 8)))
+        mv_y[0] = rep(rng.randint(-32, 32, (h // 8, w // 8)))
+        ref_poc = np.full((2, h4, w4), -1, np.int32)
+        ref_poc[0] = np.where(intra4, -1, 9)
+
+        meta = DeblockMeta(intra=intra4, cbf=cbf4,
+                           mv_x=mv_x.copy(), mv_y=mv_y.copy(),
+                           ref_poc=ref_poc.copy())
+        want_y, want_u, want_v = y.copy(), u.copy(), v.copy()
+        deblock_frame(want_y, want_u, want_v, meta, qp, bd,
+                      cb_qp_off=1, cr_qp_off=-1)
+
+        got = deblock_frame_dev(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            jnp.asarray(intra4), jnp.asarray(cbf4),
+            jnp.asarray(mv_x), jnp.asarray(mv_y), jnp.asarray(ref_poc),
+            qp, bd, cb_qp_off=1, cr_qp_off=-1)
+        got = [np.asarray(g) for g in got]
+        np.testing.assert_array_equal(got[0], want_y, err_msg=f"y qp{qp}")
+        np.testing.assert_array_equal(got[1], want_u, err_msg=f"u qp{qp}")
+        np.testing.assert_array_equal(got[2], want_v, err_msg=f"v qp{qp}")

@@ -160,9 +160,16 @@ def test_pslice_native_writer_matches_python_walk():
                           decisions, sh, sao=None):
             nat = super()._entropy_pass(qp, modes, skip_map, intra_map,
                                         decisions, sh, sao=sao)
+            sao_py = sao
+            if isinstance(sao, tuple) and sao[0] == "packed":
+                from hmtpu.ops.sao import grid_from_packed
+                ny = self.sps.pic_height_in_ctus
+                nx = self.sps.pic_width_in_ctus
+                sao_py = (grid_from_packed(
+                    sao[1].reshape(ny, nx, 3, 7)), True, True)
             py = PFrameEncoder._entropy_pass(
                 self, qp, modes, skip_map, intra_map, decisions, sh,
-                sao=sao)
+                sao=sao_py)
             assert nat == py
             seen.append(len(nat))
             return nat

@@ -121,3 +121,55 @@ def test_sao_e2e_hm_oracle(tmp_path):
         p.write_bytes(enc.encode_sequence(frames))
         log = decode(str(p), str(tmp_path / "rec.yuv"))
         assert log.count("(OK)") == len(frames), f"{gop}/qp{qp}:\n{log}"
+
+
+def _grid_from_packed(packed):
+    from hmtpu.ops.sao import CtuSaoParams
+    ny, nx = packed.shape[:2]
+    return [[CtuSaoParams(int(packed[y, x, 0]), int(packed[y, x, 1]),
+                          int(packed[y, x, 2]),
+                          np.asarray(packed[y, x, 3:], np.int32))
+             for x in range(nx)] for y in range(ny)]
+
+
+def test_device_sao_apply_matches_host():
+    """apply_sao_dev must equal apply_sao_plane for identical params —
+    the applied offsets are normative (the decoder re-applies them)."""
+    import jax.numpy as jnp
+
+    from hmtpu.ops.sao import (
+        apply_sao_dev,
+        apply_sao_plane,
+        estimate_sao_plane,
+        sao_frame_dev,
+    )
+
+    rng = np.random.RandomState(3)
+    h, w = 160, 224
+    org = rng.randint(0, 256, (h, w)).astype(np.int32)
+    rec = np.clip(org + rng.randint(-6, 7, (h, w)), 0, 255) \
+        .astype(np.int32)
+    # params chosen by the device estimator, applied both ways
+    oy, ou, ov = org, org[:h // 2, :w // 2], org[:h // 2, :w // 2]
+    ry, ru, rv = rec, rec[:h // 2, :w // 2], rec[:h // 2, :w // 2]
+    ny, nu, nv, packed = sao_frame_dev(
+        jnp.asarray(oy), jnp.asarray(ry), jnp.asarray(ou),
+        jnp.asarray(ru), jnp.asarray(ov), jnp.asarray(rv),
+        64, 100.0, 8)
+    packed = np.asarray(packed)
+    grid_y = _grid_from_packed(packed[:, :, 0])
+    host_y = apply_sao_plane(ry, grid_y, 64, 8)
+    np.testing.assert_array_equal(np.asarray(ny), host_y)
+    # chroma grids live on the ctu/2 grid
+    cgrid = _grid_from_packed(packed[:, :, 1])
+    host_u = apply_sao_plane(ru, cgrid, 32, 8)
+    np.testing.assert_array_equal(np.asarray(nu), host_u)
+    # the estimator must actually improve distortion vs no SAO
+    mse_before = np.mean((oy - ry) ** 2)
+    mse_after = np.mean((oy - np.asarray(ny)) ** 2)
+    assert mse_after <= mse_before
+    # and its choices should be competitive with the host estimator
+    host_params = estimate_sao_plane(oy, ry, 64, 100.0, 8)
+    host_applied = apply_sao_plane(ry, host_params, 64, 8)
+    mse_host = np.mean((oy - host_applied) ** 2)
+    assert mse_after <= mse_host * 1.02
