@@ -407,31 +407,39 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     small = dict(rec_y=rec_t, rec_u=rec_t, rec_v=rec_t,
                  blk=jnp.int16, levs=jnp.int16, imode=jnp.int8,
                  sao=jnp.int8)
-    return {k: v.astype(small[k]) for k, v in st.items()}
+    dev_planes = (st["rec_y"].reshape(h, w),
+                  st["rec_u"].reshape(h // 2, w // 2),
+                  st["rec_v"].reshape(h // 2, w // 2))
+    return {k: v.astype(small[k]) for k, v in st.items()}, dev_planes
 
 
 class PFrameDeviceEncoder(PFrameEncoder):
     """Drop-in replacement for PFrameEncoder on P slices: same analyze()
     contract, decision pass on device (entropy pass inherited)."""
 
-    def analyze(self, frame: Frame, qp: int, refs: list[Frame],
-                ref_pocs: list[int], poc: int, sh: SliceHeader,
-                refs_l1=None, ref_pocs_l1=None):
-        assert sh.slice_type == SliceType.P, "device path is P-only"
+    def launch(self, frame: Frame, qp: int, refs: list[Frame],
+               ref_pocs: list[int], poc: int, sh: SliceHeader):
+        """Dispatch the frame's device pass; returns an opaque context
+        for finish().  Reference frames carrying a `.dev` attribute
+        (device plane triple from a previous launch) are used in place
+        without re-upload — the DPB stays device-resident."""
         sps = self.sps
         w, h = sps.pic_width, sps.pic_height
         bd = self.bd
-        bw, bh = w // 8, h // 8
         qpc = chroma_qp_from_luma(qp + self.pps.cb_qp_offset)
-
         dev = _dev_static(w, h, sps.log2_ctu_size)
-        refs_y = jnp.asarray(np.stack([r.y for r in refs]), jnp.int32)
-        refs_u = jnp.asarray(np.stack([r.u for r in refs]), jnp.int32)
-        refs_v = jnp.asarray(np.stack([r.v for r in refs]), jnp.int32)
+
+        def plane(r, i, host):
+            d = getattr(r, "dev", None)
+            return d[i] if d is not None else jnp.asarray(host, jnp.int32)
+
+        refs_y = jnp.stack([plane(r, 0, r.y) for r in refs])
+        refs_u = jnp.stack([plane(r, 1, r.u) for r in refs])
+        refs_v = jnp.stack([plane(r, 2, r.v) for r in refs])
 
         deblock_on = not self.pps.deblocking_filter_disabled
         sao_on = bool(sps.sao_enabled)
-        st = full_pframe_pass(
+        st, dev_planes = full_pframe_pass(
             jnp.asarray(frame.y, jnp.int32), jnp.asarray(frame.u, jnp.int32),
             jnp.asarray(frame.v, jnp.int32), refs_y, refs_u, refs_v,
             self.nn_params,
@@ -443,11 +451,28 @@ class PFrameDeviceEncoder(PFrameEncoder):
             subpel=self.subpel, deblock=deblock_on, sao=sao_on,
             ctu=sps.ctu_size, cb_off=self.pps.cb_qp_offset,
             cr_off=self.pps.cr_qp_offset)
+        return dict(st=st, dev=dev_planes, sao_on=sao_on,
+                    deblock_on=deblock_on)
 
-        st = jax.device_get(st)       # one transfer for the whole pytree
+    def analyze(self, frame: Frame, qp: int, refs: list[Frame],
+                ref_pocs: list[int], poc: int, sh: SliceHeader,
+                refs_l1=None, ref_pocs_l1=None):
+        assert sh.slice_type == SliceType.P, "device path is P-only"
+        return self.finish(self.launch(frame, qp, refs, ref_pocs, poc,
+                                       sh))
+
+    def finish(self, ctx):
+        """Pull the decision tensors and build the host-side outputs."""
+        sps = self.sps
+        w, h = sps.pic_width, sps.pic_height
+        bd = self.bd
+        bw, bh = w // 8, h // 8
+        sao_on = ctx["sao_on"]
+
+        st = jax.device_get(ctx["st"])  # one transfer, whole pytree
         st = {k: v.astype(np.int32) for k, v in st.items()}
         # in-loop filters already ran on device; tell the top level
-        self.post_done = deblock_on or sao_on
+        self.post_done = ctx["deblock_on"] or sao_on
         self._sao_packed = st["sao"].reshape(-1, 21) if sao_on else None
         rec_y = st["rec_y"].reshape(h, w)
         rec_u = st["rec_u"].reshape(h // 2, w // 2)
@@ -506,6 +531,7 @@ class PFrameDeviceEncoder(PFrameEncoder):
         skip_map = (kind == 0).astype(np.int32)
         intra_map = (kind == 3).astype(np.int32)
         recon = Frame(rec_y, rec_u, rec_v, bd)
+        recon.dev = ctx["dev"]        # device-resident DPB planes
         self._nat = dict(kind=kind, mi=mi, mvdx=mvdx, mvdy=mvdy,
                          mvpi=mvpi, refi=fref, imode=imode, levy=levy,
                          levcb=levcb, levcr=levcr)

@@ -165,8 +165,24 @@ class Encoder:
     def encode_sequence(self, frames: list[Frame]) -> bytes:
         out = bytearray()
         if self.cfg.gop != "ra":
+            # two-phase pipeline: while the device computes frame N+1
+            # (whose references live on device), the host pulls frame
+            # N's decision tensors and runs entropy/hash
+            pending = None
             for poc, frame in enumerate(frames):
-                out.extend(write_annexb(self.encode_frame_au(frame, poc)))
+                if self._is_idr(poc) or not self.cfg.wavefront:
+                    if pending is not None:
+                        out.extend(write_annexb(self._finish_p(pending)))
+                        pending = None
+                    out.extend(write_annexb(
+                        self.encode_frame_au(frame, poc)))
+                else:
+                    launched = self._launch_p(frame, poc)
+                    if pending is not None:
+                        out.extend(write_annexb(self._finish_p(pending)))
+                    pending = launched
+            if pending is not None:
+                out.extend(write_annexb(self._finish_p(pending)))
             return bytes(out)
 
         sched = self._ra_schedule(len(frames))
@@ -184,12 +200,74 @@ class Encoder:
             dpb_map[poc] = self._last_recon
         return bytes(out)
 
+    # -- two-phase P-frame pipeline (device wavefront path) -----------------
+    def _launch_p(self, frame: Frame, poc: int) -> dict:
+        """Dispatch frame's device pass; a device-plane placeholder
+        enters the DPB immediately so the next frame can launch without
+        waiting for this one's host side."""
+        from hmtpu.encoder.pframe_dev import PFrameDeviceEncoder
+
+        t0 = time.time()
+        cfg = self.cfg
+        rel_poc = poc - self._last_idr
+        n_ref = min(cfg.num_refs, len(self.dpb))
+        refs = [f for _, f in self.dpb[-n_ref:]][::-1]
+        ref_pocs = [p for p, _ in self.dpb[-n_ref:]][::-1]
+        negs = [(rel_poc - p, True) for p in ref_pocs]
+        sh = SliceHeader(
+            slice_type=SliceType.P, pps_id=0, slice_qp=cfg.qp,
+            pic_order_cnt_lsb=rel_poc, nal_type=NalUnitType.TRAIL_R,
+            negative_refs=negs, num_ref_idx_l0=n_ref,
+            five_minus_max_num_merge_cand=5 - cfg.max_num_merge_cand)
+        pe = PFrameDeviceEncoder(self.sps, self.pps, subpel=cfg.subpel,
+                                 nn_params=self.nn_params,
+                                 search_range=cfg.search_range)
+        ctx = pe.launch(frame, cfg.qp, refs, ref_pocs, rel_poc, sh)
+        ph = Frame(None, None, None, cfg.bit_depth)
+        ph.dev = ctx["dev"]
+        self.dpb.append((rel_poc, ph))
+        if len(self.dpb) > max(cfg.num_refs, 1):
+            self.dpb = self.dpb[-max(cfg.num_refs, 1):]
+        return dict(pe=pe, ctx=ctx, sh=sh, frame=frame, poc=poc,
+                    ph=ph, t0=t0)
+
+    def _finish_p(self, launched: dict) -> list[NalUnit]:
+        """Host half: pull decisions, entropy-code, hash, account."""
+        cfg = self.cfg
+        pe, sh, frame = launched["pe"], launched["sh"], launched["frame"]
+        recon, field, decisions, maps = pe.finish(launched["ctx"])
+        ph = launched["ph"]
+        ph.y, ph.u, ph.v = recon.y, recon.u, recon.v
+
+        sao = None
+        if self.sps.sao_enabled:
+            sh.sao_luma = True
+            sh.sao_chroma = True
+            sao = ("packed", pe._sao_packed)
+        slice_rbsp = pe._entropy_pass(cfg.qp, *maps, decisions, sh,
+                                      sao=sao)
+        bw = write_slice_header(sh, self.sps, self.pps)
+        bw.write_bytes(slice_rbsp)
+        nals = [NalUnit(sh.nal_type, bw.get_bytes())]
+        if cfg.decoded_picture_hash:
+            digests = picture_md5(recon.planes(), [cfg.bit_depth] * 3)
+            nals.append(make_hash_sei_nal(digests))
+        maxv = (1 << cfg.bit_depth) - 1
+        total_bits = sum(len(n.to_bytes()) * 8 for n in nals)
+        self.results.append(FrameResult(
+            launched["poc"], total_bits,
+            psnr(frame.y, recon.y, maxv),
+            psnr(frame.u, recon.u, maxv),
+            psnr(frame.v, recon.v, maxv),
+            time.time() - launched["t0"], "P"))
+        self._last_recon = recon
+        return nals
+
     def encode_frame_au(self, frame: Frame, poc: int,
                         ra=None) -> list[NalUnit]:
         t0 = time.time()
         cfg = self.cfg
         nals: list[NalUnit] = []
-        device_post = False      # in-loop filters already run on device
         is_idr = self._is_idr(poc) if ra is None else poc == 0
         if poc == 0:
             nals += [write_vps(self.vps), write_sps(self.sps),
@@ -207,6 +285,8 @@ class Encoder:
             rel_poc = 0
             field, ref_pocs, ref_pocs_l1 = None, [], []
         elif ra is None:
+            if cfg.wavefront:
+                return nals + self._finish_p(self._launch_p(frame, poc))
             rel_poc = poc - self._last_idr       # POC restarts at each IDR
             n_ref = min(cfg.num_refs, len(self.dpb))
             refs = [f for _, f in self.dpb[-n_ref:]][::-1]   # newest first
@@ -218,20 +298,12 @@ class Encoder:
                 pic_order_cnt_lsb=rel_poc, nal_type=NalUnitType.TRAIL_R,
                 negative_refs=negs, num_ref_idx_l0=n_ref,
                 five_minus_max_num_merge_cand=5 - cfg.max_num_merge_cand)
-            if cfg.wavefront:
-                from hmtpu.encoder.pframe_dev import PFrameDeviceEncoder
-                pe = PFrameDeviceEncoder(
-                    self.sps, self.pps, subpel=cfg.subpel,
-                    nn_params=self.nn_params,
-                    search_range=cfg.search_range)
-            else:
-                pe = PFrameEncoder(self.sps, self.pps, subpel=cfg.subpel,
-                                   nn_params=self.nn_params,
-                                   search_range=cfg.search_range)
+            pe = PFrameEncoder(self.sps, self.pps, subpel=cfg.subpel,
+                               nn_params=self.nn_params,
+                               search_range=cfg.search_range)
             recon, field, decisions, maps = pe.analyze(
                 frame, cfg.qp, refs, ref_pocs, rel_poc, sh)
             stype = "P"
-            device_post = getattr(pe, "post_done", False)
         else:
             # random access: B slice with RPS covering the retained DPB
             used, retained = ra
@@ -265,7 +337,7 @@ class Encoder:
                 ref_pocs_l1)
             stype = "B"
 
-        if cfg.deblock and not device_post:
+        if cfg.deblock:
             from hmtpu.common.motion import PicMotion
             from hmtpu.ops.deblock import deblock_frame, \
                 meta_from_frame_state
@@ -289,11 +361,7 @@ class Encoder:
                           cr_qp_off=self.pps.cr_qp_offset)
 
         sao = None
-        if device_post and self.sps.sao_enabled:
-            sh.sao_luma = True
-            sh.sao_chroma = True
-            sao = ("packed", pe._sao_packed)
-        elif self.sps.sao_enabled:
+        if self.sps.sao_enabled:
             from hmtpu.common.spec_tables import chroma_qp_from_luma
             from hmtpu.ops.sao import (
                 apply_sao_plane,
