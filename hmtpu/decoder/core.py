@@ -260,9 +260,10 @@ class Decoder:
 
         def add_inter_residual(x0, y0, n, pl, pu, pv, cbf_y, cbf_cb,
                                cbf_cr):
+            log2 = n.bit_length() - 1
             if cbf_y:
-                lev = decode_residual(dec, ctx, 3, True, 0, sdh)
-                deq = dequantize_np(lev, qp, 3, bd)
+                lev = decode_residual(dec, ctx, log2, True, 0, sdh)
+                deq = dequantize_np(lev, qp, log2, bd)
                 ry = inverse_np(deq[None], bd)[0]
             else:
                 ry = 0
@@ -270,8 +271,9 @@ class Decoder:
             cx, cy = x0 // 2, y0 // 2
             for cbf, pc, plane in ((cbf_cb, pu, rec_u), (cbf_cr, pv, rec_v)):
                 if cbf:
-                    lev = decode_residual(dec, ctx, 2, False, 0, sdh)
-                    deq = dequantize_np(lev, qpc, 2, bd)
+                    lev = decode_residual(dec, ctx, log2 - 1, False, 0,
+                                          sdh)
+                    deq = dequantize_np(lev, qpc, log2 - 1, bd)
                     rc = inverse_np(deq[None], bd)[0]
                 else:
                     rc = 0
@@ -296,7 +298,7 @@ class Decoder:
                 skip = dec.decode_bin(ctx, OFF["SKIP_FLAG"]
                                       + skip_ctx_inc(bxi, byi))
                 if skip:
-                    skip_map[byi, bxi] = 1
+                    skip_map[byi:(y0 + n) // 8, bxi:(x0 + n) // 8] = 1
                     mi = decode_merge_idx(dec, ctx, max_merge)
                     cands = merge_candidates(mctx, x0, y0, n, n, max_merge,
                                              num_ref, is_b, num_ref_l1)
@@ -369,7 +371,7 @@ class Decoder:
                 cbf_y = dec.decode_bin(ctx, OFF["QT_CBF_LUMA"] + 1)
             else:
                 cbf_y = 1   # inferred: rqt_root_cbf promised residual
-            cbf_map[byi, bxi] = bool(cbf_y)
+            cbf_map[byi:(y0 + n) // 8, bxi:(x0 + n) // 8] = bool(cbf_y)
             add_inter_residual(x0, y0, n, pl, pu, pv, cbf_y, cbf_cb, cbf_cr)
 
         def split_ctx_inc(x0, y0, depth):

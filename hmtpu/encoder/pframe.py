@@ -56,6 +56,7 @@ from hmtpu.ops.transform import forward_np, inverse_np
 @dataclass
 class PuDec:
     kind: str                      # 'skip' | 'merge' | 'amvp' | 'intra'
+    log2: int = 3                  # CU size (8x8 or 16x16 inter)
     merge_idx: int = 0
     mv: tuple = (0, 0)             # final quarter-pel MV (L0)
     mvd: tuple = (0, 0)
@@ -518,7 +519,7 @@ class PFrameEncoder:
 
     # -- entropy ------------------------------------------------------------
     def _entropy_pass(self, qp, modes, skip_map, intra_map, decisions,
-                      sh: SliceHeader, sao=None) -> bytes:
+                      sh: SliceHeader, sao=None, depth8=None) -> bytes:
         from hmtpu.entropy.recorder import make_backend
         from hmtpu.entropy.sao_syntax import encode_sao_ctu
 
@@ -541,7 +542,7 @@ class PFrameEncoder:
                 inc += 1
             return inc
 
-        def encode_cu(x0, y0):
+        def encode_cu(x0, y0, log2=3):
             bxi, byi = x0 // 8, y0 // 8
             d = decisions[(x0, y0)]
             enc.encode_bin(OFF["SKIP_FLAG"] + skip_ctx_inc(bxi, byi),
@@ -549,6 +550,8 @@ class PFrameEncoder:
             if d.kind == "skip":
                 encode_merge_idx(enc, d.merge_idx, max_merge)
                 return
+            assert log2 == 3 or (log2 == 4 and d.kind != "intra"), \
+                "intra CUs are 8x8 in this envelope"
             enc.encode_bin(OFF["PRED_MODE"], int(d.kind == "intra"))
             if d.kind == "intra":
                 enc.encode_bin(OFF["PART_SIZE"], 1)   # 2Nx2N
@@ -617,34 +620,43 @@ class PFrameEncoder:
                 enc.encode_bin(OFF["QT_CBF_LUMA"] + 1, int(cbf_y))
             # else cbf_luma inferred 1
             if cbf_y:
-                enc.residual(d.lev_y, 3, True, 0, sdh)
+                enc.residual(d.lev_y, log2, True, 0, sdh)
             if cbf_cb:
-                enc.residual(d.lev_cb, 2, False, 0, sdh)
+                enc.residual(d.lev_cb, log2 - 1, False, 0, sdh)
             if cbf_cr:
-                enc.residual(d.lev_cr, 2, False, 0, sdh)
+                enc.residual(d.lev_cr, log2 - 1, False, 0, sdh)
+
+        # depth of the coding tree per 8x8 cell: the real split-flag
+        # context rule (9.3.4.2.2) compares neighbour CU depths
+        d8 = depth8 if depth8 is not None \
+            else np.full((h // 8, w // 8), sps.log2_ctu_size - 3,
+                         dtype=np.int32)
 
         def split_ctx_inc(x0, y0, depth):
+            bxi, byi = x0 // 8, y0 // 8
             inc = 0
-            if x0 > 0:
-                inc += 1 if 3 > depth else 0
-            if y0 > 0:
-                inc += 1 if 3 > depth else 0
+            if x0 > 0 and d8[byi, bxi - 1] > depth:
+                inc += 1
+            if y0 > 0 and d8[byi - 1, bxi] > depth:
+                inc += 1
             return inc
 
         def encode_quadtree(x0, y0, log2, depth):
             size = 1 << log2
             inside = x0 + size <= w and y0 + size <= h
+            split = d8[y0 // 8, x0 // 8] > depth
             if inside and log2 > 3:
                 enc.encode_bin(OFF["SPLIT_FLAG"]
-                               + split_ctx_inc(x0, y0, depth), 1)
-            if log2 > 3:
+                               + split_ctx_inc(x0, y0, depth),
+                               int(split))
+            if log2 > 3 and (split or not inside):
                 half = size >> 1
                 for dy, dx in ((0, 0), (0, half), (half, 0), (half, half)):
                     if x0 + dx < w and y0 + dy < h:
                         encode_quadtree(x0 + dx, y0 + dy, log2 - 1,
                                         depth + 1)
             else:
-                encode_cu(x0, y0)
+                encode_cu(x0, y0, log2)
 
         n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
         for cty in range(n_ctu_y):

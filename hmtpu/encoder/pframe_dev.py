@@ -55,6 +55,7 @@ from hmtpu.ops.transform import forward_transform, inverse_transform
 from hmtpu.search.wavefront import (
     amvp_candidates_dev,
     block_schedule,
+    block_schedule16,
     merge_candidates_dev,
     mv_bits_dev,
     static_ref_gather,
@@ -71,12 +72,20 @@ def _dev_static(w: int, h: int, log2_ctu: int):
     sched = block_schedule(w, h, log2_ctu)
     sub_y, none_y = static_ref_gather(w, h, log2_ctu, 8)
     sub_c, none_c = static_ref_gather(w // 2, h // 2, log2_ctu - 1, 4)
+    sched16 = None
+    if w % 16 == 0 and h % 16 == 0:
+        s16 = block_schedule16(w, h, log2_ctu)
+        sched16 = (jnp.asarray(s16["lv_blk"]),
+                   jnp.asarray(s16["cells"]),
+                   jnp.asarray(s16["nb_ok"]),
+                   jnp.asarray(s16["nb_cell"]))
     return dict(
         lv_blk=jnp.asarray(sched["lv_blk"]),
         nb_ok=jnp.asarray(sched["nb_ok"].reshape(-1, 5)),
         nb_flat=jnp.asarray(sched["nb_flat"].reshape(-1, 5)),
         sub_y=jnp.asarray(sub_y), none_y=jnp.asarray(none_y),
         sub_c=jnp.asarray(sub_c), none_c=jnp.asarray(none_c),
+        sched16=sched16,
     )
 
 
@@ -86,42 +95,89 @@ def _blockify(plane, n):
         .reshape(-1, n, n)
 
 
-def _est_bits(lev):
-    """Residual-rate estimate matching pframe.est_level_bits: 1 if all
-    zero, else 8 + 2*nnz + 2*sum(bit_length(|l|))."""
+@lru_cache(maxsize=None)
+def _scan_pos_table(log2: int) -> np.ndarray:
+    """Raster index -> diagonal-scan position (for the rate model)."""
+    from hmtpu.common.scan import scan_order
+
+    so = scan_order(log2, 0).reshape(-1)
+    spos = np.empty(so.size, np.int32)
+    spos[so] = np.arange(so.size)
+    return spos
+
+
+def _est_bits(lev, log2: int):
+    """residual_coding rate model, least-squares-calibrated against the
+    real CABAC engine's marginal cost on encoder output (rms ~4.7 bits;
+    the old 8+2*nnz+2*bitlen model underestimated sparse high-frequency
+    blocks ~2x): 3.1 + 2.0*nnz + 1.5*sum(bitlen) + 0.28*last_scan_pos;
+    1 bit (the cbf flag) when all-zero."""
     a = jnp.abs(lev)
-    bl = jnp.where(a > 0,
-                   32 - jax.lax.clz(a.astype(jnp.uint32)), 0) \
+    nz = a > 0
+    bl = jnp.where(nz, 32 - jax.lax.clz(a.astype(jnp.uint32)), 0) \
         .astype(jnp.float32)
-    nnz = jnp.sum((a > 0).astype(jnp.float32), axis=(-1, -2))
-    tot = 8.0 + 2.0 * nnz + 2.0 * jnp.sum(bl, axis=(-1, -2))
+    nnz = jnp.sum(nz.astype(jnp.float32), axis=(-1, -2))
+    spos = jnp.asarray(_scan_pos_table(log2)).reshape(lev.shape[-2:])
+    last = jnp.max(jnp.where(nz, spos[None], -1), axis=(-1, -2)) \
+        .astype(jnp.float32)
+    tot = 3.1 + 2.0 * nnz + 1.5 * jnp.sum(bl, axis=(-1, -2)) \
+        + 0.28 * jnp.maximum(last, 0.0)
     return jnp.where(nnz > 0, tot, 1.0)
 
 
-def _code(org, pred, qp: int, log2: int, bd: int):
-    """transform -> quant -> dequant -> inverse -> clip; returns
-    (lev, rec, sse, bits)."""
+def _code(org, pred, qp: int, log2: int, bd: int, lam=None):
+    """transform -> quant -> RDOQ-lite -> dequant -> inverse -> clip;
+    returns (lev, rec, sse, bits).
+
+    RDOQ-lite (capability parity with TComTrQuant::xRateDistOptQuant,
+    TComTrQuant.cpp:2129, vectorised): each coefficient independently
+    picks argmin over {level, level-1, 0} of coefficient-domain
+    distortion (exact scale 2^-2*(15-bd-log2) to pixel SSE) plus the
+    calibrated per-coefficient rate."""
     n = 1 << log2
     resi = org - pred
     coef = forward_transform(resi, n, bd)
     lev = quantize(coef, qp, log2, bd, True)
+    if lam is not None:
+        c = jnp.float32(2.0 ** (-2 * (15 - bd - log2)))
+        sign = jnp.sign(lev)
+        a = jnp.abs(lev)
+
+        def bl(x):
+            return jnp.where(
+                x > 0, 32 - jax.lax.clz(x.astype(jnp.uint32)), 0) \
+                .astype(jnp.float32)
+
+        co = coef.astype(jnp.float32)
+        dq = dequantize(lev, qp, log2, bd).astype(jnp.float32)
+        dqm = dequantize(lev - sign, qp, log2, bd).astype(jnp.float32)
+        d_keep = (co - dq) ** 2 * c + lam * (2.0 + 1.5 * bl(a))
+        d_m1 = (co - dqm) ** 2 * c \
+            + lam * jnp.where(a > 1, 2.0 + 1.5 * bl(a - 1), 0.0)
+        d_zero = co * co * c
+        use_z = (a > 0) & (d_zero < d_keep) & (d_zero < d_m1)
+        use_m = (a > 0) & ~use_z & (d_m1 < d_keep)
+        lev = jnp.where(use_z, 0, jnp.where(use_m, lev - sign, lev))
     deq = dequantize(lev, qp, log2, bd)
     r = inverse_transform(deq, n, bd)
     rec = jnp.clip(pred + r, 0, (1 << bd) - 1)
     sse = jnp.sum((org - rec) ** 2, axis=(-1, -2)).astype(jnp.float32)
-    return lev, rec, sse, _est_bits(lev)
+    return lev, rec, sse, _est_bits(lev, log2)
 
 
 @partial(jax.jit, static_argnames=("w", "h", "num_ref", "max_merge",
-                                   "qp", "qpc", "bd"))
+                                   "qp", "qpc", "bd", "qp_factor",
+                                   "two_level"))
 def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
-                   mv_x, mv_y, lv_blk, nb_ok, nb_flat,
+                   mv_x, mv_y, mv_ref, lv_blk, nb_ok, nb_flat,
                    sub_y, none_y, sub_u, none_c, ref_pocs, cur_poc,
+                   mv16=None, sched16=None,
                    *, w: int, h: int, num_ref: int, max_merge: int,
-                   qp: int, qpc: int, bd: int):
+                   qp: int, qpc: int, bd: int,
+                   qp_factor: float = 0.57, two_level: bool = False):
     bw, bh = w // 8, h // 8
     P = bw * bh
-    lam = jnp.float32(0.57 * 2.0 ** ((qp - 12) / 3.0))
+    lam = jnp.float32(qp_factor * 2.0 ** ((qp - 12) / 3.0))
     lam_sqrt = jnp.sqrt(lam)
     mid = jnp.int32(1 << (bd - 1))
     bidx = jnp.arange(P)
@@ -133,14 +189,16 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 
     # ---- phase 1a: AMVP candidate prediction + residual for all blocks
     mvxf, mvyf = mv_x.reshape(-1), mv_y.reshape(-1)
-    pred_a = mc_luma_batch(refs_y[0], x0_all, y0_all, mvxf, mvyf, 8, 8, bd)
-    pred_au = mc_chroma_batch(refs_u[0], bx_all * 4, by_all * 4,
-                              mvxf, mvyf, 4, 4, bd)
-    pred_av = mc_chroma_batch(refs_v[0], bx_all * 4, by_all * 4,
-                              mvxf, mvyf, 4, 4, bd)
-    lev_ay, rec_ay, d_ay, b_ay = _code(org_blk, pred_a, qp, 3, bd)
-    lev_au, rec_au, d_au, b_au = _code(orgu_blk, pred_au, qpc, 2, bd)
-    lev_av, rec_av, d_av, b_av = _code(orgv_blk, pred_av, qpc, 2, bd)
+    rself = mv_ref.reshape(-1)
+    pred_a = mc_luma_batch_refs(refs_y, rself, x0_all, y0_all,
+                                mvxf, mvyf, 8, 8, bd)
+    pred_au = mc_chroma_batch_refs(refs_u, rself, bx_all * 4, by_all * 4,
+                                   mvxf, mvyf, 4, 4, bd)
+    pred_av = mc_chroma_batch_refs(refs_v, rself, bx_all * 4, by_all * 4,
+                                   mvxf, mvyf, 4, 4, bd)
+    lev_ay, rec_ay, d_ay, b_ay = _code(org_blk, pred_a, qp, 3, bd, lam)
+    lev_au, rec_au, d_au, b_au = _code(orgu_blk, pred_au, qpc, 2, bd, lam)
+    lev_av, rec_av, d_av, b_av = _code(orgv_blk, pred_av, qpc, 2, bd, lam)
     dist_a = d_ay + d_au + d_av
     bits_a_lev = b_ay + b_au + b_av
 
@@ -162,18 +220,19 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     # state is packed into one (P, 9) tensor [kind, mi, mvdx, mvdy,
     # mvpi, dir, mvx, mvy, ref] and one (P, 96) level tensor so each
     # step costs one gather + one scatter per consumer.
-    K_KIND, K_MI, K_MVDX, K_MVDY, K_MVPI, K_DIR, K_MVX, K_MVY, K_REF = \
-        range(9)
+    K_KIND, K_MI, K_MVDX, K_MVDY, K_MVPI, K_DIR, K_MVX, K_MVY, K_REF, \
+        K_SZ = range(10)
     state = dict(
         rec_y=jnp.zeros(h * w, jnp.int32),
         rec_u=jnp.zeros(h * w // 4, jnp.int32),
         rec_v=jnp.zeros(h * w // 4, jnp.int32),
-        blk=jnp.zeros((P, 9), jnp.int32),
+        blk=jnp.zeros((P, 10), jnp.int32),
         levs=jnp.zeros((P, 96), jnp.int32),
     )
 
-    def step(st, blk):
-        valid = blk >= 0
+    def cell_step(st, blk, valid):
+        """Decide one batch of 8x8 CUs against the committed state;
+        returns (new state, chosen RD cost per lane)."""
         b = jnp.where(valid, blk, 0)
         byi, bxi = b // bw, b % bw
         x0, y0 = bxi * 8, byi * 8
@@ -214,10 +273,11 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                  + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
                  ).astype(jnp.float32)
 
-        # AMVP: exact list -> mvd bits
+        # AMVP: exact list (per-block target ref) -> mvd bits
         nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
+        aref = rself[b]
         p0x, p0y, p1x, p1y = amvp_candidates_dev(
-            nbv, nmx, nmy, nb_refpoc, ref_pocs[0], cur_poc)
+            nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc)
         amx, amy = mvxf[b], mvyf[b]
         bits0 = mv_bits_dev(amx - p0x, amy - p0y)
         bits1 = mv_bits_dev(amx - p1x, amy - p1y)
@@ -226,7 +286,11 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         mvdx = jnp.where(use1, amx - p1x, amx - p0x)
         mvdy = jnp.where(use1, amy - p1y, amy - p0y)
         bits_mvd = jnp.minimum(bits0, bits1).astype(jnp.float32)
-        cost_amvp = dist_a[b] + lam * (6.0 + bits_mvd + bits_a_lev[b])
+        ref_bits = jnp.where(aref == 0, 1.0,
+                             (1 + jnp.minimum(aref, num_ref - 2))
+                             .astype(jnp.float32)) if num_ref > 1 else 0.0
+        cost_amvp = dist_a[b] + lam * (5.0 + ref_bits + bits_mvd
+                                       + bits_a_lev[b])
 
         # intra prediction: exact, from committed recon
         iref = jnp.where(none_y[b, None], mid, st["rec_y"][sub_y[b]])
@@ -243,14 +307,14 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         # fused residual coding: merge+intra luma in one transform
         # batch, all four chroma blocks in another
         levY2, recY2, dY2, bY2 = _code(
-            two(org), jnp.concatenate([pred_m, ipred]), qp, 3, bd)
+            two(org), jnp.concatenate([pred_m, ipred]), qp, 3, bd, lam)
         lev_my, lev_iy = levY2[:B], levY2[B:]
         rec_my, rec_iy = recY2[:B], recY2[B:]
         d_my, d_iy = dY2[:B], dY2[B:]
         b_my, b_iy = bY2[:B], bY2[B:]
         orgC4 = jnp.concatenate([orgu, orgv, orgu, orgv])
         predC4 = jnp.concatenate([pred_mu, pred_mv_, cpu, cpv])
-        levC4, recC4, dC4, bC4 = _code(orgC4, predC4, qpc, 2, bd)
+        levC4, recC4, dC4, bC4 = _code(orgC4, predC4, qpc, 2, bd, lam)
         lev_mu, lev_mv_, lev_iu, lev_iv = jnp.split(levC4, 4)
         rec_mu, rec_mv_, rec_iu, rec_iv = jnp.split(recC4, 4)
         d_mu, d_mv, d_iu, d_iv = jnp.split(dC4, 4)
@@ -290,11 +354,11 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 
         new_mvx = pick4(w_mvx, w_mvx, amx, jnp.zeros_like(amx))
         new_mvy = pick4(w_mvy, w_mvy, amy, jnp.zeros_like(amy))
-        new_ref = pick4(w_ref, w_ref, jnp.zeros_like(w_ref),
-                        jnp.zeros_like(w_ref))
+        new_ref = pick4(w_ref, w_ref, aref, jnp.zeros_like(w_ref))
         new_dir = jnp.where(choice == 3, 0, 1)
         o_blk = jnp.stack([choice, mi, mvdx, mvdy, mvpi,
-                           new_dir, new_mvx, new_mvy, new_ref], axis=1)
+                           new_dir, new_mvx, new_mvy, new_ref,
+                           jnp.zeros_like(choice)], axis=1)
 
         # scatters (invalid lanes -> out-of-bounds index, dropped)
         drop = jnp.where(valid, b, P)
@@ -314,9 +378,176 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             blk=st["blk"].at[drop].set(o_blk),
             levs=st["levs"].at[drop].set(o_lev),
         )
+        cost = jnp.min(costs, axis=1)
+        # split-syntax overhead a lone 8x8 CU pays inside a split 16
+        return st, cost
+
+    def step(st, blk):
+        st, _ = cell_step(st, blk, blk >= 0)
         return st, None
 
-    state, _ = jax.lax.scan(step, state, lv_blk)
+    if not two_level:
+        state, _ = jax.lax.scan(step, state, lv_blk)
+        state["imode"] = imode
+        return state
+
+    # ---- two-level scan: per 16x16 region, decide ONE 16x16 inter CU
+    # (skip / merge / AMVP, 16x16 TU) against the four 8x8 CUs.  The
+    # CU16 candidates read only state OUTSIDE the region, so the 8x8
+    # trial commits first and is overwritten where CU16 wins — the
+    # TPU-shaped form of TEncCu's depth-recursive compare
+    # (TEncCu.cpp:352).
+    gw, gh = bw // 2, bh // 2
+    P16 = gw * gh
+    mv16_x, mv16_y, mv16_ref = mv16
+    lv16, cells16, nb16_ok, nb16_cell = sched16
+    g_all = jnp.arange(P16)
+    gy_all, gx_all = g_all // gw, g_all % gw
+    org16_blk = _blockify(org_y, 16)
+    org16u = _blockify(org_u, 8)
+    org16v = _blockify(org_v, 8)
+
+    # hoisted CU16 AMVP prediction + residual
+    m16x, m16y = mv16_x.reshape(-1), mv16_y.reshape(-1)
+    r16 = mv16_ref.reshape(-1)
+    pred16a = mc_luma_batch_refs(refs_y, r16, gx_all * 16, gy_all * 16,
+                                 m16x, m16y, 16, 16, bd)
+    pred16au = mc_chroma_batch_refs(refs_u, r16, gx_all * 8, gy_all * 8,
+                                    m16x, m16y, 8, 8, bd)
+    pred16av = mc_chroma_batch_refs(refs_v, r16, gx_all * 8, gy_all * 8,
+                                    m16x, m16y, 8, 8, bd)
+    lev16ay, rec16ay, d16ay, b16ay = _code(org16_blk, pred16a, qp, 4,
+                                           bd, lam)
+    lev16au, rec16au, d16au, b16au = _code(org16u, pred16au, qpc, 3,
+                                           bd, lam)
+    lev16av, rec16av, d16av, b16av = _code(org16v, pred16av, qpc, 3,
+                                           bd, lam)
+    dist_a16 = d16ay + d16au + d16av
+    bits_a16 = b16ay + b16au + b16av
+    lev16_a384 = jnp.concatenate([lev16ay.reshape(P16, 256),
+                                  lev16au.reshape(P16, 64),
+                                  lev16av.reshape(P16, 64)], axis=1)
+
+    def step16(st, blk16):
+        valid = blk16 >= 0
+        g = jnp.where(valid, blk16, 0)
+        B = blk16.shape[0]
+        c4 = cells16[g]                                   # (B, 4)
+        cost8 = jnp.zeros((B,), jnp.float32)
+        for ci in range(4):
+            st, cc = cell_step(st, c4[:, ci], valid)
+            cost8 = cost8 + cc
+
+        gyb, gxb = g // gw, g % gw
+        x0, y0 = gxb * 16, gyb * 16
+        org = org16_blk[g]
+        orgu = org16u[g]
+        orgv = org16v[g]
+
+        nb = nb16_cell[g]
+        nbp = st["blk"][nb]
+        nbv = nb16_ok[g] & (nbp[..., K_DIR] > 0)
+        nmx, nmy, nrf = nbp[..., K_MVX], nbp[..., K_MVY], nbp[..., K_REF]
+        cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
+                                             num_ref, max_merge)
+        M = max_merge
+        rep = lambda a: jnp.repeat(a, M)
+        pred_l = mc_luma_batch_refs(
+            refs_y, crf.reshape(-1), rep(x0), rep(y0),
+            cmx.reshape(-1), cmy.reshape(-1), 16, 16, bd) \
+            .reshape(B, M, 16, 16)
+        sse_l = jnp.sum((org[:, None] - pred_l) ** 2, axis=(-1, -2))
+        mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+        w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
+        w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
+        w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
+        pred_m = jnp.take_along_axis(
+            pred_l, mi[:, None, None, None], 1)[:, 0]
+        two = lambda a: jnp.concatenate([a, a])
+        pred_c2 = mc_chroma_batch_refs(
+            refs_c, jnp.concatenate([w_ref, w_ref + num_ref]),
+            two(gxb * 8), two(gyb * 8), two(w_mvx), two(w_mvy), 8, 8, bd)
+        pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
+        msse3 = (jnp.sum((org - pred_m) ** 2, axis=(-1, -2))
+                 + jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
+                 + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
+                 ).astype(jnp.float32)
+        lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 4, bd, lam)
+        levC2, recC2, dC2, bC2 = _code(
+            jnp.concatenate([orgu, orgv]),
+            jnp.concatenate([pred_mu, pred_mv_]), qpc, 3, bd, lam)
+        lev_mu, lev_mv_ = levC2[:B], levC2[B:]
+        rec_mu, rec_mv_ = recC2[:B], recC2[B:]
+        d_mu, d_mv = dC2[:B], dC2[B:]
+        b_mu, b_mv = bC2[:B], bC2[B:]
+
+        nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
+        aref = r16[g]
+        p0x, p0y, p1x, p1y = amvp_candidates_dev(
+            nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc)
+        amx, amy = m16x[g], m16y[g]
+        bits0 = mv_bits_dev(amx - p0x, amy - p0y)
+        bits1 = mv_bits_dev(amx - p1x, amy - p1y)
+        use1 = bits1 < bits0
+        mvpi = use1.astype(jnp.int32)
+        mvdx = jnp.where(use1, amx - p1x, amx - p0x)
+        mvdy = jnp.where(use1, amy - p1y, amy - p0y)
+        bits_mvd = jnp.minimum(bits0, bits1).astype(jnp.float32)
+        ref_bits = jnp.where(aref == 0, 1.0,
+                             (1 + jnp.minimum(aref, num_ref - 2))
+                             .astype(jnp.float32)) if num_ref > 1 else 0.0
+        mif = mi.astype(jnp.float32)
+        cost_skip = msse3 + lam * (2.0 + mif)
+        cost_merge = d_my + d_mu + d_mv \
+            + lam * (4.0 + mif + b_my + b_mu + b_mv)
+        cost_amvp = dist_a16[g] + lam * (5.0 + ref_bits + bits_mvd
+                                         + bits_a16[g])
+        costs = jnp.stack([cost_skip, cost_merge, cost_amvp], axis=1)
+        c16 = jnp.argmin(costs, axis=1).astype(jnp.int32)
+        m_zero = (b_my <= 1.0) & (b_mu <= 1.0) & (b_mv <= 1.0)
+        c16 = jnp.where((c16 == 1) & m_zero, 0, c16)
+        cost16 = jnp.min(costs, axis=1)
+        use16 = valid & (cost16 < cost8)
+
+        def pick3(s, m, a):
+            c = c16.reshape((-1,) + (1,) * (s.ndim - 1))
+            return jnp.where(c == 0, s, jnp.where(c == 1, m, a))
+
+        out_y = pick3(pred_m, rec_my, rec16ay[g])
+        out_u = pick3(pred_mu, rec_mu, rec16au[g])
+        out_v = pick3(pred_mv_, rec_mv_, rec16av[g])
+        pack = jnp.concatenate([lev_my.reshape(B, 256),
+                                lev_mu.reshape(B, 64),
+                                lev_mv_.reshape(B, 64)], axis=1)
+        o_lev = pick3(jnp.zeros((B, 384), jnp.int32), pack,
+                      lev16_a384[g]).reshape(B, 4, 96)
+        n_mvx = pick3(w_mvx, w_mvx, amx)
+        n_mvy = pick3(w_mvy, w_mvy, amy)
+        n_ref = pick3(w_ref, w_ref, aref)
+        o_blk = jnp.stack([c16, mi, mvdx, mvdy, mvpi,
+                           jnp.ones_like(c16), n_mvx, n_mvy, n_ref,
+                           jnp.ones_like(c16)], axis=1)
+
+        drop4 = jnp.where(use16[:, None], c4, P)
+        yy = (y0[:, None] + jnp.arange(16)[None, :])
+        xx = (x0[:, None] + jnp.arange(16)[None, :])
+        fl_y = yy[:, :, None] * w + xx[:, None, :]
+        fl_y = jnp.where(use16[:, None, None], fl_y, h * w)
+        cyy = (gyb * 8)[:, None] + jnp.arange(8)[None, :]
+        cxx = (gxb * 8)[:, None] + jnp.arange(8)[None, :]
+        fl_c = cyy[:, :, None] * (w // 2) + cxx[:, None, :]
+        fl_c = jnp.where(use16[:, None, None], fl_c, h * w // 4)
+
+        st = dict(
+            rec_y=st["rec_y"].at[fl_y].set(out_y),
+            rec_u=st["rec_u"].at[fl_c].set(out_u),
+            rec_v=st["rec_v"].at[fl_c].set(out_v),
+            blk=st["blk"].at[drop4].set(o_blk[:, None, :]),
+            levs=st["levs"].at[drop4].set(o_lev),
+        )
+        return st, None
+
+    state, _ = jax.lax.scan(step16, state, lv16)
     state["imode"] = imode
     return state
 
@@ -324,14 +555,15 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 @partial(jax.jit, static_argnames=("w", "h", "num_ref", "max_merge",
                                    "qp", "qpc", "bd", "srange", "subpel",
                                    "deblock", "sao", "ctu", "cb_off",
-                                   "cr_off"))
+                                   "cr_off", "qp_factor"))
 def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                      lv_blk, nb_ok, nb_flat, sub_y, none_y, sub_c,
-                     none_c, ref_pocs, cur_poc, *, w: int, h: int,
+                     none_c, sched16, ref_pocs, cur_poc, *, w: int, h: int,
                      num_ref: int, max_merge: int, qp: int, qpc: int,
                      bd: int, srange: int, subpel: str,
                      deblock: bool = False, sao: bool = False,
-                     ctu: int = 64, cb_off: int = 0, cr_off: int = 0):
+                     ctu: int = 64, cb_off: int = 0, cr_off: int = 0,
+                     qp_factor: float = 0.57):
     """ME + sub-pel + wavefront decision + in-loop filters in ONE
     dispatch, with compact output dtypes (spec coefficient range is
     int16; recon fits the bit depth) to minimise the device->host
@@ -339,10 +571,33 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     from hmtpu.search.me import frac_refine_batch, integer_me
 
     bw, bh = w // 8, h // 8
-    lam_sqrt = jnp.float32(np.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0)))
+    lam_sqrt = jnp.float32(np.sqrt(qp_factor * 2.0 ** ((qp - 12) / 3.0)))
     zeros = jnp.zeros((bh, bw), jnp.int32)
-    (mvx, mvy), stencil, _ = integer_me(refs_y[0], org_y, 8, srange,
-                                        lam_sqrt, zeros, zeros)
+
+    # multi-reference integer ME: full-window search against EVERY
+    # active reference (HM searches all refs in predInterSearch), best
+    # reference per block by motion cost + ref-idx signalling bits
+    mv_all, sten_all, cost_all = [], [], []
+    for r in range(num_ref):
+        (mvx_r, mvy_r), sten_r, sad_r = integer_me(
+            refs_y[r], org_y, 8, srange, lam_sqrt, zeros, zeros)
+        refbits = 0.0 if num_ref == 1 else float(1 + min(r, num_ref - 2))
+        mv_all.append(jnp.stack([mvx_r, mvy_r]))
+        sten_all.append(sten_r)
+        cost_all.append(sad_r.astype(jnp.float32) + lam_sqrt * refbits)
+    rsel = jnp.argmin(jnp.stack(cost_all), axis=0).astype(jnp.int32)
+    mvsel = jnp.take_along_axis(jnp.stack(mv_all),
+                                rsel[None, None], 0)[0]
+    mvx, mvy = mvsel[0], mvsel[1]
+    stencil = jnp.take_along_axis(
+        jnp.stack(sten_all), rsel[None, :, :, None, None], 0)[0]
+
+    # coherence pass: trade per-block SAD optimality for a mergeable
+    # motion field (the economics large inter CUs give HM)
+    from hmtpu.search.me import regularize_mv_field
+    mvx, mvy, rsel = regularize_mv_field(refs_y, org_y, mvx, mvy, rsel,
+                                         lam_sqrt, iters=3)
+
     if subpel == "nn":
         from hmtpu.models.nnfme import predict_offsets
         st9 = stencil.reshape(-1, 9).astype(jnp.float32)
@@ -353,17 +608,62 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     elif subpel == "dctif":
         ys0, xs0 = jnp.mgrid[0:bh, 0:bw] * 8
         qx, qy = frac_refine_batch(
-            refs_y[0], xs0.reshape(-1), ys0.reshape(-1),
-            _blockify(org_y, 8), mvx.reshape(-1), mvy.reshape(-1), 8, bd)
+            refs_y, xs0.reshape(-1), ys0.reshape(-1),
+            _blockify(org_y, 8), mvx.reshape(-1), mvy.reshape(-1), 8,
+            bd, ridx=rsel.reshape(-1))
         mvq_x, mvq_y = qx.reshape(bh, bw), qy.reshape(bh, bw)
     else:
         mvq_x, mvq_y = mvx * 4, mvy * 4
 
+    # 16x16 ME for the two-level CU decision (dims permitting)
+    two_level = (w % 16 == 0) and (h % 16 == 0)
+    mv16 = None
+    if two_level:
+        mv16_all, st16_all, c16_all = [], [], []
+        for r in range(num_ref):
+            (mx, my), s16, sad16 = integer_me(
+                refs_y[r], org_y, 16, srange, lam_sqrt,
+                jnp.zeros((bh // 2, bw // 2), jnp.int32),
+                jnp.zeros((bh // 2, bw // 2), jnp.int32))
+            refbits = 0.0 if num_ref == 1 \
+                else float(1 + min(r, num_ref - 2))
+            mv16_all.append(jnp.stack([mx, my]))
+            st16_all.append(s16)
+            c16_all.append(sad16.astype(jnp.float32)
+                           + lam_sqrt * refbits)
+        r16 = jnp.argmin(jnp.stack(c16_all), axis=0).astype(jnp.int32)
+        m16 = jnp.take_along_axis(jnp.stack(mv16_all),
+                                  r16[None, None], 0)[0]
+        s16 = jnp.take_along_axis(
+            jnp.stack(st16_all), r16[None, :, :, None, None], 0)[0]
+        if subpel == "nn":
+            from hmtpu.models.nnfme import predict_offsets
+            st9 = s16.reshape(-1, 9).astype(jnp.float32)
+            sizes16 = jnp.full(((bh // 2) * (bw // 2),), 16, jnp.int32)
+            _, offs16 = predict_offsets(nn, st9, sizes16, sizes16)
+            mv16q_x = (m16[0].reshape(-1) * 4
+                       + offs16[:, 0]).reshape(bh // 2, bw // 2)
+            mv16q_y = (m16[1].reshape(-1) * 4
+                       + offs16[:, 1]).reshape(bh // 2, bw // 2)
+        elif subpel == "dctif":
+            ys0, xs0 = jnp.mgrid[0:bh // 2, 0:bw // 2] * 16
+            qx, qy = frac_refine_batch(
+                refs_y, xs0.reshape(-1), ys0.reshape(-1),
+                _blockify(org_y, 16), m16[0].reshape(-1),
+                m16[1].reshape(-1), 16, bd, ridx=r16.reshape(-1))
+            mv16q_x = qx.reshape(bh // 2, bw // 2)
+            mv16q_y = qy.reshape(bh // 2, bw // 2)
+        else:
+            mv16q_x, mv16q_y = m16[0] * 4, m16[1] * 4
+        mv16 = (mv16q_x, mv16q_y, r16)
+
     st = wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
-                        mvq_x, mvq_y, lv_blk, nb_ok, nb_flat, sub_y,
-                        none_y, sub_c, none_c, ref_pocs, cur_poc,
+                        mvq_x, mvq_y, rsel, lv_blk, nb_ok, nb_flat,
+                        sub_y, none_y, sub_c, none_c, ref_pocs, cur_poc,
+                        mv16=mv16, sched16=sched16,
                         w=w, h=h, num_ref=num_ref, max_merge=max_merge,
-                        qp=qp, qpc=qpc, bd=bd)
+                        qp=qp, qpc=qpc, bd=bd, qp_factor=qp_factor,
+                        two_level=two_level)
 
     # ---- in-loop filters, still on device (8.7.2 deblock, 8.7.3 SAO)
     if deblock or sao:
@@ -378,8 +678,24 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
             a.reshape(bh, bw), 2, 0), 2, 1)
         dirf = blk[:, 5]
         intra4 = rep4(dirf == 0)
-        # 8.7.2.4: the cbf condition counts LUMA coefficients only
-        cbf4 = rep4(jnp.any(st["levs"][:, :64] != 0, axis=1))
+        # 8.7.2.4: the cbf condition counts LUMA coefficients only.
+        # 16x16 CUs pack [lumay(256)|cb(64)|cr(64)] across their four
+        # cells' 96-slot rows, so their luma cbf spans cells TL/TR and
+        # the first 64 slots of BL.
+        cbf8_flat = jnp.any(st["levs"][:, :64] != 0, axis=1)
+        gh2, gw2 = bh // 2, bw // 2
+        if gh2 and gw2 and bh == gh2 * 2 and bw == gw2 * 2:
+            lev2 = st["levs"][:gh2 * 2 * bw].reshape(
+                gh2, 2, gw2, 2, 96).transpose(0, 2, 1, 3, 4) \
+                .reshape(gh2, gw2, 384)
+            cbf16 = jnp.any(lev2[..., :256] != 0, axis=-1)
+            cusz_g = (blk[:, 9].reshape(bh, bw)[0::2, 0::2] > 0)
+            cbf16_cells = jnp.repeat(jnp.repeat(
+                jnp.where(cusz_g, cbf16, False), 2, 0), 2, 1)
+            cusz_cells = jnp.repeat(jnp.repeat(cusz_g, 2, 0), 2, 1)
+            cbf8_flat = jnp.where(cusz_cells.reshape(-1),
+                                  cbf16_cells.reshape(-1), cbf8_flat)
+        cbf4 = rep4(cbf8_flat)
         zeros4 = jnp.zeros((h // 4, w // 4), jnp.int32)
         mv_x4 = jnp.stack([rep4(jnp.where(dirf > 0, blk[:, 6], 0)),
                            zeros4])
@@ -391,11 +707,18 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                                               num_ref - 1)], -1)),
              jnp.full((h // 4, w // 4), -1, jnp.int32)])
         if deblock:
+            # 8-pel edges interior to a 16x16 CU/TU are not boundaries
+            cusz8 = blk[:, 9].reshape(bh, bw)
+            ev = jnp.arange(bw - 1)
+            int_v = (cusz8[:, :-1] > 0) & ((ev % 2) == 0)[None, :]
+            eh = jnp.arange(bh - 1)
+            int_h = (cusz8[:-1, :] > 0) & ((eh % 2) == 0)[:, None]
             rec_y, rec_u, rec_v = deblock_frame_dev(
                 rec_y, rec_u, rec_v, intra4, cbf4, mv_x4, mv_y4,
-                refpoc4, qp, bd, cb_qp_off=cb_off, cr_qp_off=cr_off)
+                refpoc4, qp, bd, cb_qp_off=cb_off, cr_qp_off=cr_off,
+                int_v=int_v, int_h=int_h)
         if sao:
-            lam = float(0.57 * 2.0 ** ((qp - 12) / 3.0))
+            lam = float(qp_factor * 2.0 ** ((qp - 12) / 3.0))
             rec_y, rec_u, rec_v, sao_params = sao_frame_dev(
                 org_y, rec_y, org_u, rec_u, org_v, rec_v, ctu, lam, bd)
             st["sao"] = sao_params.astype(jnp.int8)
@@ -416,6 +739,10 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
 class PFrameDeviceEncoder(PFrameEncoder):
     """Drop-in replacement for PFrameEncoder on P slices: same analyze()
     contract, decision pass on device (entropy pass inherited)."""
+
+    def __init__(self, *a, qp_factor: float = 0.57, **kw):
+        super().__init__(*a, **kw)
+        self.qp_factor = qp_factor
 
     def launch(self, frame: Frame, qp: int, refs: list[Frame],
                ref_pocs: list[int], poc: int, sh: SliceHeader):
@@ -445,14 +772,17 @@ class PFrameDeviceEncoder(PFrameEncoder):
             self.nn_params,
             dev["lv_blk"], dev["nb_ok"], dev["nb_flat"],
             dev["sub_y"], dev["none_y"], dev["sub_c"], dev["none_c"],
+            dev["sched16"],
             jnp.asarray(ref_pocs, jnp.int32), jnp.int32(poc),
             w=w, h=h, num_ref=len(refs), max_merge=sh.max_num_merge_cand,
             qp=qp, qpc=qpc, bd=bd, srange=self.search_range,
             subpel=self.subpel, deblock=deblock_on, sao=sao_on,
             ctu=sps.ctu_size, cb_off=self.pps.cb_qp_offset,
-            cr_off=self.pps.cr_qp_offset)
+            cr_off=self.pps.cr_qp_offset, qp_factor=self.qp_factor)
         return dict(st=st, dev=dev_planes, sao_on=sao_on,
-                    deblock_on=deblock_on)
+                    deblock_on=deblock_on, ref_pocs=list(ref_pocs),
+                    poc=poc, num_ref=len(refs),
+                    max_merge=sh.max_num_merge_cand)
 
     def analyze(self, frame: Frame, qp: int, refs: list[Frame],
                 ref_pocs: list[int], poc: int, sh: SliceHeader,
@@ -477,14 +807,31 @@ class PFrameDeviceEncoder(PFrameEncoder):
         rec_y = st["rec_y"].reshape(h, w)
         rec_u = st["rec_u"].reshape(h // 2, w // 2)
         rec_v = st["rec_v"].reshape(h // 2, w // 2)
-        blk = st["blk"].reshape(bh, bw, 9)
+        blk = st["blk"].reshape(bh, bw, 10)
         kind, mi, mvdx, mvdy, mvpi = (blk[..., k] for k in range(5))
         fmvx, fmvy, fref = blk[..., 6], blk[..., 7], blk[..., 8]
+        cusz = blk[..., 9]
         imode = st["imode"].reshape(bh, bw)
         levs = st["levs"].reshape(bh, bw, 96)
         levy = levs[..., :64].reshape(bh, bw, 8, 8)
         levcb = levs[..., 64:80].reshape(bh, bw, 4, 4)
         levcr = levs[..., 80:96].reshape(bh, bw, 4, 4)
+        # unpack 16x16-CU level tensors (z-order cell packing)
+        gw, gh = bw // 2, bh // 2
+        lev16y = np.zeros((gh, gw, 16, 16), np.int32)
+        lev16cb = np.zeros((gh, gw, 8, 8), np.int32)
+        lev16cr = np.zeros((gh, gw, 8, 8), np.int32)
+        cusz16 = np.zeros((gh, gw), bool)
+        if gw and gh:
+            cusz16 = cusz[0::2, 0::2][:gh, :gw] > 0
+            l2 = levs[:gh * 2, :gw * 2].reshape(gh, 2, gw, 2, 96) \
+                .transpose(0, 2, 1, 3, 4)
+            flat = np.concatenate(
+                [l2[:, :, 0, 0], l2[:, :, 0, 1],
+                 l2[:, :, 1, 0], l2[:, :, 1, 1]], axis=-1)  # (gh,gw,384)
+            lev16y = flat[..., :256].reshape(gh, gw, 16, 16)
+            lev16cb = flat[..., 256:320].reshape(gh, gw, 8, 8)
+            lev16cr = flat[..., 320:384].reshape(gh, gw, 8, 8)
 
         # motion field (4x4 granularity) for deblock + later frames
         field = PicMotion.create(w, h)
@@ -495,12 +842,98 @@ class PFrameDeviceEncoder(PFrameEncoder):
         field.mv[0, ..., 1] = rep(np.where(inter, fmvy, 0))
         field.ref_idx[0] = rep(np.where(inter, fref, -1))
 
-        kinds = ("skip", "merge", "amvp", "intra")
+        # ---- skip-region collapse: merge uniform all-skip regions into
+        # one large skip CU.  A pure entropy-level transform — same-MV
+        # MC is identical at any block size, so the reconstruction and
+        # the motion field are untouched; only split/skip syntax and
+        # the CU-level merge index change.
+        depth8 = np.full((bh, bw), sps.log2_ctu_size - 3,
+                         dtype=np.int32)
+        depth8[cusz > 0] = sps.log2_ctu_size - 4
+        from hmtpu.common.motion import MotionCtx, merge_candidates
+        mctx = MotionCtx(field, w, h, sps.log2_ctu_size,
+                         ctx["ref_pocs"], cur_poc=ctx["poc"])
+        max_merge = ctx["max_merge"]
+        num_ref = ctx["num_ref"]
+
+        def collapse(x0, y0, log2):
+            size = 1 << log2
+            cy, cx = y0 // 8, x0 // 8
+            if log2 == 4 and cusz[cy, cx]:
+                return                      # already a 16x16 CU
+            if x0 + size <= w and y0 + size <= h and log2 > 3:
+                nc = size // 8
+                ks = kind[cy:cy + nc, cx:cx + nc]
+                if (ks == 0).all():
+                    mx = fmvx[cy, cx]
+                    if (fmvx[cy:cy + nc, cx:cx + nc] == mx).all() \
+                            and (fmvy[cy:cy + nc, cx:cx + nc]
+                                 == fmvy[cy, cx]).all() \
+                            and (fref[cy:cy + nc, cx:cx + nc]
+                                 == fref[cy, cx]).all():
+                        want = (int(mx), int(fmvy[cy, cx]))
+                        wref = int(fref[cy, cx])
+                        cands = merge_candidates(mctx, x0, y0, size,
+                                                 size, max_merge,
+                                                 num_ref)
+                        for ci, c in enumerate(cands):
+                            if c.inter_dir == 1 and c.mv[0] == want \
+                                    and c.ref_idx[0] == wref:
+                                depth8[cy:cy + nc, cx:cx + nc] = \
+                                    sps.log2_ctu_size - log2
+                                mi[cy, cx] = ci
+                                return
+            if log2 > 3:
+                half = size >> 1
+                for dy, dx in ((0, 0), (0, half), (half, 0),
+                               (half, half)):
+                    if x0 + dx < w and y0 + dy < h:
+                        collapse(x0 + dx, y0 + dy, log2 - 1)
+
+        ctu_sz = sps.ctu_size
+        for cty in range(0, h, ctu_sz):
+            for ctxx in range(0, w, ctu_sz):
+                collapse(ctxx, cty, sps.log2_ctu_size)
+        self._depth8 = depth8
+
         decisions: dict[tuple, PuDec] = {}
         for byi in range(bh):
             for bxi in range(bw):
                 k = int(kind[byi, bxi])
                 key = (bxi * 8, byi * 8)
+                if cusz[byi, bxi]:
+                    if byi % 2 or bxi % 2:
+                        continue            # covered by the 16x16 CU
+                    gyi, gxi = byi // 2, bxi // 2
+                    if k == 0:
+                        decisions[key] = PuDec(
+                            "skip", log2=4, merge_idx=int(mi[byi, bxi]),
+                            mv=(int(fmvx[byi, bxi]),
+                                int(fmvy[byi, bxi])),
+                            ref_idx=int(fref[byi, bxi]))
+                    elif k == 1:
+                        decisions[key] = PuDec(
+                            "merge", log2=4,
+                            merge_idx=int(mi[byi, bxi]),
+                            mv=(int(fmvx[byi, bxi]),
+                                int(fmvy[byi, bxi])),
+                            ref_idx=int(fref[byi, bxi]),
+                            lev_y=lev16y[gyi, gxi],
+                            lev_cb=lev16cb[gyi, gxi],
+                            lev_cr=lev16cr[gyi, gxi])
+                    else:
+                        decisions[key] = PuDec(
+                            "amvp", log2=4,
+                            mv=(int(fmvx[byi, bxi]),
+                                int(fmvy[byi, bxi])),
+                            mvd=(int(mvdx[byi, bxi]),
+                                 int(mvdy[byi, bxi])),
+                            mvp_idx=int(mvpi[byi, bxi]),
+                            ref_idx=int(fref[byi, bxi]),
+                            lev_y=lev16y[gyi, gxi],
+                            lev_cb=lev16cb[gyi, gxi],
+                            lev_cr=lev16cr[gyi, gxi])
+                    continue
                 if k == 0:
                     decisions[key] = PuDec(
                         "skip", merge_idx=int(mi[byi, bxi]),
@@ -518,7 +951,8 @@ class PFrameDeviceEncoder(PFrameEncoder):
                         "amvp",
                         mv=(int(fmvx[byi, bxi]), int(fmvy[byi, bxi])),
                         mvd=(int(mvdx[byi, bxi]), int(mvdy[byi, bxi])),
-                        mvp_idx=int(mvpi[byi, bxi]), ref_idx=0,
+                        mvp_idx=int(mvpi[byi, bxi]),
+                        ref_idx=int(fref[byi, bxi]),
                         lev_y=levy[byi, bxi], lev_cb=levcb[byi, bxi],
                         lev_cr=levcr[byi, bxi])
                 else:
@@ -534,7 +968,8 @@ class PFrameDeviceEncoder(PFrameEncoder):
         recon.dev = ctx["dev"]        # device-resident DPB planes
         self._nat = dict(kind=kind, mi=mi, mvdx=mvdx, mvdy=mvdy,
                          mvpi=mvpi, refi=fref, imode=imode, levy=levy,
-                         levcb=levcb, levcr=levcr)
+                         levcb=levcb, levcr=levcr, lev16y=lev16y,
+                         lev16cb=lev16cb, lev16cr=lev16cr)
         return recon, field, decisions, (modes, skip_map, intra_map)
 
     def _entropy_pass(self, qp, modes, skip_map, intra_map, decisions,
@@ -577,8 +1012,12 @@ class PFrameDeviceEncoder(PFrameEncoder):
             rbsp = encode_pslice_native(
                 ctx, geom, nat["kind"], nat["mi"], nat["mvdx"],
                 nat["mvdy"], nat["mvpi"], nat["refi"], nat["imode"],
-                nat["levy"], nat["levcb"], nat["levcr"], sao_packed)
+                nat["levy"], nat["levcb"], nat["levcr"],
+                nat["lev16y"], nat["lev16cb"], nat["lev16cr"],
+                self._depth8, sao_packed)
             if rbsp is not None:
                 return rbsp
         return super()._entropy_pass(qp, modes, skip_map, intra_map,
-                                     decisions, sh, sao=sao)
+                                     decisions, sh, sao=sao,
+                                     depth8=getattr(self, "_depth8",
+                                                    None))

@@ -50,6 +50,11 @@ class EncoderConfig:
     nn_weights_dir: str | None = None
     search_range: int = 16
     max_num_merge_cand: int = 5
+    # per-GOP-position QP offsets + lambda QP-factors (HM's Frame1..N
+    # rows, encoder_lowdelay_P_main.cfg); applied to P slices by
+    # coding position within the GOP.  Empty = flat QP.
+    gop_qp_offsets: tuple = ()
+    gop_qp_factors: tuple = ()
 
 
 @dataclass
@@ -73,6 +78,12 @@ def psnr(org: np.ndarray, rec: np.ndarray, maxv: int) -> float:
 class Encoder:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
+        if cfg.gop == "ldp" and not cfg.gop_qp_offsets:
+            # HM low-delay-P GOP4 defaults (Frame1..4 rows)
+            cfg.gop_qp_offsets = (3, 2, 3, 1)
+            cfg.gop_qp_factors = (0.4624, 0.4624, 0.4624, 0.578)
+            if cfg.num_refs == 1:
+                cfg.num_refs = 4     # HM LDP: four active references
         self.sps = Sps(
             pic_width=cfg.width, pic_height=cfg.height,
             bit_depth_luma=cfg.bit_depth, bit_depth_chroma=cfg.bit_depth,
@@ -214,15 +225,21 @@ class Encoder:
         refs = [f for _, f in self.dpb[-n_ref:]][::-1]
         ref_pocs = [p for p, _ in self.dpb[-n_ref:]][::-1]
         negs = [(rel_poc - p, True) for p in ref_pocs]
+        qp, qpf = cfg.qp, 0.57
+        if cfg.gop_qp_offsets:
+            gpos = (rel_poc - 1) % len(cfg.gop_qp_offsets)
+            qp = cfg.qp + cfg.gop_qp_offsets[gpos]
+            qpf = cfg.gop_qp_factors[gpos]
         sh = SliceHeader(
-            slice_type=SliceType.P, pps_id=0, slice_qp=cfg.qp,
+            slice_type=SliceType.P, pps_id=0, slice_qp=qp,
             pic_order_cnt_lsb=rel_poc, nal_type=NalUnitType.TRAIL_R,
             negative_refs=negs, num_ref_idx_l0=n_ref,
             five_minus_max_num_merge_cand=5 - cfg.max_num_merge_cand)
         pe = PFrameDeviceEncoder(self.sps, self.pps, subpel=cfg.subpel,
                                  nn_params=self.nn_params,
-                                 search_range=cfg.search_range)
-        ctx = pe.launch(frame, cfg.qp, refs, ref_pocs, rel_poc, sh)
+                                 search_range=cfg.search_range,
+                                 qp_factor=qpf)
+        ctx = pe.launch(frame, qp, refs, ref_pocs, rel_poc, sh)
         ph = Frame(None, None, None, cfg.bit_depth)
         ph.dev = ctx["dev"]
         self.dpb.append((rel_poc, ph))
@@ -244,7 +261,7 @@ class Encoder:
             sh.sao_luma = True
             sh.sao_chroma = True
             sao = ("packed", pe._sao_packed)
-        slice_rbsp = pe._entropy_pass(cfg.qp, *maps, decisions, sh,
+        slice_rbsp = pe._entropy_pass(sh.slice_qp, *maps, decisions, sh,
                                       sao=sao)
         bw = write_slice_header(sh, self.sps, self.pps)
         bw.write_bytes(slice_rbsp)

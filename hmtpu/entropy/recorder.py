@@ -200,7 +200,8 @@ def pack_sao_grid(grid, n_ctu_x: int, n_ctu_y: int) -> np.ndarray:
 
 def encode_pslice_native(ctx: np.ndarray, geom: dict,
                          kind, mi, mvdx, mvdy, mvpi, refi, imode,
-                         levy, levcb, levcr, sao_packed) -> bytes | None:
+                         levy, levcb, levcr, lev16y, lev16cb, lev16cr,
+                         depth8, sao_packed) -> bytes | None:
     """One-call native slice-data serialisation from decision tensors.
     Returns None when the native engine is unavailable."""
     import ctypes
@@ -219,9 +220,10 @@ def encode_pslice_native(ctx: np.ndarray, geom: dict,
                                     .reshape(-1))
 
     arrs = [c32(a) for a in (kind, mi, mvdx, mvdy, mvpi, refi, imode,
-                             levy, levcb, levcr)]
+                             levy, levcb, levcr, lev16y, lev16cb,
+                             lev16cr, depth8)]
     n_blocks = arrs[0].size
-    cap = 4096 + 8 * (arrs[7].size + arrs[8].size + arrs[9].size) \
+    cap = 4096 + 8 * sum(arrs[i].size for i in range(7, 13)) \
         + 16 * n_blocks
     out = np.zeros(cap, dtype=np.uint8)
     ctxc = np.ascontiguousarray(ctx)

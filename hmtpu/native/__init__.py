@@ -64,6 +64,8 @@ def get_entropy_lib():
                     i32p, i32p,                   # geom, cu_off
                     i32p, i32p, i32p, i32p, i32p, i32p, i32p,  # decisions
                     i32p, i32p, i32p,             # levels y/cb/cr
+                    i32p, i32p, i32p,             # 16x16-CU levels
+                    i32p,                         # depth8
                     i32p]                         # sao (nullable)
     _LIB = lib
     return _LIB

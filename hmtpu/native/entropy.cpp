@@ -392,6 +392,10 @@ struct SliceCfg {
     const int32_t* levy;             // (bh*bw) * 64
     const int32_t* levcb;            // (bh*bw) * 16
     const int32_t* levcr;            // (bh*bw) * 16
+    const int32_t* lev16y;           // (bh/2*bw/2) * 256
+    const int32_t* lev16cb;          // (bh/2*bw/2) * 64
+    const int32_t* lev16cr;          // (bh/2*bw/2) * 64
+    const int32_t* depth8;           // (bh*bw) coding-tree depth/cell
     // per-CTU SAO params: 21 int32 = 3 x (type, eo_class, band_pos, o0..o3)
     const int32_t* sao;
 };
@@ -505,7 +509,7 @@ void write_ref_idx(Enc& e, const SliceCfg& s, int idx) {
     }
 }
 
-void write_cu_p(Enc& e, const SliceCfg& s, int x0, int y0) {
+void write_cu_p(Enc& e, const SliceCfg& s, int x0, int y0, int log2) {
     int bxi = x0 >> 3, byi = y0 >> 3;
     int p = byi * s.bw + bxi;
     int k = s.kind[p];
@@ -516,11 +520,22 @@ void write_cu_p(Enc& e, const SliceCfg& s, int x0, int y0) {
     if (k == 0) { write_merge_idx(e, s, s.mi[p]); return; }
     e.encode_bin(s.cu_off[CU_PRED_MODE], k == 3);
 
-    const int32_t* ly = s.levy + p * 64;
-    const int32_t* lcb = s.levcb + p * 16;
-    const int32_t* lcr = s.levcr + p * 16;
-    bool cbf_y = any_nz(ly, 64), cbf_cb = any_nz(lcb, 16),
-         cbf_cr = any_nz(lcr, 16);
+    const int32_t *ly, *lcb, *lcr;
+    int nl, nc;
+    if (log2 == 4) {                 // 16x16 inter CU
+        int p16 = (byi >> 1) * (s.bw >> 1) + (bxi >> 1);
+        ly = s.lev16y + p16 * 256;
+        lcb = s.lev16cb + p16 * 64;
+        lcr = s.lev16cr + p16 * 64;
+        nl = 256; nc = 64;
+    } else {
+        ly = s.levy + p * 64;
+        lcb = s.levcb + p * 16;
+        lcr = s.levcr + p * 16;
+        nl = 64; nc = 16;
+    }
+    bool cbf_y = any_nz(ly, nl), cbf_cb = any_nz(lcb, nc),
+         cbf_cr = any_nz(lcr, nc);
 
     if (k == 3) {                    // intra
         e.encode_bin(s.cu_off[CU_PART_SIZE], 1);   // 2Nx2N
@@ -583,20 +598,25 @@ void write_cu_p(Enc& e, const SliceCfg& s, int x0, int y0) {
     e.encode_bin(s.cu_off[CU_QT_CBF_CHROMA], cbf_cr);
     if (cbf_cb || cbf_cr)
         e.encode_bin(s.cu_off[CU_QT_CBF_LUMA] + 1, cbf_y);
-    if (cbf_y) encode_residual(e, ly, 3, true, 0, s.sdh);
-    if (cbf_cb) encode_residual(e, lcb, 2, false, 0, s.sdh);
-    if (cbf_cr) encode_residual(e, lcr, 2, false, 0, s.sdh);
+    if (cbf_y) encode_residual(e, ly, log2, true, 0, s.sdh);
+    if (cbf_cb) encode_residual(e, lcb, log2 - 1, false, 0, s.sdh);
+    if (cbf_cr) encode_residual(e, lcr, log2 - 1, false, 0, s.sdh);
 }
 
 void write_quadtree_p(Enc& e, const SliceCfg& s, int x0, int y0, int log2,
                       int depth) {
     int size = 1 << log2;
     bool inside = x0 + size <= s.w && y0 + size <= s.h;
+    int bxi = x0 >> 3, byi = y0 >> 3;
+    bool split = s.depth8[byi * s.bw + bxi] > depth;
     if (inside && log2 > 3) {
-        int inc = (x0 > 0 ? 1 : 0) + (y0 > 0 ? 1 : 0);
-        e.encode_bin(s.cu_off[CU_SPLIT] + inc, 1);
+        // 9.3.4.2.2: context from neighbour CU depths
+        int inc = 0;
+        if (x0 > 0 && s.depth8[byi * s.bw + bxi - 1] > depth) inc++;
+        if (y0 > 0 && s.depth8[(byi - 1) * s.bw + bxi] > depth) inc++;
+        e.encode_bin(s.cu_off[CU_SPLIT] + inc, split ? 1 : 0);
     }
-    if (log2 > 3) {
+    if (log2 > 3 && (split || !inside)) {
         int half = size >> 1;
         if (x0 < s.w && y0 < s.h)
             write_quadtree_p(e, s, x0, y0, log2 - 1, depth + 1);
@@ -608,7 +628,7 @@ void write_quadtree_p(Enc& e, const SliceCfg& s, int x0, int y0, int log2,
             write_quadtree_p(e, s, x0 + half, y0 + half, log2 - 1,
                              depth + 1);
     } else {
-        write_cu_p(e, s, x0, y0);
+        write_cu_p(e, s, x0, y0, log2);
     }
 }
 
@@ -679,6 +699,8 @@ extern "C" int64_t hmtpu_encode_pslice(
     const int32_t* mvdx, const int32_t* mvdy,
     const int32_t* mvpi, const int32_t* refi, const int32_t* imode,
     const int32_t* levy, const int32_t* levcb, const int32_t* levcr,
+    const int32_t* lev16y, const int32_t* lev16cb,
+    const int32_t* lev16cr, const int32_t* depth8,
     const int32_t* sao) {
     Tables t{next_mps, next_lps, lps_tab, renorm,
              scan_blob, scan_index, off, ctx4x4};
@@ -697,7 +719,9 @@ extern "C" int64_t hmtpu_encode_pslice(
     s.cu_off = cu_off;
     s.kind = kind; s.mi = mi; s.mvdx = mvdx; s.mvdy = mvdy;
     s.mvpi = mvpi; s.refi = refi; s.imode = imode;
-    s.levy = levy; s.levcb = levcb; s.levcr = levcr; s.sao = sao;
+    s.levy = levy; s.levcb = levcb; s.levcr = levcr;
+    s.lev16y = lev16y; s.lev16cb = lev16cb; s.lev16cr = lev16cr;
+    s.depth8 = depth8; s.sao = sao;
 
     int n_ctu_x = (s.w + s.ctu - 1) / s.ctu;
     int n_ctu_y = (s.h + s.ctu - 1) / s.ctu;

@@ -464,14 +464,22 @@ def _bs_dev(jnp, intra4, cbf4, mv_x, mv_y, ref_poc, vertical: bool):
 def deblock_frame_dev(rec_y, rec_u, rec_v, intra4, cbf4, mv_x, mv_y,
                       ref_poc, qp: int, bd: int = 8, beta_off: int = 0,
                       tc_off: int = 0, cb_qp_off: int = 0,
-                      cr_qp_off: int = 0):
-    """Device deblock of one picture (uniform 8x8 CU grid: every 8-pel
-    edge is a CU/TU boundary).  Returns filtered (y, u, v)."""
+                      cr_qp_off: int = 0, int_v=None, int_h=None):
+    """Device deblock of one picture.  int_v/int_h (optional bool
+    masks over the 8-cell grid) mark 8-pel edges interior to a larger
+    CU/TU (not boundaries, 8.7.2.2): int_v[cy, j] = edge between cell
+    columns j and j+1 is interior.  Returns filtered (y, u, v)."""
     import jax.numpy as jnp
 
     bs_v = _bs_dev(jnp, intra4, cbf4, mv_x, mv_y, ref_poc, True)
-    rec_y = _luma_edges_dev(rec_y, bs_v, qp, bd, beta_off, tc_off)
     bs_h = _bs_dev(jnp, intra4, cbf4, mv_x, mv_y, ref_poc, False)
+    if int_v is not None:
+        m = jnp.repeat(~int_v, 2, axis=0)
+        bs_v = bs_v * m[: bs_v.shape[0], : bs_v.shape[1]]
+    if int_h is not None:
+        m = jnp.repeat(~int_h, 2, axis=1)
+        bs_h = bs_h * m[: bs_h.shape[0], : bs_h.shape[1]]
+    rec_y = _luma_edges_dev(rec_y, bs_v, qp, bd, beta_off, tc_off)
     rec_y = _luma_edges_dev(rec_y.T, bs_h.T, qp, bd, beta_off,
                             tc_off).T
     for i, (off, pl) in enumerate(((cb_qp_off, rec_u),

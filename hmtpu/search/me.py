@@ -127,16 +127,95 @@ _FRAC_OFFS = np.array([(0, 0), (0, -1), (0, 1), (-1, 0), (1, 0),
                        (-1, -1), (-1, 1), (1, -1), (1, 1)], np.int32)
 
 
+def _block_sad_int(refs, ridx, mvx, mvy, org_blk, bw, bh):
+    """SAD of every 8x8 block against (integer-pel mvx, mvy) into its
+    selected reference.  mv in full pel; shapes (bh, bw)."""
+    r, hh, ww = refs.shape
+    # per-block gather: absolute sample coords
+    y0 = jnp.arange(bh)[:, None] * 8
+    x0 = jnp.arange(bw)[None, :] * 8
+    yy = jnp.clip(y0[:, :, None, None] + mvy[:, :, None, None]
+                  + jnp.arange(8)[None, None, :, None], 0, hh - 1)
+    xx = jnp.clip(x0[:, :, None, None] + mvx[:, :, None, None]
+                  + jnp.arange(8)[None, None, None, :], 0, ww - 1)
+    pred = refs[ridx[:, :, None, None], yy, xx]
+    return jnp.abs(org_blk.reshape(bh, bw, 8, 8) - pred) \
+        .sum(axis=(-1, -2)).astype(jnp.float32)
+
+
+def regularize_mv_field(refs, org_y, mvx, mvy, ridx, lam_sqrt,
+                        iters: int = 3):
+    """Motion-field coherence pass (TPU-batched analogue of what HM's
+    large-CU merge economics produce): each block re-picks its
+    (mv, ref) among {self, 4 neighbours, zero} minimising
+    SAD + lambda_sqrt * signalling-bits, where a candidate equal to a
+    neighbour costs ~2 bits (future merge/skip) and a differing one
+    pays its mvd bits.  Jacobi iterations, fully parallel.
+
+    mv in full pel (bh, bw); returns the same shapes."""
+    bh, bw = mvx.shape
+    org_blk = org_y.reshape(bh, 8, bw, 8).swapaxes(1, 2)
+
+    def shift(a, dy, dx):
+        return jnp.roll(a, (dy, dx), (0, 1))
+
+    for _ in range(iters):
+        nbs = [(shift(mvx, dy, dx), shift(mvy, dy, dx),
+                shift(ridx, dy, dx))
+               for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0))]
+        cands = [(mvx, mvy, ridx)] + nbs \
+            + [(jnp.zeros_like(mvx), jnp.zeros_like(mvy),
+                jnp.zeros_like(ridx))]
+        costs = []
+        for cx, cy, cr in cands:
+            sad = _block_sad_int(refs, cr, cx, cy, org_blk, bw, bh)
+            # merge economics: equal to any current neighbour -> ~2
+            # bits, else approximate mvd bits vs the left neighbour
+            eq = jnp.zeros(mvx.shape, bool)
+            for nx, ny, nr in nbs:
+                eq |= (cx == nx) & (cy == ny) & (cr == nr)
+            mvd = mv_bits_dev_f(cx - nbs[1][0], cy - nbs[1][1])
+            bits = jnp.where(eq, 2.0, mvd + 1.0)
+            costs.append(sad + lam_sqrt * bits)
+        costs = jnp.stack(costs)
+        best = jnp.argmin(costs, axis=0)
+        mvx = jnp.take_along_axis(
+            jnp.stack([c[0] for c in cands]), best[None], 0)[0]
+        mvy = jnp.take_along_axis(
+            jnp.stack([c[1] for c in cands]), best[None], 0)[0]
+        ridx = jnp.take_along_axis(
+            jnp.stack([c[2] for c in cands]), best[None], 0)[0]
+    return mvx, mvy, ridx
+
+
+def mv_bits_dev_f(vx, vy):
+    """Full-pel mvd bit estimate (quarter-pel scaled)."""
+    def bl(v):
+        a = jnp.abs(v * 4).astype(jnp.uint32)
+        return jnp.where(a > 0, 32 - jax.lax.clz(a), 0).astype(jnp.int32)
+
+    return (2 * bl(vx) + 2 * bl(vy) + 2).astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("bsize", "bd"))
 def frac_refine_batch(ref, xs0, ys0, org_blocks, int_mvx, int_mvy,
-                      bsize: int, bd: int = 8):
+                      bsize: int, bd: int = 8, ridx=None):
     """HM-shaped two-stage fractional refinement, batched: 9 half-pel
     candidates around the integer MV, then 9 quarter-pel candidates
     around the half-pel winner; SATD metric (xPatternSearchFracDIF
-    semantics, TEncSearch.cpp:5232-5268).  Returns quarter-pel MVs."""
-    from hmtpu.ops.interp import mc_luma_batch
+    semantics, TEncSearch.cpp:5232-5268).  Returns quarter-pel MVs.
+
+    `ref` is one (H, W) plane, or a (R, H, W) stack with per-block
+    `ridx` when each block refines against its own reference."""
+    from hmtpu.ops.interp import mc_luma_batch, mc_luma_batch_refs
 
     offs = jnp.asarray(_FRAC_OFFS)
+
+    def mc(cx, cy):
+        if ridx is None:
+            return mc_luma_batch(ref, xs0, ys0, cx, cy, bsize, bsize, bd)
+        return mc_luma_batch_refs(ref, ridx, xs0, ys0, cx, cy,
+                                  bsize, bsize, bd)
 
     def stage(mv, step):
         mvq_x, mvq_y = mv
@@ -144,7 +223,7 @@ def frac_refine_batch(ref, xs0, ys0, org_blocks, int_mvx, int_mvy,
         for k in range(9):
             cx = mvq_x + offs[k, 1] * step
             cy = mvq_y + offs[k, 0] * step
-            pred = mc_luma_batch(ref, xs0, ys0, cx, cy, bsize, bsize, bd)
+            pred = mc(cx, cy)
             costs.append(satd_batch(org_blocks, pred, bsize))
         costs = jnp.stack(costs, axis=1)                      # (B, 9)
         best = jnp.argmin(costs, axis=1)

@@ -99,6 +99,65 @@ def block_schedule(w: int, h: int, log2_ctu: int):
 
 
 @lru_cache(maxsize=None)
+def block_schedule16(w: int, h: int, log2_ctu: int):
+    """Wavefront schedule over the 16x16 grid (the two-level CU
+    decision: one 16x16 CU vs four 8x8 CUs per step).
+
+    Returns dict:
+      lv_blk  (L, Bmax) flat 16-block index per level, -1 padded
+      cells   (P16, 4) flat 8x8-cell indices in z-order per 16-block
+      nb_ok   (P16, 5)  z-scan availability of A1,B1,B0,A0,B2 at CU16
+      nb_cell (P16, 5)  flat 8x8-cell index holding each neighbour
+    """
+    bw, bh = w // 8, h // 8
+    gw, gh = bw // 2, bh // 2
+    z = zscan_map8(gw, gh, log2_ctu - 1)      # 16-blocks z-order
+    level = np.zeros((gh, gw), dtype=np.int32)
+    nb_ok = np.zeros((gh * gw, 5), dtype=bool)
+    nb_cell = np.zeros((gh * gw, 5), dtype=np.int32)
+    order = np.argsort(z.ravel(), kind="stable")
+    # neighbour sample positions of a 16x16 block at cells
+    # (2gy, 2gx): A1=(x-1,y+15), B1=(x+15,y-1), B0=(x+16,y-1),
+    # A0=(x-1,y+16), B2=(x-1,y-1) -> cell offsets on the 8-grid
+    cell_offs = ((1, -1), (-1, 1), (-1, 2), (2, -1), (-1, -1))
+    for f in order:
+        gy, gx = divmod(int(f), gw)
+        lv = 0
+        for s, (dy, dx) in enumerate(NB_OFFS):
+            ny, nx = gy + dy, gx + dx
+            if 0 <= ny < gh and 0 <= nx < gw and z[ny, nx] < z[gy, gx]:
+                lv = max(lv, level[ny, nx] + 1)
+        level[gy, gx] = lv
+        cy, cx = 2 * gy, 2 * gx
+        for s, (dy, dx) in enumerate(cell_offs):
+            ny, nx = cy + dy, cx + dx
+            if 0 <= ny < bh and 0 <= nx < bw:
+                nb_cell[f, s] = ny * bw + nx
+                # availability: the neighbouring 16-block is z-earlier
+                gny, gnx = ny // 2, nx // 2
+                nb_ok[f, s] = z[gny, gnx] < z[gy, gx]
+    nlev = int(level.max()) + 1
+    counts = np.bincount(level.ravel(), minlength=nlev)
+    lv_blk = np.full((nlev, int(counts.max())), -1, dtype=np.int32)
+    fill = np.zeros(nlev, dtype=np.int64)
+    for f in order:
+        gy, gx = divmod(int(f), gw)
+        lv = level[gy, gx]
+        lv_blk[lv, fill[lv]] = f
+        fill[lv] += 1
+    cells = np.zeros((gh * gw, 4), dtype=np.int32)
+    for f in range(gh * gw):
+        gy, gx = divmod(f, gw)
+        cy, cx = 2 * gy, 2 * gx
+        # z-order within the 16-block: (0,0), (1,0), (0,1), (1,1) in
+        # (dx, dy) -> cells TL, TR, BL, BR
+        cells[f] = [cy * bw + cx, cy * bw + cx + 1,
+                    (cy + 1) * bw + cx, (cy + 1) * bw + cx + 1]
+    return dict(lv_blk=lv_blk, cells=cells, nb_ok=nb_ok,
+                nb_cell=nb_cell)
+
+
+@lru_cache(maxsize=None)
 def static_ref_gather(w: int, h: int, log2_ctu: int, n: int):
     """Per-block substituted reference-line gather map.
 
@@ -224,11 +283,15 @@ def _scale_mv_dev(mvx, mvy, tb, td):
 
 def amvp_candidates_dev(nb_valid, nb_mvx, nb_mvy, nb_refpoc,
                         target_poc, cur_poc):
-    """Vectorised AMVP list (8.5.3.1.5/6), P slice, target ref idx 0,
-    TMVP off.  nb_* (B, 5) slot order [A1, B1, B0, A0, B2]; nb_refpoc is
-    the POC of the neighbour's L0 reference picture.
+    """Vectorised AMVP list (8.5.3.1.5/6), P slice, TMVP off.
+    nb_* (B, 5) slot order [A1, B1, B0, A0, B2]; nb_refpoc is the POC
+    of the neighbour's L0 reference picture; target_poc is the POC of
+    the block's own reference — scalar or (B,).
 
     Returns (mvp0x, mvp0y, mvp1x, mvp1y) each (B,)."""
+    target_poc = jnp.asarray(target_poc)
+    if target_poc.ndim == 1:
+        target_poc = target_poc[:, None]
     tb = cur_poc - target_poc
     smvx, smvy = _scale_mv_dev(nb_mvx, nb_mvy, tb, cur_poc - nb_refpoc)
     unscaled_ok = nb_valid & (nb_refpoc == target_poc)

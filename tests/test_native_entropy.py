@@ -169,7 +169,7 @@ def test_pslice_native_writer_matches_python_walk():
                     sao[1].reshape(ny, nx, 3, 7)), True, True)
             py = PFrameEncoder._entropy_pass(
                 self, qp, modes, skip_map, intra_map, decisions, sh,
-                sao=sao_py)
+                sao=sao_py, depth8=self._depth8)
             assert nat == py
             seen.append(len(nat))
             return nat

@@ -152,3 +152,35 @@ def test_amvp_dev_matches_host(num_ref):
             p = y * BW + x
             assert (p0x[p], p0y[p]) == want[0], (x, y, want)
             assert (p1x[p], p1y[p]) == want[1], (x, y, want)
+
+
+def test_merge16_dev_matches_host():
+    """CU16 merge lists from the 16-grid neighbour tables must match
+    the host derivation at (x, y, 16, 16)."""
+    import jax.numpy as jnp
+
+    from hmtpu.search.wavefront import block_schedule16
+
+    rng = np.random.RandomState(77)
+    num_ref = 2
+    dirs, mvx, mvy, ref = _random_field(rng, num_ref)
+    s16 = block_schedule16(W, H, LOG2CTU)
+    nb = s16["nb_cell"]
+    ok = s16["nb_ok"]
+    v = ok & (dirs.ravel()[nb] > 0)
+    cmx, cmy, crf = merge_candidates_dev(
+        jnp.asarray(v), jnp.asarray(mvx.ravel()[nb]),
+        jnp.asarray(mvy.ravel()[nb]), jnp.asarray(ref.ravel()[nb]),
+        num_ref, 5)
+    cmx, cmy, crf = np.asarray(cmx), np.asarray(cmy), np.asarray(crf)
+
+    ctx = _host_ctx(dirs, mvx, mvy, ref, [10, 8], cur_poc=11)
+    gw = W // 16
+    for gy in range(H // 16):
+        for gx in range(gw):
+            want = merge_candidates(ctx, gx * 16, gy * 16, 16, 16, 5,
+                                    num_ref)
+            p = gy * gw + gx
+            for k, c in enumerate(want):
+                assert (cmx[p, k], cmy[p, k]) == c.mv[0], (gx, gy, k)
+                assert crf[p, k] == c.ref_idx[0], (gx, gy, k)
