@@ -64,6 +64,9 @@ QUANT_SCALES = np.array((26214, 23302, 20560, 18396, 16384, 14564), dtype=np.int
 INV_QUANT_SCALES = np.array((40, 45, 51, 57, 64, 72), dtype=np.int64)
 
 
+CHROMA_QP_TABLE = None  # built below
+
+
 def chroma_qp_from_luma(qp: int, chroma_format_420: bool = True) -> int:
     """H.265 Table 8-10 chroma QP mapping (4:2:0); identity-with-clip
     otherwise."""
@@ -315,3 +318,9 @@ CTX_INIT = {
 
 # encoder fast-RMD candidate counts by log2(size) (TComRom.cpp:547+)
 INTRA_NUM_MODES_FAST = (3, 2, 2, 8, 4, 4, 8, 8, 8, 3)  # indexed by CU depth (64..4)
+
+
+import numpy as _np
+
+CHROMA_QP_TABLE = _np.asarray(
+    [chroma_qp_from_luma(q) for q in range(64)], _np.int32)

@@ -50,7 +50,7 @@ from hmtpu.ops.intra_pred import (
     predict_all_modes,
     predict_one_mode,
 )
-from hmtpu.ops.quant import dequantize, quantize
+from hmtpu.ops.quant import dequantize_t, quantize_t
 from hmtpu.ops.transform import forward_transform, inverse_transform
 from hmtpu.search.wavefront import (
     amvp_candidates_dev,
@@ -125,7 +125,7 @@ def _est_bits(lev, log2: int):
     return jnp.where(nnz > 0, tot, 1.0)
 
 
-def _code(org, pred, qp: int, log2: int, bd: int, lam=None):
+def _code(org, pred, qp, log2: int, bd: int, lam=None):
     """transform -> quant -> RDOQ-lite -> dequant -> inverse -> clip;
     returns (lev, rec, sse, bits).
 
@@ -137,7 +137,7 @@ def _code(org, pred, qp: int, log2: int, bd: int, lam=None):
     n = 1 << log2
     resi = org - pred
     coef = forward_transform(resi, n, bd)
-    lev = quantize(coef, qp, log2, bd, True)
+    lev = quantize_t(coef, qp, log2, bd, True)
     if lam is not None:
         c = jnp.float32(2.0 ** (-2 * (15 - bd - log2)))
         sign = jnp.sign(lev)
@@ -149,8 +149,8 @@ def _code(org, pred, qp: int, log2: int, bd: int, lam=None):
                 .astype(jnp.float32)
 
         co = coef.astype(jnp.float32)
-        dq = dequantize(lev, qp, log2, bd).astype(jnp.float32)
-        dqm = dequantize(lev - sign, qp, log2, bd).astype(jnp.float32)
+        dq = dequantize_t(lev, qp, log2, bd).astype(jnp.float32)
+        dqm = dequantize_t(lev - sign, qp, log2, bd).astype(jnp.float32)
         d_keep = (co - dq) ** 2 * c + lam * (2.0 + 1.5 * bl(a))
         d_m1 = (co - dqm) ** 2 * c \
             + lam * jnp.where(a > 1, 2.0 + 1.5 * bl(a - 1), 0.0)
@@ -158,7 +158,7 @@ def _code(org, pred, qp: int, log2: int, bd: int, lam=None):
         use_z = (a > 0) & (d_zero < d_keep) & (d_zero < d_m1)
         use_m = (a > 0) & ~use_z & (d_m1 < d_keep)
         lev = jnp.where(use_z, 0, jnp.where(use_m, lev - sign, lev))
-    deq = dequantize(lev, qp, log2, bd)
+    deq = dequantize_t(lev, qp, log2, bd)
     r = inverse_transform(deq, n, bd)
     rec = jnp.clip(pred + r, 0, (1 << bd) - 1)
     sse = jnp.sum((org - rec) ** 2, axis=(-1, -2)).astype(jnp.float32)
@@ -166,18 +166,19 @@ def _code(org, pred, qp: int, log2: int, bd: int, lam=None):
 
 
 @partial(jax.jit, static_argnames=("w", "h", "num_ref", "max_merge",
-                                   "qp", "qpc", "bd", "qp_factor",
-                                   "two_level"))
+                                   "bd", "two_level"))
 def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                    mv_x, mv_y, mv_ref, lv_blk, nb_ok, nb_flat,
                    sub_y, none_y, sub_u, none_c, ref_pocs, cur_poc,
                    mv16=None, sched16=None,
+                   qp=32, qpc=32,
                    *, w: int, h: int, num_ref: int, max_merge: int,
-                   qp: int, qpc: int, bd: int,
-                   qp_factor: float = 0.57, two_level: bool = False):
+                   bd: int = 8,
+                   qp_factor=0.57, two_level: bool = False):
     bw, bh = w // 8, h // 8
     P = bw * bh
-    lam = jnp.float32(qp_factor * 2.0 ** ((qp - 12) / 3.0))
+    lam = jnp.float32(qp_factor) \
+        * jnp.power(2.0, (qp - 12) / 3.0).astype(jnp.float32)
     lam_sqrt = jnp.sqrt(lam)
     mid = jnp.int32(1 << (bd - 1))
     bidx = jnp.arange(P)
@@ -553,17 +554,18 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 
 
 @partial(jax.jit, static_argnames=("w", "h", "num_ref", "max_merge",
-                                   "qp", "qpc", "bd", "srange", "subpel",
+                                   "bd", "srange", "subpel",
                                    "deblock", "sao", "ctu", "cb_off",
-                                   "cr_off", "qp_factor"))
+                                   "cr_off"))
 def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                      lv_blk, nb_ok, nb_flat, sub_y, none_y, sub_c,
-                     none_c, sched16, ref_pocs, cur_poc, *, w: int, h: int,
-                     num_ref: int, max_merge: int, qp: int, qpc: int,
+                     none_c, sched16, ref_pocs, cur_poc, qp=32, qpc=32,
+                     *, w: int, h: int,
+                     num_ref: int, max_merge: int,
                      bd: int, srange: int, subpel: str,
                      deblock: bool = False, sao: bool = False,
                      ctu: int = 64, cb_off: int = 0, cr_off: int = 0,
-                     qp_factor: float = 0.57):
+                     qp_factor=0.57):
     """ME + sub-pel + wavefront decision + in-loop filters in ONE
     dispatch, with compact output dtypes (spec coefficient range is
     int16; recon fits the bit depth) to minimise the device->host
@@ -571,7 +573,9 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     from hmtpu.search.me import frac_refine_batch, integer_me
 
     bw, bh = w // 8, h // 8
-    lam_sqrt = jnp.float32(np.sqrt(qp_factor * 2.0 ** ((qp - 12) / 3.0)))
+    lam_sqrt = jnp.sqrt(jnp.float32(qp_factor)
+                        * jnp.power(2.0, (qp - 12) / 3.0)
+                        .astype(jnp.float32))
     zeros = jnp.zeros((bh, bw), jnp.int32)
 
     # multi-reference integer ME: full-window search against EVERY
@@ -660,9 +664,10 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     st = wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                         mvq_x, mvq_y, rsel, lv_blk, nb_ok, nb_flat,
                         sub_y, none_y, sub_c, none_c, ref_pocs, cur_poc,
-                        mv16=mv16, sched16=sched16,
+                        mv16=mv16, sched16=sched16, qp=qp,
+                        qpc=qpc,
                         w=w, h=h, num_ref=num_ref, max_merge=max_merge,
-                        qp=qp, qpc=qpc, bd=bd, qp_factor=qp_factor,
+                        bd=bd, qp_factor=qp_factor,
                         two_level=two_level)
 
     # ---- in-loop filters, still on device (8.7.2 deblock, 8.7.3 SAO)
@@ -718,7 +723,8 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                 refpoc4, qp, bd, cb_qp_off=cb_off, cr_qp_off=cr_off,
                 int_v=int_v, int_h=int_h)
         if sao:
-            lam = float(qp_factor * 2.0 ** ((qp - 12) / 3.0))
+            lam = jnp.float32(qp_factor) \
+                * jnp.power(2.0, (qp - 12) / 3.0).astype(jnp.float32)
             rec_y, rec_u, rec_v, sao_params = sao_frame_dev(
                 org_y, rec_y, org_u, rec_u, org_v, rec_v, ctu, lam, bd)
             st["sao"] = sao_params.astype(jnp.int8)
@@ -774,8 +780,9 @@ class PFrameDeviceEncoder(PFrameEncoder):
             dev["sub_y"], dev["none_y"], dev["sub_c"], dev["none_c"],
             dev["sched16"],
             jnp.asarray(ref_pocs, jnp.int32), jnp.int32(poc),
+            jnp.int32(qp), jnp.int32(qpc),
             w=w, h=h, num_ref=len(refs), max_merge=sh.max_num_merge_cand,
-            qp=qp, qpc=qpc, bd=bd, srange=self.search_range,
+            bd=bd, srange=self.search_range,
             subpel=self.subpel, deblock=deblock_on, sao=sao_on,
             ctu=sps.ctu_size, cb_off=self.pps.cb_qp_offset,
             cr_off=self.pps.cr_qp_offset, qp_factor=self.qp_factor)

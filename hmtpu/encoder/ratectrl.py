@@ -1,0 +1,107 @@
+"""Rate control: the R-lambda model of HM's TEncRateCtrl
+(TEncRateCtrl.cpp/h — TEncRCSeq TEncRateCtrl.h:97, TEncRCGOP :184,
+TEncRCPic :217, xEstPicTargetBits :247), reduced to the picture level:
+
+  R = alpha * bpp^beta  per update class (I frames / each GOP position),
+  lambda = alpha * bpp_target^beta,
+  QP = 4.2005 * ln(lambda) + 13.7122    (HM's lambda->QP fit),
+
+with HM's post-picture model adaptation
+  alpha += 0.10 * (ln lambda_used - ln lambda_comp) * alpha
+  beta  += 0.05 * (ln lambda_used - ln lambda_comp) * ln bpp_real
+
+and the usual smoothing window for distributing the remaining bit
+budget.  Host-side (control decisions are scalar per picture); the
+device pass receives the chosen (QP, lambda) pair.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+# HM defaults (TEncRCSeq::initPicPara): alpha/beta seeds
+INIT_ALPHA = 3.2003
+INIT_BETA = -1.367
+# GOP-position bit-allocation weights for low-delay GOP4
+# (g_RCGOPWeights flavour: later/lower-QP frames get more bits)
+LDP_GOP4_WEIGHTS = (1.0, 1.25, 1.0, 2.0)
+
+
+@dataclass
+class _Model:
+    alpha: float = INIT_ALPHA
+    beta: float = INIT_BETA
+
+    def lam(self, bpp: float) -> float:
+        return self.alpha * bpp ** self.beta
+
+    def update(self, lam_used: float, bpp_real: float) -> None:
+        bpp_real = max(bpp_real, 1e-6)
+        lam_comp = self.alpha * bpp_real ** self.beta
+        d = math.log(lam_used) - math.log(lam_comp)
+        d = min(max(d, -2.0), 2.0)      # HM clips the adaptation step
+        self.alpha += 0.10 * d * self.alpha
+        self.alpha = min(max(self.alpha, 0.05), 500.0)
+        self.beta += 0.05 * d * math.log(bpp_real)
+        self.beta = min(max(self.beta, -3.0), -0.1)
+
+
+def lambda_to_qp(lam: float) -> int:
+    return int(round(4.2005 * math.log(lam) + 13.7122))
+
+
+@dataclass
+class RateControl:
+    """Picture-level R-lambda rate control for one encode."""
+
+    target_kbps: float
+    fps: float
+    width: int
+    height: int
+    total_frames: int
+    gop_weights: tuple = LDP_GOP4_WEIGHTS
+    intra_ratio: float = 4.0        # I pictures get ~4x the P budget
+
+    bits_spent: int = 0
+    frames_done: int = 0
+    last_qp: int | None = None
+    models: dict = field(default_factory=dict)
+
+    @property
+    def pixels(self) -> int:
+        return self.width * self.height
+
+    def _budget_left(self) -> float:
+        total = self.target_kbps * 1000.0 / self.fps * self.total_frames
+        return total - self.bits_spent
+
+    def pick(self, is_intra: bool, gop_pos: int = 0):
+        """Target bits, lambda and QP for the next picture."""
+        left_frames = max(self.total_frames - self.frames_done, 1)
+        avg = self._budget_left() / left_frames
+        if is_intra:
+            target = avg * self.intra_ratio
+            key = "I"
+        else:
+            wsum = sum(self.gop_weights)
+            wn = len(self.gop_weights)
+            target = avg * self.gop_weights[gop_pos % wn] * wn / wsum
+            key = f"P{gop_pos % wn}"
+        target = max(target, 100.0)
+        bpp = target / self.pixels
+        m = self.models.setdefault(key, _Model())
+        lam = min(max(m.lam(bpp), 0.1), 10000.0)
+        qp = lambda_to_qp(lam)
+        if self.last_qp is not None:
+            qp = min(max(qp, self.last_qp - 3), self.last_qp + 3)
+        qp = min(max(qp, 1), 51)
+        self._pending = (key, lam)
+        self.last_qp = qp
+        return target, lam, qp
+
+    def update(self, actual_bits: int) -> None:
+        key, lam = self._pending
+        self.models[key].update(lam, actual_bits / self.pixels)
+        self.bits_spent += actual_bits
+        self.frames_done += 1

@@ -55,6 +55,9 @@ class EncoderConfig:
     # coding position within the GOP.  Empty = flat QP.
     gop_qp_offsets: tuple = ()
     gop_qp_factors: tuple = ()
+    # R-lambda rate control (encoder/ratectrl.py); 0 = fixed QP
+    target_kbps: float = 0.0
+    frame_rate: float = 50.0
 
 
 @dataclass
@@ -104,6 +107,7 @@ class Encoder:
                        max_num_reorder_pics=self.sps.max_num_reorder_pics,
                        ptl=self.sps.ptl)
         self.results: list[FrameResult] = []
+        self.rc = None                           # R-lambda rate control
         self.dpb: list[tuple[int, Frame]] = []   # (poc, recon) newest last
         self._last_idr = 0                       # input index of last IDR
         self.nn_params = None
@@ -176,11 +180,20 @@ class Encoder:
     def encode_sequence(self, frames: list[Frame]) -> bytes:
         out = bytearray()
         if self.cfg.gop != "ra":
+            if self.cfg.target_kbps > 0 and self.rc is None:
+                from hmtpu.encoder.ratectrl import RateControl
+                self.rc = RateControl(
+                    self.cfg.target_kbps, self.cfg.frame_rate,
+                    self.cfg.width, self.cfg.height, len(frames))
             # two-phase pipeline: while the device computes frame N+1
             # (whose references live on device), the host pulls frame
-            # N's decision tensors and runs entropy/hash
+            # N's decision tensors and runs entropy/hash.  Rate control
+            # needs causal bit feedback, so it finishes before launch.
             pending = None
             for poc, frame in enumerate(frames):
+                if self.rc is not None and pending is not None:
+                    out.extend(write_annexb(self._finish_p(pending)))
+                    pending = None
                 if self._is_idr(poc) or not self.cfg.wavefront:
                     if pending is not None:
                         out.extend(write_annexb(self._finish_p(pending)))
@@ -230,6 +243,9 @@ class Encoder:
             gpos = (rel_poc - 1) % len(cfg.gop_qp_offsets)
             qp = cfg.qp + cfg.gop_qp_offsets[gpos]
             qpf = cfg.gop_qp_factors[gpos]
+        if self.rc is not None:
+            _, lam, qp = self.rc.pick(False, (rel_poc - 1) % 4)
+            qpf = lam / 2.0 ** ((qp - 12) / 3.0)
         sh = SliceHeader(
             slice_type=SliceType.P, pps_id=0, slice_qp=qp,
             pic_order_cnt_lsb=rel_poc, nal_type=NalUnitType.TRAIL_R,
@@ -271,6 +287,8 @@ class Encoder:
             nals.append(make_hash_sei_nal(digests))
         maxv = (1 << cfg.bit_depth) - 1
         total_bits = sum(len(n.to_bytes()) * 8 for n in nals)
+        if self.rc is not None:
+            self.rc.update(total_bits)
         self.results.append(FrameResult(
             launched["poc"], total_bits,
             psnr(frame.y, recon.y, maxv),
@@ -286,6 +304,9 @@ class Encoder:
         cfg = self.cfg
         nals: list[NalUnit] = []
         is_idr = self._is_idr(poc) if ra is None else poc == 0
+        qp_frame = cfg.qp
+        if self.rc is not None and is_idr:
+            _, _, qp_frame = self.rc.pick(True)
         if poc == 0:
             nals += [write_vps(self.vps), write_sps(self.sps),
                      write_pps(self.pps)]
@@ -294,9 +315,9 @@ class Encoder:
             self.dpb.clear()
             self._last_idr = poc
             fe = IntraFrameEncoder(self.sps, self.pps)
-            recon, decisions, mode8, depth8 = fe.analyze(frame, cfg.qp)
+            recon, decisions, mode8, depth8 = fe.analyze(frame, qp_frame)
             sh = SliceHeader(slice_type=SliceType.I, pps_id=0,
-                             slice_qp=cfg.qp,
+                             slice_qp=qp_frame,
                              nal_type=NalUnitType.IDR_W_RADL)
             stype = "I"
             rel_poc = 0
@@ -311,7 +332,7 @@ class Encoder:
             ref_pocs_l1 = []
             negs = [(rel_poc - p, True) for p in ref_pocs]
             sh = SliceHeader(
-                slice_type=SliceType.P, pps_id=0, slice_qp=cfg.qp,
+                slice_type=SliceType.P, pps_id=0, slice_qp=qp_frame,
                 pic_order_cnt_lsb=rel_poc, nal_type=NalUnitType.TRAIL_R,
                 negative_refs=negs, num_ref_idx_l0=n_ref,
                 five_minus_max_num_merge_cand=5 - cfg.max_num_merge_cand)
@@ -319,7 +340,7 @@ class Encoder:
                                nn_params=self.nn_params,
                                search_range=cfg.search_range)
             recon, field, decisions, maps = pe.analyze(
-                frame, cfg.qp, refs, ref_pocs, rel_poc, sh)
+                frame, qp_frame, refs, ref_pocs, rel_poc, sh)
             stype = "P"
         else:
             # random access: B slice with RPS covering the retained DPB
@@ -339,7 +360,7 @@ class Encoder:
             refs = [dpb_all[p] for p in ref_pocs]
             refs_l1 = [dpb_all[p] for p in ref_pocs_l1]
             sh = SliceHeader(
-                slice_type=SliceType.B, pps_id=0, slice_qp=cfg.qp,
+                slice_type=SliceType.B, pps_id=0, slice_qp=qp_frame,
                 pic_order_cnt_lsb=poc & ((1 << 8) - 1),
                 nal_type=NalUnitType.TRAIL_R,
                 negative_refs=negs, positive_refs=poss,
@@ -350,7 +371,7 @@ class Encoder:
                                nn_params=self.nn_params,
                                search_range=cfg.search_range)
             recon, field, decisions, maps = pe.analyze(
-                frame, cfg.qp, refs, ref_pocs, poc, sh, refs_l1,
+                frame, qp_frame, refs, ref_pocs, poc, sh, refs_l1,
                 ref_pocs_l1)
             stype = "B"
 
@@ -373,7 +394,7 @@ class Encoder:
                 leaf_id8[yi:yi + s8, xi:xi + s8] = yi * w8 + xi
             meta = meta_from_frame_state(field, cbf8, ref_pocs, leaf_id8,
                                          ref_pocs_l1)
-            deblock_frame(recon.y, recon.u, recon.v, meta, cfg.qp,
+            deblock_frame(recon.y, recon.u, recon.v, meta, qp_frame,
                           cfg.bit_depth, cb_qp_off=self.pps.cb_qp_offset,
                           cr_qp_off=self.pps.cr_qp_offset)
 
@@ -386,7 +407,7 @@ class Encoder:
                 estimate_sao_plane,
             )
 
-            lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+            lam = 0.57 * 2.0 ** ((qp_frame - 12) / 3.0)
             ctu = cfg.ctu_size
             p_y = estimate_sao_plane(frame.y, recon.y, ctu, lam,
                                      cfg.bit_depth)
@@ -407,10 +428,10 @@ class Encoder:
             sao = (grid, True, True)
 
         if is_idr:
-            slice_rbsp = fe._entropy_pass(cfg.qp, mode8, depth8,
+            slice_rbsp = fe._entropy_pass(qp_frame, mode8, depth8,
                                           decisions, sao=sao)
         else:
-            slice_rbsp = pe._entropy_pass(cfg.qp, *maps, decisions, sh,
+            slice_rbsp = pe._entropy_pass(qp_frame, *maps, decisions, sh,
                                           sao=sao)
 
         bw = write_slice_header(sh, self.sps, self.pps)
@@ -427,6 +448,8 @@ class Encoder:
 
         maxv = (1 << cfg.bit_depth) - 1
         total_bits = sum(len(n.to_bytes()) * 8 for n in nals)
+        if self.rc is not None and is_idr:
+            self.rc.update(total_bits)
         self.results.append(FrameResult(
             poc, total_bits,
             psnr(frame.y, recon.y, maxv),

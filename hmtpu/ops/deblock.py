@@ -303,8 +303,8 @@ def _luma_edges_dev(pl, bs, qp: int, bd: int, beta_off: int,
     ns = h // 4
     bsv = bs[:, :ne]
     tc_q = jnp.clip(qp + 2 * (bsv - 1) + (tc_off << 1), 0, 53)
-    b_q = int(np.clip(qp + (beta_off << 1), 0, 51))
-    beta = int(BETA_TABLE[b_q]) << (bd - 8)
+    b_q = jnp.clip(qp + (beta_off << 1), 0, 51)
+    beta = jnp.asarray(BETA_TABLE)[b_q] << (bd - 8)
     tc = (jnp.asarray(TC_TABLE)[tc_q] << (bd - 8)).astype(jnp.int32)
     tc = tc[:, :, None]                # (ns, ne, 1) per line broadcast
     maxv = (1 << bd) - 1
@@ -380,8 +380,8 @@ def _chroma_edges_dev(pl, bs2, qp_c: int, bd: int, tc_off: int):
     ne = w // 8 - 1
     ns = h // 4
     on = bs2[:, :ne, None]
-    q_idx = int(np.clip(qp_c + 2 + (tc_off << 1), 0, 53))
-    tc = int(TC_TABLE[q_idx]) << (bd - 8)
+    q_idx = jnp.clip(qp_c + 2 + (tc_off << 1), 0, 53)
+    tc = jnp.asarray(TC_TABLE)[q_idx] << (bd - 8)
     maxv = (1 << bd) - 1
 
     seg0 = pl[:, 6:6 + ne * 8].reshape(ns, 4, ne, 8).transpose(0, 2, 1, 3)
@@ -482,9 +482,10 @@ def deblock_frame_dev(rec_y, rec_u, rec_v, intra4, cbf4, mv_x, mv_y,
     rec_y = _luma_edges_dev(rec_y, bs_v, qp, bd, beta_off, tc_off)
     rec_y = _luma_edges_dev(rec_y.T, bs_h.T, qp, bd, beta_off,
                             tc_off).T
+    from hmtpu.common.spec_tables import CHROMA_QP_TABLE
     for i, (off, pl) in enumerate(((cb_qp_off, rec_u),
                                    (cr_qp_off, rec_v))):
-        qp_c = chroma_qp_from_luma(qp + off)
+        qp_c = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(qp + off, 0, 63)]
         v2 = bs_v[0::2, 1::2] == 2
         h2 = bs_h[1::2, 0::2] == 2
         pl = _chroma_edges_dev(pl, v2, qp_c, bd, tc_off)

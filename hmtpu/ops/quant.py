@@ -70,6 +70,39 @@ def dequantize(level: jax.Array, qp: int, log2_size: int,
     return jnp.clip(out, COEFF_MIN, COEFF_MAX).astype(jnp.int32)
 
 
+# traced-QP variants: identical arithmetic with qp as a device scalar,
+# so one compiled kernel serves every QP (rate control / per-frame GOP
+# offsets without recompilation)
+
+@partial(jax.jit, static_argnames=("log2_size", "bit_depth", "is_intra"))
+def quantize_t(coeff: jax.Array, qp: jax.Array, log2_size: int,
+               bit_depth: int = 8, is_intra: bool = True) -> jax.Array:
+    qp = qp + 6 * (bit_depth - 8)
+    per, rem = qp // 6, qp % 6
+    qbits = QUANT_SHIFT + per + transform_shift(log2_size, bit_depth)
+    add = (171 if is_intra else 85) << (qbits - 9)
+    scale = jnp.asarray(_QUANT_SCALES, jnp.int32)[rem]
+    mag = (jnp.abs(coeff) * scale + add) >> qbits
+    mag = jnp.minimum(mag, COEFF_MAX).astype(jnp.int32)
+    return jnp.where(coeff < 0, -mag, mag)
+
+
+@partial(jax.jit, static_argnames=("log2_size", "bit_depth"))
+def dequantize_t(level: jax.Array, qp: jax.Array, log2_size: int,
+                 bit_depth: int = 8) -> jax.Array:
+    qp = qp + 6 * (bit_depth - 8)
+    per, rem = qp // 6, qp % 6
+    shift = IQUANT_SHIFT - transform_shift(log2_size, bit_depth)
+    base = jnp.asarray(_INV_QUANT_SCALES, jnp.int32)[rem]
+    prod = level * base
+    s = shift - per
+    sa = jnp.maximum(s, 1)
+    right = (prod + (1 << (sa - 1))) >> sa
+    left = jnp.clip(prod, -(1 << 26), 1 << 26) << jnp.maximum(-s, 0)
+    out = jnp.where(s > 0, right, left)
+    return jnp.clip(out, COEFF_MIN, COEFF_MAX).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # scalar references (test oracle only)
 

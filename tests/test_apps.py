@@ -54,3 +54,39 @@ def test_apps_end_to_end(tmp_path):
     rc = decoder_app.main(["-b", str(bs), "-o", str(rec)])
     assert rc == 0
     assert rec.stat().st_size == 2 * (64 * 64 + 2 * 32 * 32)
+
+
+def test_annexb_bytecount_and_convert(tmp_path):
+    import numpy as np
+
+    from hmtpu.apps.annexb_bytecount import count
+    from hmtpu.apps.convert_bitdepth import convert_plane, main as conv
+
+    # bytecount over a freshly encoded stream
+    from hmtpu.encoder.top import Encoder, EncoderConfig
+    from hmtpu.io.yuv import Frame
+    from tools.gen_test_yuv import synth_clip
+
+    frames = [Frame(y.astype(np.int32), u.astype(np.int32),
+                    v.astype(np.int32))
+              for y, u, v in synth_clip(96, 96, 2)]
+    stream = Encoder(EncoderConfig(width=96, height=96, qp=32,
+                                   gop="ai")).encode_sequence(frames)
+    units, bbytes, total = count(stream)
+    assert sum(units.values()) >= 7     # vps sps pps 2x(slice hash)
+    assert 0 < total <= len(stream)
+
+    # bit-depth conversion roundtrip 8 -> 10 -> 8
+    rng = np.random.RandomState(0)
+    p = rng.randint(0, 256, (64,)).astype(np.uint8)
+    up = convert_plane(p, 8, 10)
+    back = convert_plane(up, 10, 8)
+    np.testing.assert_array_equal(back, p.astype(np.int32))
+
+    src = tmp_path / "in.yuv"
+    y = rng.randint(0, 256, (16 * 16 * 3 // 2,)).astype(np.uint8)
+    src.write_bytes(y.tobytes())
+    dst = tmp_path / "out.yuv"
+    assert conv([str(src), "16x16", "8", "10", str(dst)]) == 0
+    out = np.frombuffer(dst.read_bytes(), np.uint16)
+    np.testing.assert_array_equal(out, y.astype(np.uint16) << 2)

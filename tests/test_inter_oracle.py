@@ -55,3 +55,22 @@ def test_hm_oracle_ldp_multiref_qpsweep(tmp_path):
         bs.write_bytes(stream)
         log = decode(str(bs), str(tmp_path / f"rec{qp}.yuv"))
         assert log.count("(OK)") == 4 and "ERROR" not in log, log
+
+
+@pytest.mark.skipif(not have_decoder(), reason="HM oracle not built")
+def test_rate_control_hits_target(tmp_path):
+    """R-lambda rate control (encoder/ratectrl.py): achieved bitrate
+    within 15% of target, stream still decodes with matching hashes."""
+    w, h = 416, 240
+    frames = synth_frames(w, h, 16)
+    target = 600.0
+    enc = Encoder(EncoderConfig(width=w, height=h, qp=32, gop="ldp",
+                                subpel="nn", target_kbps=target,
+                                frame_rate=50.0))
+    stream = enc.encode_sequence(frames)
+    kbps = len(stream) * 8 / (16 / 50.0) / 1000
+    assert abs(kbps - target) / target < 0.15, kbps
+    bs = tmp_path / "rc.hevc"
+    bs.write_bytes(stream)
+    log = decode(str(bs), str(tmp_path / "rec.yuv"))
+    assert log.count("(OK)") == 16 and "ERROR" not in log
