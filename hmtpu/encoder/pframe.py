@@ -550,7 +550,7 @@ class PFrameEncoder:
             if d.kind == "skip":
                 encode_merge_idx(enc, d.merge_idx, max_merge)
                 return
-            assert log2 == 3 or (log2 == 4 and d.kind != "intra"), \
+            assert log2 == 3 or (log2 in (4, 5) and d.kind != "intra"), \
                 "intra CUs are 8x8 in this envelope"
             enc.encode_bin(OFF["PRED_MODE"], int(d.kind == "intra"))
             if d.kind == "intra":

@@ -56,6 +56,7 @@ from hmtpu.search.wavefront import (
     amvp_candidates_dev,
     block_schedule,
     block_schedule16,
+    block_schedule32,
     merge_candidates_dev,
     mv_bits_dev,
     static_ref_gather,
@@ -73,19 +74,27 @@ def _dev_static(w: int, h: int, log2_ctu: int):
     sub_y, none_y = static_ref_gather(w, h, log2_ctu, 8)
     sub_c, none_c = static_ref_gather(w // 2, h // 2, log2_ctu - 1, 4)
     sched16 = None
+    sched32 = None
     if w % 16 == 0 and h % 16 == 0:
         s16 = block_schedule16(w, h, log2_ctu)
         sched16 = (jnp.asarray(s16["lv_blk"]),
                    jnp.asarray(s16["cells"]),
                    jnp.asarray(s16["nb_ok"]),
                    jnp.asarray(s16["nb_cell"]))
+        s32 = block_schedule32(w, h, log2_ctu)
+        sched32 = (jnp.asarray(s32["lv_blk"]),
+                   jnp.asarray(s32["cells16"]),
+                   jnp.asarray(s32["cells8"]),
+                   jnp.asarray(s32["nb_ok"]),
+                   jnp.asarray(s32["nb_cell"]),
+                   jnp.asarray(s32["full32"]))
     return dict(
         lv_blk=jnp.asarray(sched["lv_blk"]),
         nb_ok=jnp.asarray(sched["nb_ok"].reshape(-1, 5)),
         nb_flat=jnp.asarray(sched["nb_flat"].reshape(-1, 5)),
         sub_y=jnp.asarray(sub_y), none_y=jnp.asarray(none_y),
         sub_c=jnp.asarray(sub_c), none_c=jnp.asarray(none_c),
-        sched16=sched16,
+        sched16=sched16, sched32=sched32,
     )
 
 
@@ -166,15 +175,15 @@ def _code(org, pred, qp, log2: int, bd: int, lam=None):
 
 
 @partial(jax.jit, static_argnames=("w", "h", "num_ref", "max_merge",
-                                   "bd", "two_level"))
+                                   "bd", "levels"))
 def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                    mv_x, mv_y, mv_ref, lv_blk, nb_ok, nb_flat,
                    sub_y, none_y, sub_u, none_c, ref_pocs, cur_poc,
-                   mv16=None, sched16=None,
+                   mv16=None, sched16=None, mv32=None, sched32=None,
                    qp=32, qpc=32,
                    *, w: int, h: int, num_ref: int, max_merge: int,
                    bd: int = 8,
-                   qp_factor=0.57, two_level: bool = False):
+                   qp_factor=0.57, levels: int = 1):
     bw, bh = w // 8, h // 8
     P = bw * bh
     lam = jnp.float32(qp_factor) \
@@ -218,16 +227,17 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     refs_c = jnp.concatenate([refs_u, refs_v], axis=0)   # (2R, H/2, W/2)
 
     # ---- phase 2: wavefront scan over dependency levels.  Per-block
-    # state is packed into one (P, 9) tensor [kind, mi, mvdx, mvdy,
-    # mvpi, dir, mvx, mvy, ref] and one (P, 96) level tensor so each
-    # step costs one gather + one scatter per consumer.
+    # state is packed into one (P, 11) tensor [kind, mi, mvdx, mvdy,
+    # mvpi, dir, mvx, mvy, ref, size-code, luma-cbf] and one (P, 96)
+    # level tensor so each step costs one gather + one scatter per
+    # consumer.
     K_KIND, K_MI, K_MVDX, K_MVDY, K_MVPI, K_DIR, K_MVX, K_MVY, K_REF, \
-        K_SZ = range(10)
+        K_SZ, K_CBFY = range(11)
     state = dict(
         rec_y=jnp.zeros(h * w, jnp.int32),
         rec_u=jnp.zeros(h * w // 4, jnp.int32),
         rec_v=jnp.zeros(h * w // 4, jnp.int32),
-        blk=jnp.zeros((P, 10), jnp.int32),
+        blk=jnp.zeros((P, 11), jnp.int32),
         levs=jnp.zeros((P, 96), jnp.int32),
     )
 
@@ -357,9 +367,15 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         new_mvy = pick4(w_mvy, w_mvy, amy, jnp.zeros_like(amy))
         new_ref = pick4(w_ref, w_ref, aref, jnp.zeros_like(w_ref))
         new_dir = jnp.where(choice == 3, 0, 1)
+        zero_b = jnp.zeros((B,), bool)
+        cbf_y = pick4(zero_b,
+                      jnp.any(lev_my.reshape(B, 64) != 0, axis=1),
+                      jnp.any(lev_ay[b].reshape(B, 64) != 0, axis=1),
+                      jnp.any(lev_iy.reshape(B, 64) != 0, axis=1)) \
+            .astype(jnp.int32)
         o_blk = jnp.stack([choice, mi, mvdx, mvdy, mvpi,
                            new_dir, new_mvx, new_mvy, new_ref,
-                           jnp.zeros_like(choice)], axis=1)
+                           jnp.zeros_like(choice), cbf_y], axis=1)
 
         # scatters (invalid lanes -> out-of-bounds index, dropped)
         drop = jnp.where(valid, b, P)
@@ -387,7 +403,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         st, _ = cell_step(st, blk, blk >= 0)
         return st, None
 
-    if not two_level:
+    if levels == 1:
         state, _ = jax.lax.scan(step, state, lv_blk)
         state["imode"] = imode
         return state
@@ -429,15 +445,23 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                                   lev16au.reshape(P16, 64),
                                   lev16av.reshape(P16, 64)], axis=1)
 
-    def step16(st, blk16):
-        valid = blk16 >= 0
+    def region16(st, blk16, valid):
+        """Decide one batch of 16x16 regions: four 8x8 CUs inside the
+        scan, then one 16x16 inter CU trial that overwrites where it
+        wins.  Returns (state, chosen RD cost per lane)."""
         g = jnp.where(valid, blk16, 0)
         B = blk16.shape[0]
         c4 = cells16[g]                                   # (B, 4)
-        cost8 = jnp.zeros((B,), jnp.float32)
-        for ci in range(4):
-            st, cc = cell_step(st, c4[:, ci], valid)
-            cost8 = cost8 + cc
+
+        # z-order cell loop as a scan: one compiled cell_step body
+        # instead of four inlined copies (compile-time control)
+        def cell_body(carry, cells):
+            st_, acc = carry
+            st_, cc = cell_step(st_, cells, valid)
+            return (st_, acc + cc), None
+
+        (st, cost8), _ = jax.lax.scan(
+            cell_body, (st, jnp.zeros((B,), jnp.float32)), c4.T)
 
         gyb, gxb = g // gw, g % gw
         x0, y0 = gxb * 16, gyb * 16
@@ -525,9 +549,13 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         n_mvx = pick3(w_mvx, w_mvx, amx)
         n_mvy = pick3(w_mvy, w_mvy, amy)
         n_ref = pick3(w_ref, w_ref, aref)
+        cbf16b = pick3(jnp.zeros((B,), bool),
+                       jnp.any(lev_my.reshape(B, 256) != 0, axis=1),
+                       jnp.any(lev16ay[g].reshape(B, 256) != 0, axis=1)
+                       ).astype(jnp.int32)
         o_blk = jnp.stack([c16, mi, mvdx, mvdy, mvpi,
                            jnp.ones_like(c16), n_mvx, n_mvy, n_ref,
-                           jnp.ones_like(c16)], axis=1)
+                           jnp.ones_like(c16), cbf16b], axis=1)
 
         drop4 = jnp.where(use16[:, None], c4, P)
         yy = (y0[:, None] + jnp.arange(16)[None, :])
@@ -546,9 +574,191 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             blk=st["blk"].at[drop4].set(o_blk[:, None, :]),
             levs=st["levs"].at[drop4].set(o_lev),
         )
+        return st, jnp.where(use16, cost16, cost8)
+
+    if levels == 2:
+        def step16(st, blk16):
+            st, _ = region16(st, blk16, blk16 >= 0)
+            return st, None
+
+        state, _ = jax.lax.scan(step16, state, lv16)
+        state["imode"] = imode
+        return state
+
+    # ---- three-level scan: per 32x32 region, four 16x16 regions (each
+    # deciding 16x16-vs-4x8x8 inside), then ONE 32x32 inter CU trial
+    # (skip / merge / AMVP, 32x32 TU) that overwrites where it wins.
+    # CU32 candidates read only state OUTSIDE the region, so the sub
+    # decision commits first — same inversion as the 16 level.
+    lv32, cells16_32, cells8_32, nb32_ok, nb32_cell, full32 = sched32
+    qw = (gw + 1) // 2
+    qh = (gh + 1) // 2
+    P32 = qw * qh
+    mv32_x, mv32_y, mv32_ref = mv32
+    orgp_y = jnp.pad(org_y, ((0, qh * 32 - h), (0, qw * 32 - w)),
+                     mode="edge")
+    orgp_u = jnp.pad(org_u, ((0, (qh * 32 - h) // 2),
+                             (0, (qw * 32 - w) // 2)), mode="edge")
+    orgp_v = jnp.pad(org_v, ((0, (qh * 32 - h) // 2),
+                             (0, (qw * 32 - w) // 2)), mode="edge")
+    org32_blk = _blockify(orgp_y, 32)
+    org32u = _blockify(orgp_u, 16)
+    org32v = _blockify(orgp_v, 16)
+    q_all = jnp.arange(P32)
+    qy_all, qx_all = q_all // qw, q_all % qw
+
+    # hoisted CU32 AMVP prediction + residual
+    m32x, m32y = mv32_x.reshape(-1), mv32_y.reshape(-1)
+    r32 = mv32_ref.reshape(-1)
+    pred32a = mc_luma_batch_refs(refs_y, r32, qx_all * 32, qy_all * 32,
+                                 m32x, m32y, 32, 32, bd)
+    pred32au = mc_chroma_batch_refs(refs_u, r32, qx_all * 16,
+                                    qy_all * 16, m32x, m32y, 16, 16, bd)
+    pred32av = mc_chroma_batch_refs(refs_v, r32, qx_all * 16,
+                                    qy_all * 16, m32x, m32y, 16, 16, bd)
+    lev32ay, rec32ay, d32ay, b32ay = _code(org32_blk, pred32a, qp, 5,
+                                           bd, lam)
+    lev32au, rec32au, d32au, b32au = _code(org32u, pred32au, qpc, 4,
+                                           bd, lam)
+    lev32av, rec32av, d32av, b32av = _code(org32v, pred32av, qpc, 4,
+                                           bd, lam)
+    dist_a32 = d32ay + d32au + d32av
+    bits_a32 = b32ay + b32au + b32av
+    lev32_a1536 = jnp.concatenate([lev32ay.reshape(P32, 1024),
+                                   lev32au.reshape(P32, 256),
+                                   lev32av.reshape(P32, 256)], axis=1)
+
+    def step32(st, blk32):
+        valid = blk32 >= 0
+        g = jnp.where(valid, blk32, 0)
+        B = blk32.shape[0]
+        c16b = cells16_32[g]                              # (B, 4)
+
+        def reg_body(carry, cells):
+            st_, acc = carry
+            cv = valid & (cells >= 0)
+            st_, cc = region16(st_, jnp.where(cv, cells, 0), cv)
+            return (st_, acc + jnp.where(cv, cc, 0.0)), None
+
+        (st, cost_sub), _ = jax.lax.scan(
+            reg_body, (st, jnp.zeros((B,), jnp.float32)), c16b.T)
+
+        can32 = valid & full32[g]
+        qyb, qxb = g // qw, g % qw
+        x0, y0 = qxb * 32, qyb * 32
+        org = org32_blk[g]
+        orgu = org32u[g]
+        orgv = org32v[g]
+
+        nb = nb32_cell[g]
+        nbp = st["blk"][nb]
+        nbv = nb32_ok[g] & (nbp[..., K_DIR] > 0)
+        nmx, nmy, nrf = nbp[..., K_MVX], nbp[..., K_MVY], nbp[..., K_REF]
+        cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
+                                             num_ref, max_merge)
+        M = max_merge
+        rep = lambda a: jnp.repeat(a, M)
+        pred_l = mc_luma_batch_refs(
+            refs_y, crf.reshape(-1), rep(x0), rep(y0),
+            cmx.reshape(-1), cmy.reshape(-1), 32, 32, bd) \
+            .reshape(B, M, 32, 32)
+        sse_l = jnp.sum((org[:, None] - pred_l) ** 2, axis=(-1, -2))
+        mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+        w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
+        w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
+        w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
+        pred_m = jnp.take_along_axis(
+            pred_l, mi[:, None, None, None], 1)[:, 0]
+        two = lambda a: jnp.concatenate([a, a])
+        pred_c2 = mc_chroma_batch_refs(
+            refs_c, jnp.concatenate([w_ref, w_ref + num_ref]),
+            two(qxb * 16), two(qyb * 16), two(w_mvx), two(w_mvy),
+            16, 16, bd)
+        pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
+        msse3 = (jnp.sum((org - pred_m) ** 2, axis=(-1, -2))
+                 + jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
+                 + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
+                 ).astype(jnp.float32)
+        lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 5, bd, lam)
+        levC2, recC2, dC2, bC2 = _code(
+            jnp.concatenate([orgu, orgv]),
+            jnp.concatenate([pred_mu, pred_mv_]), qpc, 4, bd, lam)
+        lev_mu, lev_mv_ = levC2[:B], levC2[B:]
+        rec_mu, rec_mv_ = recC2[:B], recC2[B:]
+        d_mu, d_mv = dC2[:B], dC2[B:]
+        b_mu, b_mv = bC2[:B], bC2[B:]
+
+        nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
+        aref = r32[g]
+        p0x, p0y, p1x, p1y = amvp_candidates_dev(
+            nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc)
+        amx, amy = m32x[g], m32y[g]
+        bits0 = mv_bits_dev(amx - p0x, amy - p0y)
+        bits1 = mv_bits_dev(amx - p1x, amy - p1y)
+        use1 = bits1 < bits0
+        mvpi = use1.astype(jnp.int32)
+        mvdx = jnp.where(use1, amx - p1x, amx - p0x)
+        mvdy = jnp.where(use1, amy - p1y, amy - p0y)
+        bits_mvd = jnp.minimum(bits0, bits1).astype(jnp.float32)
+        ref_bits = jnp.where(aref == 0, 1.0,
+                             (1 + jnp.minimum(aref, num_ref - 2))
+                             .astype(jnp.float32)) if num_ref > 1 else 0.0
+        mif = mi.astype(jnp.float32)
+        cost_skip = msse3 + lam * (2.0 + mif)
+        cost_merge = d_my + d_mu + d_mv \
+            + lam * (4.0 + mif + b_my + b_mu + b_mv)
+        cost_amvp = dist_a32[g] + lam * (5.0 + ref_bits + bits_mvd
+                                         + bits_a32[g])
+        costs = jnp.stack([cost_skip, cost_merge, cost_amvp], axis=1)
+        c32 = jnp.argmin(costs, axis=1).astype(jnp.int32)
+        m_zero = (b_my <= 1.0) & (b_mu <= 1.0) & (b_mv <= 1.0)
+        c32 = jnp.where((c32 == 1) & m_zero, 0, c32)
+        cost32 = jnp.min(costs, axis=1)
+        use32 = can32 & (cost32 < cost_sub)
+
+        def pick3(s, m, a):
+            c = c32.reshape((-1,) + (1,) * (s.ndim - 1))
+            return jnp.where(c == 0, s, jnp.where(c == 1, m, a))
+
+        out_y = pick3(pred_m, rec_my, rec32ay[g])
+        out_u = pick3(pred_mu, rec_mu, rec32au[g])
+        out_v = pick3(pred_mv_, rec_mv_, rec32av[g])
+        pack = jnp.concatenate([lev_my.reshape(B, 1024),
+                                lev_mu.reshape(B, 256),
+                                lev_mv_.reshape(B, 256)], axis=1)
+        o_lev = pick3(jnp.zeros((B, 1536), jnp.int32), pack,
+                      lev32_a1536[g]).reshape(B, 16, 96)
+        n_mvx = pick3(w_mvx, w_mvx, amx)
+        n_mvy = pick3(w_mvy, w_mvy, amy)
+        n_ref = pick3(w_ref, w_ref, aref)
+        cbf32b = pick3(jnp.zeros((B,), bool),
+                       jnp.any(lev_my.reshape(B, 1024) != 0, axis=1),
+                       jnp.any(lev32ay[g].reshape(B, 1024) != 0, axis=1)
+                       ).astype(jnp.int32)
+        o_blk = jnp.stack([c32, mi, mvdx, mvdy, mvpi,
+                           jnp.ones_like(c32), n_mvx, n_mvy, n_ref,
+                           jnp.full_like(c32, 2), cbf32b], axis=1)
+
+        drop16 = jnp.where(use32[:, None], cells8_32[g], P)
+        yy = (y0[:, None] + jnp.arange(32)[None, :])
+        xx = (x0[:, None] + jnp.arange(32)[None, :])
+        fl_y = yy[:, :, None] * w + xx[:, None, :]
+        fl_y = jnp.where(use32[:, None, None], fl_y, h * w)
+        cyy = (qyb * 16)[:, None] + jnp.arange(16)[None, :]
+        cxx = (qxb * 16)[:, None] + jnp.arange(16)[None, :]
+        fl_c = cyy[:, :, None] * (w // 2) + cxx[:, None, :]
+        fl_c = jnp.where(use32[:, None, None], fl_c, h * w // 4)
+
+        st = dict(
+            rec_y=st["rec_y"].at[fl_y].set(out_y),
+            rec_u=st["rec_u"].at[fl_c].set(out_u),
+            rec_v=st["rec_v"].at[fl_c].set(out_v),
+            blk=st["blk"].at[drop16].set(o_blk[:, None, :]),
+            levs=st["levs"].at[drop16].set(o_lev),
+        )
         return st, None
 
-    state, _ = jax.lax.scan(step16, state, lv16)
+    state, _ = jax.lax.scan(step32, state, lv32)
     state["imode"] = imode
     return state
 
@@ -559,7 +769,8 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                                    "cr_off"))
 def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                      lv_blk, nb_ok, nb_flat, sub_y, none_y, sub_c,
-                     none_c, sched16, ref_pocs, cur_poc, qp=32, qpc=32,
+                     none_c, sched16, sched32, ref_pocs, cur_poc,
+                     qp=32, qpc=32,
                      *, w: int, h: int,
                      num_ref: int, max_merge: int,
                      bd: int, srange: int, subpel: str,
@@ -622,7 +833,7 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     # 16x16 ME for the two-level CU decision (dims permitting)
     two_level = (w % 16 == 0) and (h % 16 == 0)
     mv16 = None
-    if two_level:
+    if two_level and sched16 is not None:
         mv16_all, st16_all, c16_all = [], [], []
         for r in range(num_ref):
             (mx, my), s16, sad16 = integer_me(
@@ -661,14 +872,65 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
             mv16q_x, mv16q_y = m16[0] * 4, m16[1] * 4
         mv16 = (mv16q_x, mv16q_y, r16)
 
+    # 32x32 ME for the third CU level (org/ref padded up; lanes in the
+    # padded strip never become CUs — full32 masks them in the scan)
+    three_level = mv16 is not None and sched32 is not None
+    mv32 = None
+    if three_level:
+        qw, qh = (bw // 2 + 1) // 2, (bh // 2 + 1) // 2
+        pads = ((0, qh * 32 - h), (0, qw * 32 - w))
+        orgp = jnp.pad(org_y, pads, mode="edge")
+        mv32_all, st32_all, c32_all = [], [], []
+        for r in range(num_ref):
+            refp = jnp.pad(refs_y[r], pads, mode="edge")
+            (mx, my), s32, sad32 = integer_me(
+                refp, orgp, 32, srange, lam_sqrt,
+                jnp.zeros((qh, qw), jnp.int32),
+                jnp.zeros((qh, qw), jnp.int32))
+            refbits = 0.0 if num_ref == 1 \
+                else float(1 + min(r, num_ref - 2))
+            mv32_all.append(jnp.stack([mx, my]))
+            st32_all.append(s32)
+            c32_all.append(sad32.astype(jnp.float32)
+                           + lam_sqrt * refbits)
+        r32 = jnp.argmin(jnp.stack(c32_all), axis=0).astype(jnp.int32)
+        m32 = jnp.take_along_axis(jnp.stack(mv32_all),
+                                  r32[None, None], 0)[0]
+        s32 = jnp.take_along_axis(
+            jnp.stack(st32_all), r32[None, :, :, None, None], 0)[0]
+        if subpel == "nn":
+            from hmtpu.models.nnfme import predict_offsets
+            st9 = s32.reshape(-1, 9).astype(jnp.float32)
+            sizes32 = jnp.full((qh * qw,), 32, jnp.int32)
+            _, offs32 = predict_offsets(nn, st9, sizes32, sizes32)
+            mv32q_x = (m32[0].reshape(-1) * 4
+                       + offs32[:, 0]).reshape(qh, qw)
+            mv32q_y = (m32[1].reshape(-1) * 4
+                       + offs32[:, 1]).reshape(qh, qw)
+        elif subpel == "dctif":
+            ys0, xs0 = jnp.mgrid[0:qh, 0:qw] * 32
+            qx, qy = frac_refine_batch(
+                jnp.stack([jnp.pad(refs_y[r], pads, mode="edge")
+                           for r in range(num_ref)]),
+                xs0.reshape(-1), ys0.reshape(-1),
+                _blockify(orgp, 32), m32[0].reshape(-1),
+                m32[1].reshape(-1), 32, bd, ridx=r32.reshape(-1))
+            mv32q_x = qx.reshape(qh, qw)
+            mv32q_y = qy.reshape(qh, qw)
+        else:
+            mv32q_x, mv32q_y = m32[0] * 4, m32[1] * 4
+        mv32 = (mv32q_x, mv32q_y, r32)
+
+    levels = 3 if three_level else (2 if two_level else 1)
     st = wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                         mvq_x, mvq_y, rsel, lv_blk, nb_ok, nb_flat,
                         sub_y, none_y, sub_c, none_c, ref_pocs, cur_poc,
-                        mv16=mv16, sched16=sched16, qp=qp,
+                        mv16=mv16, sched16=sched16, mv32=mv32,
+                        sched32=sched32, qp=qp,
                         qpc=qpc,
                         w=w, h=h, num_ref=num_ref, max_merge=max_merge,
                         bd=bd, qp_factor=qp_factor,
-                        two_level=two_level)
+                        levels=levels)
 
     # ---- in-loop filters, still on device (8.7.2 deblock, 8.7.3 SAO)
     if deblock or sao:
@@ -683,24 +945,9 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
             a.reshape(bh, bw), 2, 0), 2, 1)
         dirf = blk[:, 5]
         intra4 = rep4(dirf == 0)
-        # 8.7.2.4: the cbf condition counts LUMA coefficients only.
-        # 16x16 CUs pack [lumay(256)|cb(64)|cr(64)] across their four
-        # cells' 96-slot rows, so their luma cbf spans cells TL/TR and
-        # the first 64 slots of BL.
-        cbf8_flat = jnp.any(st["levs"][:, :64] != 0, axis=1)
-        gh2, gw2 = bh // 2, bw // 2
-        if gh2 and gw2 and bh == gh2 * 2 and bw == gw2 * 2:
-            lev2 = st["levs"][:gh2 * 2 * bw].reshape(
-                gh2, 2, gw2, 2, 96).transpose(0, 2, 1, 3, 4) \
-                .reshape(gh2, gw2, 384)
-            cbf16 = jnp.any(lev2[..., :256] != 0, axis=-1)
-            cusz_g = (blk[:, 9].reshape(bh, bw)[0::2, 0::2] > 0)
-            cbf16_cells = jnp.repeat(jnp.repeat(
-                jnp.where(cusz_g, cbf16, False), 2, 0), 2, 1)
-            cusz_cells = jnp.repeat(jnp.repeat(cusz_g, 2, 0), 2, 1)
-            cbf8_flat = jnp.where(cusz_cells.reshape(-1),
-                                  cbf16_cells.reshape(-1), cbf8_flat)
-        cbf4 = rep4(cbf8_flat)
+        # 8.7.2.4: the cbf condition counts LUMA coefficients only; the
+        # scan commits each CU's luma cbf to every covered 8x8 cell.
+        cbf4 = rep4(blk[:, 10] > 0)
         zeros4 = jnp.zeros((h // 4, w // 4), jnp.int32)
         mv_x4 = jnp.stack([rep4(jnp.where(dirf > 0, blk[:, 6], 0)),
                            zeros4])
@@ -712,12 +959,16 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                                               num_ref - 1)], -1)),
              jnp.full((h // 4, w // 4), -1, jnp.int32)])
         if deblock:
-            # 8-pel edges interior to a 16x16 CU/TU are not boundaries
+            # 8-pel edges interior to a 16x16 / 32x32 CU/TU are not
+            # boundaries (CUs are size-aligned, so the cell column/row
+            # parity identifies interior edges)
             cusz8 = blk[:, 9].reshape(bh, bw)
             ev = jnp.arange(bw - 1)
-            int_v = (cusz8[:, :-1] > 0) & ((ev % 2) == 0)[None, :]
+            int_v = ((cusz8[:, :-1] == 1) & ((ev % 2) == 0)[None, :]) \
+                | ((cusz8[:, :-1] == 2) & ((ev % 4) != 3)[None, :])
             eh = jnp.arange(bh - 1)
-            int_h = (cusz8[:-1, :] > 0) & ((eh % 2) == 0)[:, None]
+            int_h = ((cusz8[:-1, :] == 1) & ((eh % 2) == 0)[:, None]) \
+                | ((cusz8[:-1, :] == 2) & ((eh % 4) != 3)[:, None])
             rec_y, rec_u, rec_v = deblock_frame_dev(
                 rec_y, rec_u, rec_v, intra4, cbf4, mv_x4, mv_y4,
                 refpoc4, qp, bd, cb_qp_off=cb_off, cr_qp_off=cr_off,
@@ -778,7 +1029,7 @@ class PFrameDeviceEncoder(PFrameEncoder):
             self.nn_params,
             dev["lv_blk"], dev["nb_ok"], dev["nb_flat"],
             dev["sub_y"], dev["none_y"], dev["sub_c"], dev["none_c"],
-            dev["sched16"],
+            dev["sched16"], dev["sched32"],
             jnp.asarray(ref_pocs, jnp.int32), jnp.int32(poc),
             jnp.int32(qp), jnp.int32(qpc),
             w=w, h=h, num_ref=len(refs), max_merge=sh.max_num_merge_cand,
@@ -814,7 +1065,7 @@ class PFrameDeviceEncoder(PFrameEncoder):
         rec_y = st["rec_y"].reshape(h, w)
         rec_u = st["rec_u"].reshape(h // 2, w // 2)
         rec_v = st["rec_v"].reshape(h // 2, w // 2)
-        blk = st["blk"].reshape(bh, bw, 10)
+        blk = st["blk"].reshape(bh, bw, 11)
         kind, mi, mvdx, mvdy, mvpi = (blk[..., k] for k in range(5))
         fmvx, fmvy, fref = blk[..., 6], blk[..., 7], blk[..., 8]
         cusz = blk[..., 9]
@@ -828,9 +1079,7 @@ class PFrameDeviceEncoder(PFrameEncoder):
         lev16y = np.zeros((gh, gw, 16, 16), np.int32)
         lev16cb = np.zeros((gh, gw, 8, 8), np.int32)
         lev16cr = np.zeros((gh, gw, 8, 8), np.int32)
-        cusz16 = np.zeros((gh, gw), bool)
         if gw and gh:
-            cusz16 = cusz[0::2, 0::2][:gh, :gw] > 0
             l2 = levs[:gh * 2, :gw * 2].reshape(gh, 2, gw, 2, 96) \
                 .transpose(0, 2, 1, 3, 4)
             flat = np.concatenate(
@@ -839,6 +1088,23 @@ class PFrameDeviceEncoder(PFrameEncoder):
             lev16y = flat[..., :256].reshape(gh, gw, 16, 16)
             lev16cb = flat[..., 256:320].reshape(gh, gw, 8, 8)
             lev16cr = flat[..., 320:384].reshape(gh, gw, 8, 8)
+        # unpack 32x32-CU level tensors (z-order over the 16 cells)
+        qw, qh = bw // 4, bh // 4
+        lev32y = np.zeros((qh, qw, 32, 32), np.int32)
+        lev32cb = np.zeros((qh, qw, 16, 16), np.int32)
+        lev32cr = np.zeros((qh, qw, 16, 16), np.int32)
+        if qw and qh:
+            l4 = levs[:qh * 4, :qw * 4].reshape(qh, 4, qw, 4, 96) \
+                .transpose(0, 2, 1, 3, 4)              # (qh,qw,4r,4c,96)
+            zord = ((0, 0), (0, 1), (1, 0), (1, 1),
+                    (0, 2), (0, 3), (1, 2), (1, 3),
+                    (2, 0), (2, 1), (3, 0), (3, 1),
+                    (2, 2), (2, 3), (3, 2), (3, 3))
+            flat4 = np.concatenate([l4[:, :, r, c] for r, c in zord],
+                                   axis=-1)            # (qh,qw,1536)
+            lev32y = flat4[..., :1024].reshape(qh, qw, 32, 32)
+            lev32cb = flat4[..., 1024:1280].reshape(qh, qw, 16, 16)
+            lev32cr = flat4[..., 1280:1536].reshape(qh, qw, 16, 16)
 
         # motion field (4x4 granularity) for deblock + later frames
         field = PicMotion.create(w, h)
@@ -856,7 +1122,8 @@ class PFrameDeviceEncoder(PFrameEncoder):
         # the CU-level merge index change.
         depth8 = np.full((bh, bw), sps.log2_ctu_size - 3,
                          dtype=np.int32)
-        depth8[cusz > 0] = sps.log2_ctu_size - 4
+        depth8[cusz == 1] = sps.log2_ctu_size - 4
+        depth8[cusz == 2] = sps.log2_ctu_size - 5
         from hmtpu.common.motion import MotionCtx, merge_candidates
         mctx = MotionCtx(field, w, h, sps.log2_ctu_size,
                          ctx["ref_pocs"], cur_poc=ctx["poc"])
@@ -866,8 +1133,10 @@ class PFrameDeviceEncoder(PFrameEncoder):
         def collapse(x0, y0, log2):
             size = 1 << log2
             cy, cx = y0 // 8, x0 // 8
-            if log2 == 4 and cusz[cy, cx]:
-                return                      # already a 16x16 CU
+            if log2 == 4 and cusz[cy, cx] >= 1:
+                return                      # already a 16x16+ CU
+            if log2 == 5 and cusz[cy, cx] == 2:
+                return                      # already a 32x32 CU
             if x0 + size <= w and y0 + size <= h and log2 > 3:
                 nc = size // 8
                 ks = kind[cy:cy + nc, cx:cx + nc]
@@ -908,6 +1177,34 @@ class PFrameDeviceEncoder(PFrameEncoder):
             for bxi in range(bw):
                 k = int(kind[byi, bxi])
                 key = (bxi * 8, byi * 8)
+                if cusz[byi, bxi] == 2:
+                    if byi % 4 or bxi % 4:
+                        continue            # covered by the 32x32 CU
+                    qyi, qxi = byi // 4, bxi // 4
+                    common = dict(
+                        log2=5,
+                        mv=(int(fmvx[byi, bxi]), int(fmvy[byi, bxi])),
+                        ref_idx=int(fref[byi, bxi]))
+                    if k == 0:
+                        decisions[key] = PuDec(
+                            "skip", merge_idx=int(mi[byi, bxi]),
+                            **common)
+                    elif k == 1:
+                        decisions[key] = PuDec(
+                            "merge", merge_idx=int(mi[byi, bxi]),
+                            lev_y=lev32y[qyi, qxi],
+                            lev_cb=lev32cb[qyi, qxi],
+                            lev_cr=lev32cr[qyi, qxi], **common)
+                    else:
+                        decisions[key] = PuDec(
+                            "amvp",
+                            mvd=(int(mvdx[byi, bxi]),
+                                 int(mvdy[byi, bxi])),
+                            mvp_idx=int(mvpi[byi, bxi]),
+                            lev_y=lev32y[qyi, qxi],
+                            lev_cb=lev32cb[qyi, qxi],
+                            lev_cr=lev32cr[qyi, qxi], **common)
+                    continue
                 if cusz[byi, bxi]:
                     if byi % 2 or bxi % 2:
                         continue            # covered by the 16x16 CU
@@ -976,7 +1273,9 @@ class PFrameDeviceEncoder(PFrameEncoder):
         self._nat = dict(kind=kind, mi=mi, mvdx=mvdx, mvdy=mvdy,
                          mvpi=mvpi, refi=fref, imode=imode, levy=levy,
                          levcb=levcb, levcr=levcr, lev16y=lev16y,
-                         lev16cb=lev16cb, lev16cr=lev16cr)
+                         lev16cb=lev16cb, lev16cr=lev16cr,
+                         lev32y=lev32y, lev32cb=lev32cb,
+                         lev32cr=lev32cr)
         return recon, field, decisions, (modes, skip_map, intra_map)
 
     def _entropy_pass(self, qp, modes, skip_map, intra_map, decisions,
@@ -1021,6 +1320,7 @@ class PFrameDeviceEncoder(PFrameEncoder):
                 nat["mvdy"], nat["mvpi"], nat["refi"], nat["imode"],
                 nat["levy"], nat["levcb"], nat["levcr"],
                 nat["lev16y"], nat["lev16cb"], nat["lev16cr"],
+                nat["lev32y"], nat["lev32cb"], nat["lev32cr"],
                 self._depth8, sao_packed)
             if rbsp is not None:
                 return rbsp

@@ -201,6 +201,7 @@ def pack_sao_grid(grid, n_ctu_x: int, n_ctu_y: int) -> np.ndarray:
 def encode_pslice_native(ctx: np.ndarray, geom: dict,
                          kind, mi, mvdx, mvdy, mvpi, refi, imode,
                          levy, levcb, levcr, lev16y, lev16cb, lev16cr,
+                         lev32y, lev32cb, lev32cr,
                          depth8, sao_packed) -> bytes | None:
     """One-call native slice-data serialisation from decision tensors.
     Returns None when the native engine is unavailable."""
@@ -221,9 +222,10 @@ def encode_pslice_native(ctx: np.ndarray, geom: dict,
 
     arrs = [c32(a) for a in (kind, mi, mvdx, mvdy, mvpi, refi, imode,
                              levy, levcb, levcr, lev16y, lev16cb,
-                             lev16cr, depth8)]
+                             lev16cr, lev32y, lev32cb, lev32cr,
+                             depth8)]
     n_blocks = arrs[0].size
-    cap = 4096 + 8 * sum(arrs[i].size for i in range(7, 13)) \
+    cap = 4096 + 8 * sum(arrs[i].size for i in range(7, 16)) \
         + 16 * n_blocks
     out = np.zeros(cap, dtype=np.uint8)
     ctxc = np.ascontiguousarray(ctx)

@@ -65,6 +65,7 @@ def get_entropy_lib():
                     i32p, i32p, i32p, i32p, i32p, i32p, i32p,  # decisions
                     i32p, i32p, i32p,             # levels y/cb/cr
                     i32p, i32p, i32p,             # 16x16-CU levels
+                    i32p, i32p, i32p,             # 32x32-CU levels
                     i32p,                         # depth8
                     i32p]                         # sao (nullable)
     _LIB = lib

@@ -395,6 +395,9 @@ struct SliceCfg {
     const int32_t* lev16y;           // (bh/2*bw/2) * 256
     const int32_t* lev16cb;          // (bh/2*bw/2) * 64
     const int32_t* lev16cr;          // (bh/2*bw/2) * 64
+    const int32_t* lev32y;           // (bh/4*bw/4) * 1024
+    const int32_t* lev32cb;          // (bh/4*bw/4) * 256
+    const int32_t* lev32cr;          // (bh/4*bw/4) * 256
     const int32_t* depth8;           // (bh*bw) coding-tree depth/cell
     // per-CTU SAO params: 21 int32 = 3 x (type, eo_class, band_pos, o0..o3)
     const int32_t* sao;
@@ -522,7 +525,13 @@ void write_cu_p(Enc& e, const SliceCfg& s, int x0, int y0, int log2) {
 
     const int32_t *ly, *lcb, *lcr;
     int nl, nc;
-    if (log2 == 4) {                 // 16x16 inter CU
+    if (log2 == 5) {                 // 32x32 inter CU
+        int p32 = (byi >> 2) * (s.bw >> 2) + (bxi >> 2);
+        ly = s.lev32y + p32 * 1024;
+        lcb = s.lev32cb + p32 * 256;
+        lcr = s.lev32cr + p32 * 256;
+        nl = 1024; nc = 256;
+    } else if (log2 == 4) {          // 16x16 inter CU
         int p16 = (byi >> 1) * (s.bw >> 1) + (bxi >> 1);
         ly = s.lev16y + p16 * 256;
         lcb = s.lev16cb + p16 * 64;
@@ -700,8 +709,9 @@ extern "C" int64_t hmtpu_encode_pslice(
     const int32_t* mvpi, const int32_t* refi, const int32_t* imode,
     const int32_t* levy, const int32_t* levcb, const int32_t* levcr,
     const int32_t* lev16y, const int32_t* lev16cb,
-    const int32_t* lev16cr, const int32_t* depth8,
-    const int32_t* sao) {
+    const int32_t* lev16cr, const int32_t* lev32y,
+    const int32_t* lev32cb, const int32_t* lev32cr,
+    const int32_t* depth8, const int32_t* sao) {
     Tables t{next_mps, next_lps, lps_tab, renorm,
              scan_blob, scan_index, off, ctx4x4};
     Enc e;
@@ -721,6 +731,7 @@ extern "C" int64_t hmtpu_encode_pslice(
     s.mvpi = mvpi; s.refi = refi; s.imode = imode;
     s.levy = levy; s.levcb = levcb; s.levcr = levcr;
     s.lev16y = lev16y; s.lev16cb = lev16cb; s.lev16cr = lev16cr;
+    s.lev32y = lev32y; s.lev32cb = lev32cb; s.lev32cr = lev32cr;
     s.depth8 = depth8; s.sao = sao;
 
     int n_ctu_x = (s.w + s.ctu - 1) / s.ctu;

@@ -158,6 +158,80 @@ def block_schedule16(w: int, h: int, log2_ctu: int):
 
 
 @lru_cache(maxsize=None)
+def block_schedule32(w: int, h: int, log2_ctu: int):
+    """Wavefront schedule over the 32x32 grid (the third CU level:
+    one 32x32 inter CU trialled against the committed 16/8 decision).
+
+    The 32-grid is padded up (ceil) so pictures whose height/width is
+    a multiple of 16 but not 32 still schedule; partial regions carry
+    their inside 16-cells but never form a 32x32 CU (full32 False).
+
+    Returns dict:
+      lv_blk  (L, Bmax) flat 32-region index per level, -1 padded
+      cells16 (P32, 4)  flat 16-grid indices in z-order, -1 outside
+      cells8  (P32, 16) flat 8x8-cell indices in z-order, -1 outside
+      nb_ok   (P32, 5)  z-scan availability of A1,B1,B0,A0,B2 at CU32
+      nb_cell (P32, 5)  flat 8x8-cell index holding each neighbour
+      full32  (P32,)    region lies fully inside the picture
+    """
+    bw, bh = w // 8, h // 8
+    gw, gh = bw // 2, bh // 2                  # 16-grid (exact)
+    qw, qh = (gw + 1) // 2, (gh + 1) // 2      # 32-grid (padded)
+    z = zscan_map8(qw, qh, log2_ctu - 2)       # 32-blocks z-order
+    z8 = zscan_map8(bw, bh, log2_ctu)          # full-resolution z-scan
+    level = np.zeros((qh, qw), dtype=np.int32)
+    nb_ok = np.zeros((qh * qw, 5), dtype=bool)
+    nb_cell = np.zeros((qh * qw, 5), dtype=np.int32)
+    full32 = np.zeros(qh * qw, dtype=bool)
+    order = np.argsort(z.ravel(), kind="stable")
+    # neighbour sample positions of a 32x32 block at 8-cells (cy, cx):
+    # A1=(x-1,y+31), B1=(x+31,y-1), B0=(x+32,y-1), A0=(x-1,y+32),
+    # B2=(x-1,y-1) -> cell offsets on the 8-grid
+    cell_offs = ((3, -1), (-1, 3), (-1, 4), (4, -1), (-1, -1))
+    for f in order:
+        qy, qx = divmod(int(f), qw)
+        lv = 0
+        for s, (dy, dx) in enumerate(NB_OFFS):
+            ny, nx = qy + dy, qx + dx
+            if 0 <= ny < qh and 0 <= nx < qw and z[ny, nx] < z[qy, qx]:
+                lv = max(lv, level[ny, nx] + 1)
+        level[qy, qx] = lv
+        cy, cx = 4 * qy, 4 * qx
+        full32[f] = cy + 4 <= bh and cx + 4 <= bw
+        for s, (dy, dx) in enumerate(cell_offs):
+            ny, nx = cy + dy, cx + dx
+            if 0 <= ny < bh and 0 <= nx < bw:
+                nb_cell[f, s] = ny * bw + nx
+                # available iff the neighbour cell is z-earlier than
+                # the region's first sample in the full z-scan
+                nb_ok[f, s] = z8[ny, nx] < z8[cy, cx]
+    nlev = int(level.max()) + 1
+    counts = np.bincount(level.ravel(), minlength=nlev)
+    lv_blk = np.full((nlev, int(counts.max())), -1, dtype=np.int32)
+    fill = np.zeros(nlev, dtype=np.int64)
+    for f in order:
+        qy, qx = divmod(int(f), qw)
+        lv = level[qy, qx]
+        lv_blk[lv, fill[lv]] = f
+        fill[lv] += 1
+    cells16 = np.full((qh * qw, 4), -1, dtype=np.int32)
+    cells8 = np.full((qh * qw, 16), -1, dtype=np.int32)
+    for f in range(qh * qw):
+        qy, qx = divmod(f, qw)
+        gy, gx = 2 * qy, 2 * qx
+        for i, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            ny, nx = gy + dy, gx + dx
+            if ny < gh and nx < gw:
+                cells16[f, i] = ny * gw + nx
+                cy, cx = 2 * ny, 2 * nx
+                cells8[f, 4 * i:4 * i + 4] = [
+                    cy * bw + cx, cy * bw + cx + 1,
+                    (cy + 1) * bw + cx, (cy + 1) * bw + cx + 1]
+    return dict(lv_blk=lv_blk, cells16=cells16, cells8=cells8,
+                nb_ok=nb_ok, nb_cell=nb_cell, full32=full32)
+
+
+@lru_cache(maxsize=None)
 def static_ref_gather(w: int, h: int, log2_ctu: int, n: int):
     """Per-block substituted reference-line gather map.
 
