@@ -10,8 +10,11 @@ index directly.
 
 Spec sections implemented: 6.4.1 (z-scan availability), 8.5.3.1.2
 (merge list), 8.5.3.1.5-6 (AMVP list + spatial mvp), 8.5.3.2.8
-(temporal mvp: gated off while sps.temporal_mvp_enabled=False),
-8.5.3.1.3 MV scaling.
+(temporal/collocated mvp: bottom-right-then-center col position at
+16x16 compressed granularity, POC-distance scaling; reference
+TComDataCU getInterMergeCandidates / xGetColMVP and the motion-field
+compression TComMotionInfo.cpp:330 which keeps the top-left 4x4 of
+every 16x16 region), 8.5.3.1.3 MV scaling.
 """
 from __future__ import annotations
 
@@ -95,12 +98,51 @@ class MotionCtx:
 
     def __init__(self, field: PicMotion, width: int, height: int,
                  log2_ctu: int, ref_pocs_l0: list, ref_pocs_l1=None,
-                 cur_poc: int = 0):
+                 cur_poc: int = 0, col=None):
         self.field = field
         self.w, self.h = width, height
+        self.log2_ctu = log2_ctu
         self.zmap = make_zscan_map(width, height, log2_ctu)
         self.ref_pocs = (list(ref_pocs_l0), list(ref_pocs_l1 or []))
         self.cur_poc = cur_poc
+        # collocated-picture motion for TMVP (8.5.3.2.8): dict with
+        # mvx/mvy/ok/refpoc arrays on the 8x8 block grid + 'poc', or
+        # None when slice_temporal_mvp is off / col data unavailable
+        self.col = col
+
+    def temporal_mv(self, x: int, y: int, w: int, h: int,
+                    target_poc: int):
+        """Collocated temporal MV for the PU at (x, y, w, h), scaled to
+        the reference at target_poc (8.5.3.2.8).  Bottom-right col
+        position first (same CTU row only), center fallback; positions
+        read at the 16x16 compressed granularity.  Returns (mvx, mvy)
+        or None."""
+        c = self.col
+        if c is None:
+            return None
+
+        def col_at(xs, ys):
+            # compressed read: top-left 4x4 of the 16x16 region, which
+            # on the 8x8 block grid is cell (2*(y>>4), 2*(x>>4))
+            byi, bxi = (ys >> 4) * 2, (xs >> 4) * 2
+            if not c["ok"][byi, bxi]:
+                return None
+            return (int(c["mvx"][byi, bxi]), int(c["mvy"][byi, bxi]),
+                    int(c["refpoc"][byi, bxi]))
+
+        got = None
+        xbr, ybr = x + w, y + h
+        if xbr < self.w and ybr < self.h \
+                and (y >> self.log2_ctu) == (ybr >> self.log2_ctu):
+            got = col_at(xbr, ybr)
+        if got is None:
+            got = col_at(x + w // 2, y + h // 2)
+        if got is None:
+            return None
+        mvx, mvy, col_refpoc = got
+        tb = int(np.clip(self.cur_poc - target_poc, -128, 127))
+        td = int(np.clip(c["poc"] - col_refpoc, -128, 127))
+        return _scale_mv((mvx, mvy), tb, td)
 
     def available(self, x_nb: int, y_nb: int, x_cur: int, y_cur: int) -> bool:
         """Neighbour (x_nb, y_nb) exists and precedes the current block's
@@ -157,6 +199,13 @@ def merge_candidates(ctx: MotionCtx, x: int, y: int, w: int, h: int,
                 and not (b1 is not None and b2.same_motion(b1)):
             cands.append(b2)
 
+    # temporal (collocated) candidate (8.5.3.2.8): appended after the
+    # spatial ones with refIdx fixed to 0, never pruned against them
+    if ctx.col is not None and len(cands) < max_cand and not is_b:
+        tmv = ctx.temporal_mv(x, y, w, h, ctx.ref_pocs[0][0])
+        if tmv is not None:
+            cands.append(MvCand(1, (tmv, (0, 0)), (0, -1)))
+
     # combined bi-predictive candidates (8.5.3.1.3, B slices only)
     if is_b and 1 < len(cands) < max_cand:
         priority = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
@@ -191,9 +240,12 @@ def merge_candidates(ctx: MotionCtx, x: int, y: int, w: int, h: int,
 def _scale_mv(mv, tb: int, td: int):
     """8.5.3.1.3 temporal/POC-distance MV scaling.  NB: tx divides by a
     possibly negative td — C truncates toward zero, so mirror that
-    (Python // floors)."""
+    (Python // floors).  td/tb clipped to [-128, 127] per
+    8.5.3.1.6/8.5.3.2.8."""
     if td == tb:
         return mv
+    tb = int(np.clip(tb, -128, 127))
+    td = int(np.clip(td, -128, 127))
     num = 16384 + (abs(td) >> 1)
     tx = num // td if td > 0 else -(num // -td)
     dsf = int(np.clip((tb * tx + 32) >> 6, -4096, 4095))
@@ -267,6 +319,11 @@ def amvp_candidates(ctx: MotionCtx, x: int, y: int, w: int, h: int,
         cands.append(mv_a)
     if mv_b is not None and mv_b not in cands:
         cands.append(mv_b)
+    # temporal candidate (8.5.3.1.6: appended unpruned when < 2)
+    if len(cands) < 2 and ctx.col is not None:
+        tmv = ctx.temporal_mv(x, y, w, h, target_poc)
+        if tmv is not None:
+            cands.append(tmv)
     while len(cands) < 2:
         cands.append((0, 0))
     return cands[:2]

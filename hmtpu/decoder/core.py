@@ -61,6 +61,9 @@ class DecodedPicture:
     frame: Frame
     poc: int
     hash_ok: bool | None = None  # None when no hash SEI present
+    # compressed motion (8x8 grid) kept for TMVP when this picture is
+    # collocated (8.5.3.2.8); None for intra pictures
+    col: dict | None = None
 
 
 _SLICE_NALS = (NalUnitType.IDR_W_RADL, NalUnitType.IDR_N_LP,
@@ -163,8 +166,15 @@ class Decoder:
         depth_map = np.zeros((h // 8, w // 8), dtype=np.int32)
         cbf_map = np.zeros((h // 8, w // 8), dtype=bool)
         field = PicMotion.create(w, h)
+        col = None
+        if is_p and not is_b and sh.temporal_mvp:
+            col_poc = ref_pocs[sh.collocated_ref_idx]
+            for p in reversed(self.pictures):
+                if p.poc == col_poc:
+                    col = p.col
+                    break
         mctx = MotionCtx(field, w, h, sps.log2_ctu_size, ref_pocs,
-                         ref_pocs_l1, cur_poc=poc)
+                         ref_pocs_l1, cur_poc=poc, col=col)
         max_merge = sh.max_num_merge_cand
         num_ref = sh.num_ref_idx_l0
         num_ref_l1 = sh.num_ref_idx_l1
@@ -437,4 +447,15 @@ class Decoder:
             rec_u = apply_sao_plane(rec_u, p_cb, ctu // 2, bd)
             rec_v = apply_sao_plane(rec_v, p_cr, ctu // 2, bd)
 
-        return DecodedPicture(Frame(rec_y, rec_u, rec_v, bd), poc)
+        col_self = None
+        if is_p and ref_pocs:
+            col_self = dict(
+                mvx=field.mv[0][::2, ::2, 0].copy(),
+                mvy=field.mv[0][::2, ::2, 1].copy(),
+                ok=(field.inter_dir[::2, ::2] & 1) > 0,
+                refpoc=np.asarray(ref_pocs, np.int32)[
+                    np.clip(field.ref_idx[0][::2, ::2], 0,
+                            len(ref_pocs) - 1)],
+                poc=poc)
+        return DecodedPicture(Frame(rec_y, rec_u, rec_v, bd), poc,
+                              col=col_self)

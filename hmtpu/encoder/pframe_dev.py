@@ -59,7 +59,9 @@ from hmtpu.search.wavefront import (
     block_schedule32,
     merge_candidates_dev,
     mv_bits_dev,
+    scale_mv_pair_dev,
     static_ref_gather,
+    temporal_cand_grid_dev,
 )
 
 INTRA_GATE = 24.0          # evaluate intra only when inter cost > gate*lam
@@ -175,15 +177,16 @@ def _code(org, pred, qp, log2: int, bd: int, lam=None):
 
 
 @partial(jax.jit, static_argnames=("w", "h", "num_ref", "max_merge",
-                                   "bd", "levels"))
+                                   "bd", "levels", "tmvp", "log2_ctu"))
 def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                    mv_x, mv_y, mv_ref, lv_blk, nb_ok, nb_flat,
                    sub_y, none_y, sub_u, none_c, ref_pocs, cur_poc,
                    mv16=None, sched16=None, mv32=None, sched32=None,
-                   qp=32, qpc=32,
+                   qp=32, qpc=32, col=None, col_poc=0,
                    *, w: int, h: int, num_ref: int, max_merge: int,
                    bd: int = 8,
-                   qp_factor=0.57, levels: int = 1):
+                   qp_factor=0.57, levels: int = 1,
+                   tmvp: bool = False, log2_ctu: int = 6):
     bw, bh = w // 8, h // 8
     P = bw * bh
     lam = jnp.float32(qp_factor) \
@@ -226,6 +229,22 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                                lev_av.reshape(P, 16)], axis=1)
     refs_c = jnp.concatenate([refs_u, refs_v], axis=0)   # (2R, H/2, W/2)
 
+    # ---- phase 1c: collocated temporal candidates (8.5.3.2.8), one
+    # dense derivation per CU-grid level — position + col validity are
+    # state-independent, so the scan only gathers.  Two scalings per
+    # level: merge targets reference 0, AMVP the block's searched ref.
+    def t_level(n, aref, gw=None, gh=None):
+        t_ok, rx, ry, rp = temporal_cand_grid_dev(
+            col[0], col[1], col[2], col[3], n, w, h, log2_ctu,
+            gw=gw, gh=gh)
+        td = col_poc - rp
+        tmx, tmy = scale_mv_pair_dev(rx, ry, cur_poc - ref_pocs[0], td)
+        tax, tay = scale_mv_pair_dev(rx, ry,
+                                     cur_poc - ref_pocs[aref], td)
+        return t_ok, tmx, tmy, tax, tay
+
+    t8 = t_level(8, mv_ref.reshape(-1)) if tmvp else None
+
     # ---- phase 2: wavefront scan over dependency levels.  Per-block
     # state is packed into one (P, 11) tensor [kind, mi, mvdx, mvdy,
     # mvpi, dir, mvx, mvy, ref, size-code, luma-cbf] and one (P, 96)
@@ -257,8 +276,10 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         nbp = st["blk"][nb]                                 # (B, 5, 9)
         nbv = nb_ok[b] & (nbp[..., K_DIR] > 0)
         nmx, nmy, nrf = nbp[..., K_MVX], nbp[..., K_MVY], nbp[..., K_REF]
+        tkw = {} if t8 is None else dict(
+            t_ok=t8[0][b], t_mvx=t8[1][b], t_mvy=t8[2][b])
         cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
-                                             num_ref, max_merge)
+                                             num_ref, max_merge, **tkw)
 
         # luma SSE screening over all candidates
         M = max_merge
@@ -287,8 +308,10 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         # AMVP: exact list (per-block target ref) -> mvd bits
         nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
         aref = rself[b]
+        takw = {} if t8 is None else dict(
+            t_ok=t8[0][b], t_mvx=t8[3][b], t_mvy=t8[4][b])
         p0x, p0y, p1x, p1y = amvp_candidates_dev(
-            nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc)
+            nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc, **takw)
         amx, amy = mvxf[b], mvyf[b]
         bits0 = mv_bits_dev(amx - p0x, amy - p0y)
         bits1 = mv_bits_dev(amx - p1x, amy - p1y)
@@ -417,6 +440,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     gw, gh = bw // 2, bh // 2
     P16 = gw * gh
     mv16_x, mv16_y, mv16_ref = mv16
+    t16 = t_level(16, mv16_ref.reshape(-1)) if tmvp else None
     lv16, cells16, nb16_ok, nb16_cell = sched16
     g_all = jnp.arange(P16)
     gy_all, gx_all = g_all // gw, g_all % gw
@@ -473,8 +497,10 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         nbp = st["blk"][nb]
         nbv = nb16_ok[g] & (nbp[..., K_DIR] > 0)
         nmx, nmy, nrf = nbp[..., K_MVX], nbp[..., K_MVY], nbp[..., K_REF]
+        tkw = {} if t16 is None else dict(
+            t_ok=t16[0][g], t_mvx=t16[1][g], t_mvy=t16[2][g])
         cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
-                                             num_ref, max_merge)
+                                             num_ref, max_merge, **tkw)
         M = max_merge
         rep = lambda a: jnp.repeat(a, M)
         pred_l = mc_luma_batch_refs(
@@ -508,8 +534,10 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 
         nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
         aref = r16[g]
+        takw = {} if t16 is None else dict(
+            t_ok=t16[0][g], t_mvx=t16[3][g], t_mvy=t16[4][g])
         p0x, p0y, p1x, p1y = amvp_candidates_dev(
-            nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc)
+            nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc, **takw)
         amx, amy = m16x[g], m16y[g]
         bits0 = mv_bits_dev(amx - p0x, amy - p0y)
         bits1 = mv_bits_dev(amx - p1x, amy - p1y)
@@ -595,6 +623,8 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     qh = (gh + 1) // 2
     P32 = qw * qh
     mv32_x, mv32_y, mv32_ref = mv32
+    t32 = t_level(32, mv32_ref.reshape(-1), gw=qw, gh=qh) \
+        if tmvp else None
     orgp_y = jnp.pad(org_y, ((0, qh * 32 - h), (0, qw * 32 - w)),
                      mode="edge")
     orgp_u = jnp.pad(org_u, ((0, (qh * 32 - h) // 2),
@@ -654,8 +684,10 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         nbp = st["blk"][nb]
         nbv = nb32_ok[g] & (nbp[..., K_DIR] > 0)
         nmx, nmy, nrf = nbp[..., K_MVX], nbp[..., K_MVY], nbp[..., K_REF]
+        tkw = {} if t32 is None else dict(
+            t_ok=t32[0][g], t_mvx=t32[1][g], t_mvy=t32[2][g])
         cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
-                                             num_ref, max_merge)
+                                             num_ref, max_merge, **tkw)
         M = max_merge
         rep = lambda a: jnp.repeat(a, M)
         pred_l = mc_luma_batch_refs(
@@ -690,8 +722,10 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 
         nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
         aref = r32[g]
+        takw = {} if t32 is None else dict(
+            t_ok=t32[0][g], t_mvx=t32[3][g], t_mvy=t32[4][g])
         p0x, p0y, p1x, p1y = amvp_candidates_dev(
-            nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc)
+            nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc, **takw)
         amx, amy = m32x[g], m32y[g]
         bits0 = mv_bits_dev(amx - p0x, amy - p0y)
         bits1 = mv_bits_dev(amx - p1x, amy - p1y)
@@ -766,17 +800,17 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 @partial(jax.jit, static_argnames=("w", "h", "num_ref", "max_merge",
                                    "bd", "srange", "subpel",
                                    "deblock", "sao", "ctu", "cb_off",
-                                   "cr_off"))
+                                   "cr_off", "tmvp"))
 def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                      lv_blk, nb_ok, nb_flat, sub_y, none_y, sub_c,
                      none_c, sched16, sched32, ref_pocs, cur_poc,
-                     qp=32, qpc=32,
+                     qp=32, qpc=32, col=None, col_poc=0,
                      *, w: int, h: int,
                      num_ref: int, max_merge: int,
                      bd: int, srange: int, subpel: str,
                      deblock: bool = False, sao: bool = False,
                      ctu: int = 64, cb_off: int = 0, cr_off: int = 0,
-                     qp_factor=0.57):
+                     qp_factor=0.57, tmvp: bool = False):
     """ME + sub-pel + wavefront decision + in-loop filters in ONE
     dispatch, with compact output dtypes (spec coefficient range is
     int16; recon fits the bit depth) to minimise the device->host
@@ -927,10 +961,11 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                         sub_y, none_y, sub_c, none_c, ref_pocs, cur_poc,
                         mv16=mv16, sched16=sched16, mv32=mv32,
                         sched32=sched32, qp=qp,
-                        qpc=qpc,
+                        qpc=qpc, col=col, col_poc=col_poc,
                         w=w, h=h, num_ref=num_ref, max_merge=max_merge,
                         bd=bd, qp_factor=qp_factor,
-                        levels=levels)
+                        levels=levels, tmvp=tmvp,
+                        log2_ctu=ctu.bit_length() - 1)
 
     # ---- in-loop filters, still on device (8.7.2 deblock, 8.7.3 SAO)
     if deblock or sao:
@@ -997,9 +1032,11 @@ class PFrameDeviceEncoder(PFrameEncoder):
     """Drop-in replacement for PFrameEncoder on P slices: same analyze()
     contract, decision pass on device (entropy pass inherited)."""
 
-    def __init__(self, *a, qp_factor: float = 0.57, **kw):
+    def __init__(self, *a, qp_factor: float = 0.57, tmvp: bool = True,
+                 **kw):
         super().__init__(*a, **kw)
         self.qp_factor = qp_factor
+        self.tmvp = tmvp
 
     def launch(self, frame: Frame, qp: int, refs: list[Frame],
                ref_pocs: list[int], poc: int, sh: SliceHeader):
@@ -1023,6 +1060,14 @@ class PFrameDeviceEncoder(PFrameEncoder):
 
         deblock_on = not self.pps.deblocking_filter_disabled
         sao_on = bool(sps.sao_enabled)
+        # collocated motion for TMVP: the device tensors attached to
+        # reference 0 by its own launch (8.5.3.2.8; col pic is
+        # RefPicList0[collocated_ref_idx=0]).  Absent for an IDR col
+        # pic — all-intra, so the candidate never exists anyway.
+        col_in = getattr(refs[0], "dev_col", None) \
+            if self.tmvp and sh.temporal_mvp else None
+        use_tmvp = col_in is not None
+        col_arrays, col_poc = col_in if use_tmvp else (None, 0)
         st, dev_planes = full_pframe_pass(
             jnp.asarray(frame.y, jnp.int32), jnp.asarray(frame.u, jnp.int32),
             jnp.asarray(frame.v, jnp.int32), refs_y, refs_u, refs_v,
@@ -1032,15 +1077,30 @@ class PFrameDeviceEncoder(PFrameEncoder):
             dev["sched16"], dev["sched32"],
             jnp.asarray(ref_pocs, jnp.int32), jnp.int32(poc),
             jnp.int32(qp), jnp.int32(qpc),
+            col_arrays, jnp.int32(col_poc),
             w=w, h=h, num_ref=len(refs), max_merge=sh.max_num_merge_cand,
             bd=bd, srange=self.search_range,
             subpel=self.subpel, deblock=deblock_on, sao=sao_on,
             ctu=sps.ctu_size, cb_off=self.pps.cb_qp_offset,
-            cr_off=self.pps.cr_qp_offset, qp_factor=self.qp_factor)
+            cr_off=self.pps.cr_qp_offset, qp_factor=self.qp_factor,
+            tmvp=use_tmvp)
+        # this frame's motion on the 8x8 grid, kept on device as the
+        # NEXT frame's collocated field (the 16x16 compression is the
+        # reader's index rounding)
+        bw, bh = w // 8, h // 8
+        blk = st["blk"].astype(jnp.int32)
+        col_out = ((blk[:, 6].reshape(bh, bw),
+                    blk[:, 7].reshape(bh, bw),
+                    (blk[:, 5] > 0).reshape(bh, bw),
+                    jnp.asarray(ref_pocs, jnp.int32)[
+                        jnp.clip(blk[:, 8], 0, len(refs) - 1)]
+                    .reshape(bh, bw)), poc)
         return dict(st=st, dev=dev_planes, sao_on=sao_on,
                     deblock_on=deblock_on, ref_pocs=list(ref_pocs),
                     poc=poc, num_ref=len(refs),
-                    max_merge=sh.max_num_merge_cand)
+                    max_merge=sh.max_num_merge_cand,
+                    col_out=col_out, col_ref=refs[0],
+                    tmvp=use_tmvp)
 
     def analyze(self, frame: Frame, qp: int, refs: list[Frame],
                 ref_pocs: list[int], poc: int, sh: SliceHeader,
@@ -1125,8 +1185,11 @@ class PFrameDeviceEncoder(PFrameEncoder):
         depth8[cusz == 1] = sps.log2_ctu_size - 4
         depth8[cusz == 2] = sps.log2_ctu_size - 5
         from hmtpu.common.motion import MotionCtx, merge_candidates
+        col_np = getattr(ctx["col_ref"], "col_np", None) \
+            if ctx["tmvp"] else None
         mctx = MotionCtx(field, w, h, sps.log2_ctu_size,
-                         ctx["ref_pocs"], cur_poc=ctx["poc"])
+                         ctx["ref_pocs"], cur_poc=ctx["poc"],
+                         col=col_np)
         max_merge = ctx["max_merge"]
         num_ref = ctx["num_ref"]
 
@@ -1270,6 +1333,13 @@ class PFrameDeviceEncoder(PFrameEncoder):
         intra_map = (kind == 3).astype(np.int32)
         recon = Frame(rec_y, rec_u, rec_v, bd)
         recon.dev = ctx["dev"]        # device-resident DPB planes
+        # host copy of this frame's motion for the NEXT frame's host
+        # passes (collapse + decoder-parity candidate derivation)
+        recon.col_np = dict(
+            mvx=fmvx, mvy=fmvy, ok=blk[..., 5] > 0,
+            refpoc=np.asarray(ctx["ref_pocs"], np.int32)[
+                np.clip(fref, 0, ctx["num_ref"] - 1)],
+            poc=ctx["poc"])
         self._nat = dict(kind=kind, mi=mi, mvdx=mvdx, mvdy=mvdy,
                          mvpi=mvpi, refi=fref, imode=imode, levy=levy,
                          levcb=levcb, levcr=levcr, lev16y=lev16y,

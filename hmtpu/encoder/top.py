@@ -50,6 +50,9 @@ class EncoderConfig:
     nn_weights_dir: str | None = None
     search_range: int = 16
     max_num_merge_cand: int = 5
+    # temporal MVP (collocated merge/AMVP candidate, 8.5.3.2.8; HM
+    # default on) — applied on the device-wavefront P path
+    tmvp: bool = True
     # per-GOP-position QP offsets + lambda QP-factors (HM's Frame1..N
     # rows, encoder_lowdelay_P_main.cfg); applied to P slices by
     # coding position within the GOP.  Empty = flat QP.
@@ -58,6 +61,11 @@ class EncoderConfig:
     # R-lambda rate control (encoder/ratectrl.py); 0 = fixed QP
     target_kbps: float = 0.0
     frame_rate: float = 50.0
+    # prefix-SEI messages (io/sei.py; HM SEIEncoder.cpp — off in the
+    # BASELINE configs, on by the matching cfg keys)
+    sei_active_parameter_sets: bool = False
+    sei_recovery_point: bool = False
+    sei_pic_timing: bool = False
 
 
 @dataclass
@@ -92,6 +100,8 @@ class Encoder:
             bit_depth_luma=cfg.bit_depth, bit_depth_chroma=cfg.bit_depth,
             log2_ctu_size=cfg.ctu_size.bit_length() - 1,
             sao_enabled=cfg.sao,
+            temporal_mvp_enabled=cfg.tmvp and cfg.gop == "ldp"
+            and cfg.wavefront,
         )
         if cfg.gop == "ra":
             # hierarchical GOP-8: up to 4 retained refs + reordering
@@ -250,14 +260,16 @@ class Encoder:
             slice_type=SliceType.P, pps_id=0, slice_qp=qp,
             pic_order_cnt_lsb=rel_poc, nal_type=NalUnitType.TRAIL_R,
             negative_refs=negs, num_ref_idx_l0=n_ref,
-            five_minus_max_num_merge_cand=5 - cfg.max_num_merge_cand)
+            five_minus_max_num_merge_cand=5 - cfg.max_num_merge_cand,
+            temporal_mvp=self.sps.temporal_mvp_enabled)
         pe = PFrameDeviceEncoder(self.sps, self.pps, subpel=cfg.subpel,
                                  nn_params=self.nn_params,
                                  search_range=cfg.search_range,
-                                 qp_factor=qpf)
+                                 qp_factor=qpf, tmvp=cfg.tmvp)
         ctx = pe.launch(frame, qp, refs, ref_pocs, rel_poc, sh)
         ph = Frame(None, None, None, cfg.bit_depth)
         ph.dev = ctx["dev"]
+        ph.dev_col = ctx["col_out"]
         self.dpb.append((rel_poc, ph))
         if len(self.dpb) > max(cfg.num_refs, 1):
             self.dpb = self.dpb[-max(cfg.num_refs, 1):]
@@ -271,6 +283,7 @@ class Encoder:
         recon, field, decisions, maps = pe.finish(launched["ctx"])
         ph = launched["ph"]
         ph.y, ph.u, ph.v = recon.y, recon.u, recon.v
+        ph.col_np = getattr(recon, "col_np", None)
 
         sao = None
         if self.sps.sao_enabled:
@@ -281,7 +294,8 @@ class Encoder:
                                       sao=sao)
         bw = write_slice_header(sh, self.sps, self.pps)
         bw.write_bytes(slice_rbsp)
-        nals = [NalUnit(sh.nal_type, bw.get_bytes())]
+        nals = self._prefix_seis(False)
+        nals.append(NalUnit(sh.nal_type, bw.get_bytes()))
         if cfg.decoded_picture_hash:
             digests = picture_md5(recon.planes(), [cfg.bit_depth] * 3)
             nals.append(make_hash_sei_nal(digests))
@@ -298,6 +312,23 @@ class Encoder:
         self._last_recon = recon
         return nals
 
+    def _prefix_seis(self, is_idr: bool) -> list[NalUnit]:
+        """Access-unit prefix SEI per HM's TEncGOP SEI assembly:
+        active_parameter_sets + recovery_point at IRAPs, pic_timing
+        per picture (all config-gated, defaults off like the BASELINE
+        configs)."""
+        from hmtpu.io import sei
+
+        cfg = self.cfg
+        msgs = []
+        if is_idr and cfg.sei_active_parameter_sets:
+            msgs.append(sei.active_parameter_sets())
+        if is_idr and cfg.sei_recovery_point:
+            msgs.append(sei.recovery_point())
+        if cfg.sei_pic_timing:
+            msgs.append(sei.pic_timing_frame_field())
+        return [sei.prefix_sei_nal(msgs)] if msgs else []
+
     def encode_frame_au(self, frame: Frame, poc: int,
                         ra=None) -> list[NalUnit]:
         t0 = time.time()
@@ -310,6 +341,7 @@ class Encoder:
         if poc == 0:
             nals += [write_vps(self.vps), write_sps(self.sps),
                      write_pps(self.pps)]
+        nals += self._prefix_seis(is_idr)
 
         if is_idr:
             self.dpb.clear()

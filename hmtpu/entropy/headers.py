@@ -250,6 +250,9 @@ class SliceHeader:
     num_ref_idx_l1: int = 0
     mvd_l1_zero: bool = False
     five_minus_max_num_merge_cand: int = 3
+    # TMVP (7.3.6.1): per-slice enable + collocated picture index
+    temporal_mvp: bool = False
+    collocated_ref_idx: int = 0
     # filled by parser: bit offset where slice data (CABAC) starts
     data_start_byte: int = 0
 
@@ -292,7 +295,7 @@ def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps) -> BitWriter:
         if sps.long_term_ref_pics_present:
             raise NotImplementedError
         if sps.temporal_mvp_enabled:
-            bw.write_flag(False)                 # slice_temporal_mvp
+            bw.write_flag(sh.temporal_mvp)
     if sps.sao_enabled:
         bw.write_flag(sh.sao_luma)
         bw.write_flag(sh.sao_chroma)
@@ -306,6 +309,11 @@ def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps) -> BitWriter:
         if sh.slice_type == SliceType.B:
             bw.write_flag(sh.mvd_l1_zero)
         assert not pps.cabac_init_present
+        if sh.temporal_mvp:
+            if sh.slice_type == SliceType.B:
+                bw.write_flag(True)              # collocated_from_l0
+            if sh.num_ref_idx_l0 > 1:
+                bw.write_ue(sh.collocated_ref_idx)
         assert not (pps.weighted_pred or pps.weighted_bipred)
         bw.write_ue(sh.five_minus_max_num_merge_cand)
     bw.write_se(sh.slice_qp - pps.init_qp)
@@ -349,7 +357,7 @@ def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
             sh.positive_refs.append((delta, used))
             prev = delta
         if sps.temporal_mvp_enabled:
-            br.read_flag()
+            sh.temporal_mvp = bool(br.read_flag())
     if sps.sao_enabled:
         sh.sao_luma = bool(br.read_flag())
         sh.sao_chroma = bool(br.read_flag())
@@ -363,6 +371,13 @@ def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
             sh.num_ref_idx_l0 = pps.num_ref_idx_l0_default
         if sh.slice_type == SliceType.B:
             sh.mvd_l1_zero = bool(br.read_flag())
+        if sh.temporal_mvp:
+            col_l0 = True
+            if sh.slice_type == SliceType.B:
+                col_l0 = bool(br.read_flag())
+            if (col_l0 and sh.num_ref_idx_l0 > 1) or \
+                    (not col_l0 and sh.num_ref_idx_l1 > 1):
+                sh.collocated_ref_idx = br.read_ue()
         sh.five_minus_max_num_merge_cand = br.read_ue()
     sh.slice_qp = pps.init_qp + br.read_se()
     if pps.loop_filter_across_slices and \

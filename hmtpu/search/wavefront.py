@@ -293,11 +293,15 @@ def _first(flags, *vals):
 
 
 def merge_candidates_dev(nb_valid, nb_mvx, nb_mvy, nb_ref,
-                         num_ref: int, max_merge: int):
-    """Vectorised merge list (8.5.3.1.2, P slice, TMVP off).
+                         num_ref: int, max_merge: int,
+                         t_ok=None, t_mvx=None, t_mvy=None):
+    """Vectorised merge list (8.5.3.1.2, P slice).
 
     nb_* are (B, 5) in slot order [A1, B1, B0, A0, B2]; nb_valid already
     folds z-scan availability AND inter-coded-ness of the neighbour.
+    t_* ((B,) or None): the collocated temporal candidate (8.5.3.2.8),
+    already scaled to reference 0 — appended after the spatial
+    candidates with refIdx 0, never pruned against them.
     Returns (cand_mvx, cand_mvy, cand_ref) each (B, max_merge)."""
     v = nb_valid
 
@@ -312,9 +316,17 @@ def merge_candidates_dev(nb_valid, nb_mvx, nb_mvy, nb_ref,
     cnt4 = sum(f.astype(jnp.int32) for f in incl)
     incl.append(v[:, SLOT_B2] & ~same(SLOT_B2, SLOT_A1)
                 & ~same(SLOT_B2, SLOT_B1) & (cnt4 < 4))
-    incl = jnp.stack(incl, axis=1)                       # (B, 5)
+    mvx_slots, mvy_slots, ref_slots = nb_mvx, nb_mvy, nb_ref
+    if t_ok is not None:
+        incl.append(t_ok)
+        mvx_slots = jnp.concatenate([nb_mvx, t_mvx[:, None]], axis=1)
+        mvy_slots = jnp.concatenate([nb_mvy, t_mvy[:, None]], axis=1)
+        ref_slots = jnp.concatenate(
+            [nb_ref, jnp.zeros_like(t_mvx)[:, None]], axis=1)
+    incl = jnp.stack(incl, axis=1)                       # (B, 5|6)
     pos = jnp.cumsum(incl.astype(jnp.int32), axis=1) - incl
-    target = jnp.where(incl, pos, max_merge)             # dump lane
+    # dump lane: excluded slots AND included ones past the list cap
+    target = jnp.where(incl & (pos < max_merge), pos, max_merge)
     b = nb_mvx.shape[0]
     rows = jnp.arange(b)[:, None]
 
@@ -322,9 +334,9 @@ def merge_candidates_dev(nb_valid, nb_mvx, nb_mvy, nb_ref,
         out = jnp.zeros((b, max_merge + 1), vals.dtype)
         return out.at[rows, target].set(vals)[:, :max_merge]
 
-    cand_mvx = scatter(nb_mvx)
-    cand_mvy = scatter(nb_mvy)
-    cand_ref = scatter(nb_ref)
+    cand_mvx = scatter(mvx_slots)
+    cand_mvy = scatter(mvy_slots)
+    cand_ref = scatter(ref_slots)
     n_spatial = jnp.sum(incl, axis=1).astype(jnp.int32)  # (B,)
 
     k = jnp.arange(max_merge)[None, :]
@@ -356,11 +368,15 @@ def _scale_mv_dev(mvx, mvy, tb, td):
 
 
 def amvp_candidates_dev(nb_valid, nb_mvx, nb_mvy, nb_refpoc,
-                        target_poc, cur_poc):
-    """Vectorised AMVP list (8.5.3.1.5/6), P slice, TMVP off.
+                        target_poc, cur_poc,
+                        t_ok=None, t_mvx=None, t_mvy=None):
+    """Vectorised AMVP list (8.5.3.1.5/6), P slice.
     nb_* (B, 5) slot order [A1, B1, B0, A0, B2]; nb_refpoc is the POC
     of the neighbour's L0 reference picture; target_poc is the POC of
-    the block's own reference — scalar or (B,).
+    the block's own reference — scalar or (B,).  t_* ((B,) or None):
+    the collocated temporal candidate already scaled to the block's
+    target reference, appended unpruned when fewer than two spatial
+    candidates survive (8.5.3.1.6).
 
     Returns (mvp0x, mvp0y, mvp1x, mvp1y) each (B,)."""
     target_poc = jnp.asarray(target_poc)
@@ -401,14 +417,80 @@ def amvp_candidates_dev(nb_valid, nb_mvx, nb_mvy, nb_refpoc,
     dup = found_a2 & found_b & (mv_a_x == mv_b_x) & (mv_a_y == mv_b_y)
     found_b = found_b & ~dup
 
-    # assemble [a?, b?, (0,0)...]
-    mvp0x = jnp.where(found_a2, mv_a_x, jnp.where(found_b, mv_b_x, 0))
-    mvp0y = jnp.where(found_a2, mv_a_y, jnp.where(found_b, mv_b_y, 0))
+    # assemble [a?, b?, t?, (0,0)...]
+    if t_ok is None:
+        t_ok = jnp.zeros(nb_valid.shape[:1], bool)
+        t_mvx = t_mvy = jnp.zeros(nb_valid.shape[:1], jnp.int32)
+    mvp0x = jnp.where(found_a2, mv_a_x,
+                      jnp.where(found_b, mv_b_x,
+                                jnp.where(t_ok, t_mvx, 0)))
+    mvp0y = jnp.where(found_a2, mv_a_y,
+                      jnp.where(found_b, mv_b_y,
+                                jnp.where(t_ok, t_mvy, 0)))
     second_is_b = found_a2 & found_b
-    mvp1x = jnp.where(second_is_b, mv_b_x, 0)
-    mvp1y = jnp.where(second_is_b, mv_b_y, 0)
+    second_is_t = ~second_is_b & (found_a2 | found_b) & t_ok
+    mvp1x = jnp.where(second_is_b, mv_b_x,
+                      jnp.where(second_is_t, t_mvx, 0))
+    mvp1y = jnp.where(second_is_b, mv_b_y,
+                      jnp.where(second_is_t, t_mvy, 0))
     return (mvp0x.astype(jnp.int32), mvp0y.astype(jnp.int32),
             mvp1x.astype(jnp.int32), mvp1y.astype(jnp.int32))
+
+
+def scale_mv_pair_dev(mvx, mvy, tb, td):
+    """Public 8.5.3.1.3 scaling with the temporal-MVP tb/td clipping
+    (8.5.3.2.8); identity when td == tb pre-clip like the reference."""
+    keep = td == tb
+    sx, sy = _scale_mv_dev(mvx, mvy, jnp.clip(tb, -128, 127),
+                           jnp.clip(td, -128, 127))
+    return (jnp.where(keep, mvx, sx).astype(jnp.int32),
+            jnp.where(keep, mvy, sy).astype(jnp.int32))
+
+
+def temporal_cand_grid_dev(col_mvx, col_mvy, col_ok, col_refpoc,
+                           n: int, w: int, h: int, log2_ctu: int,
+                           gw: int = None, gh: int = None):
+    """Raw collocated candidate for every n x n block of the picture
+    (8.5.3.2.8, position derivation only — scaling is the caller's,
+    since merge targets ref 0 while AMVP targets the block's own ref).
+
+    col_* are the collocated picture's motion on the 8x8 block grid
+    (bh, bw); the spec's 16x16 compression is the index rounding
+    (x >> 4) << 4, i.e. the even 8x8 cell of each 16x16 region
+    (reference TComMotionInfo.cpp:330 keeps the region's first z-scan
+    4x4, which the dense field makes the top-left 8x8 block's motion).
+
+    Returns (t_ok, t_mvx, t_mvy, t_refpoc), each flat (P,) over the
+    n-grid in raster order.  gw/gh override the grid dims for padded
+    grids (the 32-level's ceil grid); lanes outside the picture read
+    clamped col data and must be masked by the caller."""
+    if gw is None:
+        gw, gh = w // n, h // n
+    bw, bh = w // 8, h // 8
+    bidx = jnp.arange(gw * gh)
+    x0 = (bidx % gw) * n
+    y0 = (bidx // gw) * n
+
+    def at(xs, ys):
+        byi = jnp.minimum((ys >> 4) * 2, bh - 1)
+        bxi = jnp.minimum((xs >> 4) * 2, bw - 1)
+        fl = byi * bw + bxi
+        return (col_ok.reshape(-1)[fl], col_mvx.reshape(-1)[fl],
+                col_mvy.reshape(-1)[fl], col_refpoc.reshape(-1)[fl])
+
+    xbr, ybr = x0 + n, y0 + n
+    br_in = (xbr < w) & (ybr < h) \
+        & ((y0 >> log2_ctu) == (ybr >> log2_ctu))
+    ok_br, mx_br, my_br, rp_br = at(jnp.minimum(xbr, w - 1),
+                                    jnp.minimum(ybr, h - 1))
+    ok_br = ok_br & br_in
+    ok_ct, mx_ct, my_ct, rp_ct = at(x0 + n // 2, y0 + n // 2)
+    use_br = ok_br
+    t_ok = ok_br | ok_ct
+    t_mvx = jnp.where(use_br, mx_br, mx_ct).astype(jnp.int32)
+    t_mvy = jnp.where(use_br, my_br, my_ct).astype(jnp.int32)
+    t_refpoc = jnp.where(use_br, rp_br, rp_ct).astype(jnp.int32)
+    return t_ok, t_mvx, t_mvy, t_refpoc
 
 
 def mv_bits_dev(vx, vy):

@@ -90,3 +90,44 @@ def test_annexb_bytecount_and_convert(tmp_path):
     assert conv([str(src), "16x16", "8", "10", str(dst)]) == 0
     out = np.frombuffer(dst.read_bytes(), np.uint16)
     np.testing.assert_array_equal(out, y.astype(np.uint16) << 2)
+
+
+def test_bitrate_targeting_converges():
+    """The lambda-modifier guesser must converge a synthetic
+    power-law (bitrate ~ m^-0.7) layer model onto its targets, like
+    the reference BitrateTargeting iteration."""
+    from hmtpu.apps.bitrate_targeting import (
+        Point,
+        guess_lambda_modifiers,
+    )
+
+    def bitrate_of(m, scale):
+        return scale * m ** -0.7
+
+    targets = [400.0, 300.0]
+    scales = [500.0, 450.0]
+    history = [[Point(1.0, bitrate_of(1.0, s))] for s in scales]
+    for _ in range(12):
+        mods = guess_lambda_modifiers(targets, history)
+        for i, m in enumerate(mods):
+            history[i].append(Point(m, bitrate_of(m, scales[i])))
+    for i, t in enumerate(targets):
+        assert abs(history[i][-1].bitrate - t) / t < 0.02, history[i][-1]
+
+
+def test_sei_message_shapes():
+    from hmtpu.io.sei import (
+        active_parameter_sets,
+        pic_timing_frame_field,
+        prefix_sei_nal,
+        recovery_point,
+        user_data_unregistered,
+    )
+    from hmtpu.io.hashsei import parse_sei_messages
+
+    msgs = [active_parameter_sets(), recovery_point(0, True, False),
+            pic_timing_frame_field(), user_data_unregistered(b"hmtpu")]
+    nal = prefix_sei_nal(msgs)
+    parsed = parse_sei_messages(nal.rbsp)
+    assert [t for t, _ in parsed] == [129, 6, 1, 5]
+    assert parsed[3][1][16:] == b"hmtpu"

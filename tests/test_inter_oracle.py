@@ -74,3 +74,24 @@ def test_rate_control_hits_target(tmp_path):
     bs.write_bytes(stream)
     log = decode(str(bs), str(tmp_path / "rec.yuv"))
     assert log.count("(OK)") == 16 and "ERROR" not in log
+
+
+@pytest.mark.skipif(not have_decoder(), reason="HM oracle not built")
+def test_hm_oracle_ldp_tmvp_toggle(tmp_path):
+    """TMVP (collocated merge/AMVP candidate, 8.5.3.2.8) must produce
+    HM-decodable streams, and the slice header must carry the
+    slice_temporal_mvp flag both ways."""
+    w, h = 176, 144
+    frames = synth_frames(w, h, 5, seed=3)
+    for tmvp in (True, False):
+        enc = Encoder(EncoderConfig(width=w, height=h, qp=30,
+                                    gop="ldp", subpel="nn",
+                                    search_range=8, tmvp=tmvp))
+        stream = enc.encode_sequence(frames)
+        assert enc.sps.temporal_mvp_enabled == tmvp
+        bs = tmp_path / f"tmvp{tmvp}.hevc"
+        bs.write_bytes(stream)
+        log = decode(str(bs), str(tmp_path / f"rec{tmvp}.yuv"))
+        assert log.count("(OK)") == 5 and "ERROR" not in log, log
+        pics = Decoder().decode_annexb(stream)
+        assert all(p.hash_ok for p in pics)

@@ -184,3 +184,116 @@ def test_merge16_dev_matches_host():
             for k, c in enumerate(want):
                 assert (cmx[p, k], cmy[p, k]) == c.mv[0], (gx, gy, k)
                 assert crf[p, k] == c.ref_idx[0], (gx, gy, k)
+
+
+def test_temporal_cand_dev_matches_host():
+    """TMVP device derivation (position + scaling per grid level) must
+    match MotionCtx.temporal_mv for every block and CU size."""
+    import jax.numpy as jnp
+
+    from hmtpu.search.wavefront import (
+        scale_mv_pair_dev,
+        temporal_cand_grid_dev,
+    )
+
+    rng = np.random.RandomState(5)
+    num_ref = 3
+    cur_poc, col_poc = 9, 8
+    ref_pocs = [8, 7, 5]
+    col_ok = rng.rand(BH, BW) < 0.8
+    col_mvx = rng.randint(-500, 500, (BH, BW)).astype(np.int32)
+    col_mvy = rng.randint(-500, 500, (BH, BW)).astype(np.int32)
+    col_refpoc = np.asarray([7, 5, 4])[
+        rng.randint(0, 3, (BH, BW))].astype(np.int32)
+    col = dict(mvx=col_mvx, mvy=col_mvy, ok=col_ok,
+               refpoc=col_refpoc, poc=col_poc)
+    ctx = MotionCtx(PicMotion.create(W, H), W, H, LOG2CTU, ref_pocs,
+                    cur_poc=cur_poc, col=col)
+
+    for n in (8, 16, 32):
+        gw, gh = W // n, H // n
+        t_ok, rx, ry, rp = temporal_cand_grid_dev(
+            jnp.asarray(col_mvx), jnp.asarray(col_mvy),
+            jnp.asarray(col_ok), jnp.asarray(col_refpoc),
+            n, W, H, LOG2CTU)
+        for target in (ref_pocs[0], ref_pocs[2]):
+            tmx, tmy = scale_mv_pair_dev(rx, ry, cur_poc - target,
+                                         col_poc - rp)
+            tmx, tmy = np.asarray(tmx), np.asarray(tmy)
+            ok = np.asarray(t_ok)
+            for gy in range(gh):
+                for gx in range(gw):
+                    want = ctx.temporal_mv(gx * n, gy * n, n, n, target)
+                    p = gy * gw + gx
+                    if want is None:
+                        assert not ok[p], (n, gx, gy)
+                    else:
+                        assert ok[p], (n, gx, gy)
+                        assert (tmx[p], tmy[p]) == want, (n, gx, gy)
+
+
+def test_merge_amvp_dev_with_temporal_matches_host():
+    """Merge/AMVP lists with the collocated candidate enabled must
+    match the host derivation (insertion order, no pruning, cap)."""
+    import jax.numpy as jnp
+
+    from hmtpu.common.motion import MvCand
+    from hmtpu.search.wavefront import (
+        scale_mv_pair_dev,
+        temporal_cand_grid_dev,
+    )
+
+    rng = np.random.RandomState(17)
+    num_ref = 2
+    cur_poc, col_poc = 7, 6
+    ref_pocs = [6, 5]
+    dirs, mvx, mvy, ref = _random_field(rng, num_ref)
+    col_ok = rng.rand(BH, BW) < 0.7
+    col_mvx = rng.randint(-300, 300, (BH, BW)).astype(np.int32)
+    col_mvy = rng.randint(-300, 300, (BH, BW)).astype(np.int32)
+    col_refpoc = np.asarray([5, 4])[
+        rng.randint(0, 2, (BH, BW))].astype(np.int32)
+    col = dict(mvx=col_mvx, mvy=col_mvy, ok=col_ok,
+               refpoc=col_refpoc, poc=col_poc)
+
+    s = block_schedule(W, H, LOG2CTU)
+    v, nmx, nmy, nrf = _gather_slots(s, dirs, mvx, mvy, ref)
+    t_ok, rx, ry, rp = temporal_cand_grid_dev(
+        jnp.asarray(col_mvx), jnp.asarray(col_mvy),
+        jnp.asarray(col_ok), jnp.asarray(col_refpoc), 8, W, H, LOG2CTU)
+    tmx, tmy = scale_mv_pair_dev(rx, ry, cur_poc - ref_pocs[0],
+                                 col_poc - rp)
+    cmx, cmy, crf = merge_candidates_dev(
+        jnp.asarray(v), jnp.asarray(nmx), jnp.asarray(nmy),
+        jnp.asarray(nrf), num_ref, 5, t_ok=t_ok, t_mvx=tmx, t_mvy=tmy)
+    cmx, cmy, crf = np.asarray(cmx), np.asarray(cmy), np.asarray(crf)
+
+    refpoc = np.asarray(ref_pocs, np.int32)[np.clip(nrf, 0, num_ref - 1)]
+    tax, tay = scale_mv_pair_dev(rx, ry, cur_poc - ref_pocs[1],
+                                 col_poc - rp)
+    p0x, p0y, p1x, p1y = amvp_candidates_dev(
+        jnp.asarray(v), jnp.asarray(nmx), jnp.asarray(nmy),
+        jnp.asarray(refpoc), ref_pocs[1], cur_poc,
+        t_ok=t_ok, t_mvx=tax, t_mvy=tay)
+    p0x, p0y = np.asarray(p0x), np.asarray(p0y)
+    p1x, p1y = np.asarray(p1x), np.asarray(p1y)
+
+    field = PicMotion.create(W, H)
+    for y in range(BH):
+        for x in range(BW):
+            if dirs[y, x]:
+                field.set_block(x * 8, y * 8, 8, 8, 1,
+                                (int(mvx[y, x]), int(mvy[y, x])),
+                                int(ref[y, x]))
+    ctx = MotionCtx(field, W, H, LOG2CTU, ref_pocs, cur_poc=cur_poc,
+                    col=col)
+    for y in range(BH):
+        for x in range(BW):
+            want = merge_candidates(ctx, x * 8, y * 8, 8, 8, 5, num_ref)
+            p = y * BW + x
+            for k, c in enumerate(want):
+                assert (cmx[p, k], cmy[p, k]) == c.mv[0], (x, y, k)
+                assert crf[p, k] == c.ref_idx[0], (x, y, k)
+            wa = amvp_candidates(ctx, x * 8, y * 8, 8, 8, 0, 1)
+            assert (p0x[p], p0y[p]) == wa[0], (x, y, wa)
+            assert (p1x[p], p1y[p]) == wa[1], (x, y, wa)
