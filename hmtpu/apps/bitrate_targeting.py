@@ -83,6 +83,29 @@ def guess_lambda_modifiers(targets: list[float],
     return out
 
 
+def main(argv=None) -> int:
+    """CLI mirroring GuessLambdaModifiersMain: read target bitrates and
+    the guess history (JSON: [[{"m": ..., "kbps": ...}, ...], ...] per
+    layer) and print the next lambda-modifier vector."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(
+        prog="hmtpu-guess-lambda-modifiers",
+        description="guess per-layer lambda modifiers for bitrate "
+                    "targeting")
+    ap.add_argument("targets", help="comma-separated kbps targets")
+    ap.add_argument("history", help="JSON history file")
+    ap.add_argument("--adjustment", type=float, default=0.5)
+    a = ap.parse_args(argv)
+    targets = [float(t) for t in a.targets.split(",")]
+    hist = [[Point(p["m"], p["kbps"]) for p in layer]
+            for layer in json.load(open(a.history))]
+    mods = guess_lambda_modifiers(targets, hist, a.adjustment)
+    print(" ".join(f"{m:.6f}" for m in mods))
+    return 0
+
+
 def extract_bitrates_per_layer(results, gop_size: int,
                                frame_rate: float) -> list[float]:
     """Per-GOP-position mean bitrate (kbps) from encoder FrameResults —
@@ -100,3 +123,9 @@ def extract_bitrates_per_layer(results, gop_size: int,
         counts[pos] += 1
     return [s / c * frame_rate / 1000.0 if c else 0.0
             for s, c in zip(sums, counts)]
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
