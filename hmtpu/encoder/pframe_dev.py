@@ -51,6 +51,21 @@ from hmtpu.ops.intra_pred import (
     predict_one_mode,
 )
 from hmtpu.ops.quant import dequantize_t, quantize_t
+from hmtpu.ops.ratebits import (
+    cbf_chroma_bits,
+    cbf_luma_bits,
+    merge_flag_bits,
+    merge_idx_bits,
+    mvd_bits,
+    mvp_idx_bits,
+    part_size_2nx2n_bits,
+    pred_mode_bits,
+    ref_idx_bits,
+    rqt_root_cbf_bits,
+    skip_flag_bits,
+    split_flag_bits,
+    tb_bits,
+)
 from hmtpu.ops.transform import forward_transform, inverse_transform
 from hmtpu.search.wavefront import (
     amvp_candidates_dev,
@@ -100,6 +115,13 @@ def _dev_static(w: int, h: int, log2_ctu: int):
     )
 
 
+def _root_cbf_bits(cbflat, y_nz, cb_nz, cr_nz, cbf_bits_inter):
+    """rqt_root_cbf + (cbf flags when coded) for an AMVP CU."""
+    root = y_nz | cb_nz | cr_nz
+    return rqt_root_cbf_bits(cbflat, root) + jnp.where(
+        root, cbf_bits_inter(y_nz, cb_nz, cr_nz), 0.0)
+
+
 def _blockify(plane, n):
     h, w = plane.shape
     return plane.reshape(h // n, n, w // n, n).swapaxes(1, 2) \
@@ -117,28 +139,14 @@ def _scan_pos_table(log2: int) -> np.ndarray:
     return spos
 
 
-def _est_bits(lev, log2: int):
-    """residual_coding rate model, least-squares-calibrated against the
-    real CABAC engine's marginal cost on encoder output (rms ~4.7 bits;
-    the old 8+2*nnz+2*bitlen model underestimated sparse high-frequency
-    blocks ~2x): 3.1 + 2.0*nnz + 1.5*sum(bitlen) + 0.28*last_scan_pos;
-    1 bit (the cbf flag) when all-zero."""
-    a = jnp.abs(lev)
-    nz = a > 0
-    bl = jnp.where(nz, 32 - jax.lax.clz(a.astype(jnp.uint32)), 0) \
-        .astype(jnp.float32)
-    nnz = jnp.sum(nz.astype(jnp.float32), axis=(-1, -2))
-    spos = jnp.asarray(_scan_pos_table(log2)).reshape(lev.shape[-2:])
-    last = jnp.max(jnp.where(nz, spos[None], -1), axis=(-1, -2)) \
-        .astype(jnp.float32)
-    tot = 3.1 + 2.0 * nnz + 1.5 * jnp.sum(bl, axis=(-1, -2)) \
-        + 0.28 * jnp.maximum(last, 0.0)
-    return jnp.where(nnz > 0, tot, 1.0)
-
-
-def _code(org, pred, qp, log2: int, bd: int, lam=None):
+def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
+          is_luma=True):
     """transform -> quant -> RDOQ-lite -> dequant -> inverse -> clip;
     returns (lev, rec, sse, bits).
+
+    Bits are the CABAC-state-aware estimate of ops/ratebits.py (the
+    batched twin of HM's FAST_BIT_EST counter) priced from harvested
+    context states; 0.0 for an all-zero TB (cbf priced at CU level).
 
     RDOQ-lite (capability parity with TComTrQuant::xRateDistOptQuant,
     TComTrQuant.cpp:2129, vectorised): each coefficient independently
@@ -148,7 +156,7 @@ def _code(org, pred, qp, log2: int, bd: int, lam=None):
     n = 1 << log2
     resi = org - pred
     coef = forward_transform(resi, n, bd)
-    lev = quantize_t(coef, qp, log2, bd, True)
+    lev = quantize_t(coef, qp, log2, bd, False)
     if lam is not None:
         c = jnp.float32(2.0 ** (-2 * (15 - bd - log2)))
         sign = jnp.sign(lev)
@@ -173,7 +181,7 @@ def _code(org, pred, qp, log2: int, bd: int, lam=None):
     r = inverse_transform(deq, n, bd)
     rec = jnp.clip(pred + r, 0, (1 << bd) - 1)
     sse = jnp.sum((org - rec) ** 2, axis=(-1, -2)).astype(jnp.float32)
-    return lev, rec, sse, _est_bits(lev, log2)
+    return lev, rec, sse, tb_bits(lev, cbflat, log2, is_luma)
 
 
 @partial(jax.jit, static_argnames=("w", "h", "num_ref", "max_merge",
@@ -182,7 +190,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                    mv_x, mv_y, mv_ref, lv_blk, nb_ok, nb_flat,
                    sub_y, none_y, sub_u, none_c, ref_pocs, cur_poc,
                    mv16=None, sched16=None, mv32=None, sched32=None,
-                   qp=32, qpc=32, col=None, col_poc=0,
+                   qp=32, qpc=32, col=None, col_poc=0, cbflat=None,
                    *, w: int, h: int, num_ref: int, max_merge: int,
                    bd: int = 8,
                    qp_factor=0.57, levels: int = 1,
@@ -209,11 +217,29 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                                    mvxf, mvyf, 4, 4, bd)
     pred_av = mc_chroma_batch_refs(refs_v, rself, bx_all * 4, by_all * 4,
                                    mvxf, mvyf, 4, 4, bd)
-    lev_ay, rec_ay, d_ay, b_ay = _code(org_blk, pred_a, qp, 3, bd, lam)
-    lev_au, rec_au, d_au, b_au = _code(orgu_blk, pred_au, qpc, 2, bd, lam)
-    lev_av, rec_av, d_av, b_av = _code(orgv_blk, pred_av, qpc, 2, bd, lam)
+    lev_ay, rec_ay, d_ay, b_ay = _code(org_blk, pred_a, qp, 3, bd, lam,
+                                       cbflat, True)
+    lev_au, rec_au, d_au, b_au = _code(orgu_blk, pred_au, qpc, 2, bd,
+                                       lam, cbflat, False)
+    lev_av, rec_av, d_av, b_av = _code(orgv_blk, pred_av, qpc, 2, bd,
+                                       lam, cbflat, False)
     dist_a = d_ay + d_au + d_av
     bits_a_lev = b_ay + b_au + b_av
+    cbf_a8 = (jnp.any(lev_ay.reshape(P, 64) != 0, axis=1),
+              jnp.any(lev_au.reshape(P, 16) != 0, axis=1),
+              jnp.any(lev_av.reshape(P, 16) != 0, axis=1))
+
+    def cbf_bits_inter(y_nz, cb_nz, cr_nz):
+        """Chroma cbf pair + luma cbf (inferred 1 when both chroma are
+        zero — the native writer's inter-CU convention)."""
+        b = cbf_chroma_bits(cbflat, cb_nz) + cbf_chroma_bits(cbflat,
+                                                             cr_nz)
+        return b + jnp.where(cb_nz | cr_nz,
+                             cbf_luma_bits(cbflat, y_nz), 0.0)
+
+    def mvd_mvp_ref_bits(mvdx, mvdy, mvpi, aref):
+        b = mvd_bits(cbflat, mvdx, mvdy) + mvp_idx_bits(cbflat, mvpi)
+        return b + ref_idx_bits(cbflat, aref, num_ref)
 
     # ---- phase 1b: open-loop intra mode per block (org-pixel refs)
     oref = jnp.where(none_y[:, None], mid, org_y.reshape(-1)[sub_y])
@@ -305,7 +331,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                  + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
                  ).astype(jnp.float32)
 
-        # AMVP: exact list (per-block target ref) -> mvd bits
+        # AMVP: exact list (per-block target ref) -> true mvd bits
         nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
         aref = rself[b]
         takw = {} if t8 is None else dict(
@@ -313,18 +339,34 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         p0x, p0y, p1x, p1y = amvp_candidates_dev(
             nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc, **takw)
         amx, amy = mvxf[b], mvyf[b]
-        bits0 = mv_bits_dev(amx - p0x, amy - p0y)
-        bits1 = mv_bits_dev(amx - p1x, amy - p1y)
+        bits0 = mvd_bits(cbflat, amx - p0x, amy - p0y)
+        bits1 = mvd_bits(cbflat, amx - p1x, amy - p1y)
         use1 = bits1 < bits0
         mvpi = use1.astype(jnp.int32)
         mvdx = jnp.where(use1, amx - p1x, amx - p0x)
         mvdy = jnp.where(use1, amy - p1y, amy - p0y)
-        bits_mvd = jnp.minimum(bits0, bits1).astype(jnp.float32)
-        ref_bits = jnp.where(aref == 0, 1.0,
-                             (1 + jnp.minimum(aref, num_ref - 2))
-                             .astype(jnp.float32)) if num_ref > 1 else 0.0
-        cost_amvp = dist_a[b] + lam * (5.0 + ref_bits + bits_mvd
-                                       + bits_a_lev[b])
+        bits_mvd = jnp.minimum(bits0, bits1)
+
+        # CU mode syntax priced from the committed neighbour state
+        # (cu_skip_flag ctx 9.3.4.2.2 = left/above skip)
+        bL = jnp.where(bxi > 0, b - 1, 0)
+        bA = jnp.where(byi > 0, b - bw, 0)
+        l_k = st["blk"][bL, K_KIND]
+        a_k = st["blk"][bA, K_KIND]
+        inc_sk = ((bxi > 0) & (l_k == 0)).astype(jnp.int32) \
+            + ((byi > 0) & (a_k == 0)).astype(jnp.int32)
+        b_skip1 = skip_flag_bits(cbflat, jnp.ones_like(b), inc_sk)
+        b_skip0 = skip_flag_bits(cbflat, jnp.zeros_like(b), inc_sk)
+        b_mi = merge_idx_bits(cbflat, mi, max_merge)
+        b_common = b_skip0 + part_size_2nx2n_bits(cbflat)
+        b_inter = b_common + pred_mode_bits(cbflat, jnp.zeros_like(b))
+        cost_amvp = dist_a[b] + lam * (
+            b_inter + merge_flag_bits(cbflat, jnp.zeros_like(b))
+            + mvp_idx_bits(cbflat, mvpi) + bits_mvd
+            + ref_idx_bits(cbflat, aref, num_ref)
+            + _root_cbf_bits(cbflat, cbf_a8[0][b], cbf_a8[1][b],
+                             cbf_a8[2][b], cbf_bits_inter)
+            + bits_a_lev[b])
 
         # intra prediction: exact, from committed recon
         iref = jnp.where(none_y[b, None], mid, st["rec_y"][sub_y[b]])
@@ -341,34 +383,53 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         # fused residual coding: merge+intra luma in one transform
         # batch, all four chroma blocks in another
         levY2, recY2, dY2, bY2 = _code(
-            two(org), jnp.concatenate([pred_m, ipred]), qp, 3, bd, lam)
+            two(org), jnp.concatenate([pred_m, ipred]), qp, 3, bd, lam,
+            cbflat, True)
         lev_my, lev_iy = levY2[:B], levY2[B:]
         rec_my, rec_iy = recY2[:B], recY2[B:]
         d_my, d_iy = dY2[:B], dY2[B:]
         b_my, b_iy = bY2[:B], bY2[B:]
         orgC4 = jnp.concatenate([orgu, orgv, orgu, orgv])
         predC4 = jnp.concatenate([pred_mu, pred_mv_, cpu, cpv])
-        levC4, recC4, dC4, bC4 = _code(orgC4, predC4, qpc, 2, bd, lam)
+        levC4, recC4, dC4, bC4 = _code(orgC4, predC4, qpc, 2, bd, lam,
+                                       cbflat, False)
         lev_mu, lev_mv_, lev_iu, lev_iv = jnp.split(levC4, 4)
         rec_mu, rec_mv_, rec_iu, rec_iv = jnp.split(recC4, 4)
         d_mu, d_mv, d_iu, d_iv = jnp.split(dC4, 4)
         b_mu, b_mv, b_iu, b_iv = jnp.split(bC4, 4)
 
-        mif = mi.astype(jnp.float32)
-        cost_skip = msse3 + lam * (2.0 + mif)
-        cost_merge = d_my + d_mu + d_mv \
-            + lam * (4.0 + mif + b_my + b_mu + b_mv)
+        cbf_m = (jnp.any(lev_my.reshape(B, 64) != 0, 1),
+                 jnp.any(lev_mu.reshape(B, 16) != 0, 1),
+                 jnp.any(lev_mv_.reshape(B, 16) != 0, 1))
+        cost_skip = msse3 + lam * (b_skip1 + b_mi)
+        cost_merge = d_my + d_mu + d_mv + lam * (
+            b_inter + merge_flag_bits(cbflat, jnp.ones_like(b)) + b_mi
+            + cbf_bits_inter(*cbf_m) + b_my + b_mu + b_mv)
         inter_best = jnp.minimum(cost_skip,
                                  jnp.minimum(cost_merge, cost_amvp))
+        from hmtpu.ops.ratebits import chroma_dm_bits, \
+            intra_mode_mpm_bits
+        lmode = jnp.where((bxi > 0) & (l_k == 3), imode[bL], 1)
+        am_ok = (byi > 0) & ((y0 & ((1 << log2_ctu) - 1)) != 0)
+        amode = jnp.where(am_ok & (a_k == 3), imode[bA], 1)
+        b_icbf = cbf_chroma_bits(
+            cbflat, jnp.any(lev_iu.reshape(B, 16) != 0, 1)) \
+            + cbf_chroma_bits(
+                cbflat, jnp.any(lev_iv.reshape(B, 16) != 0, 1)) \
+            + cbf_luma_bits(
+                cbflat, jnp.any(lev_iy.reshape(B, 64) != 0, 1))
         cost_intra = jnp.where(
             inter_best <= INTRA_GATE * lam, BIG,
             d_iy + d_iu + d_iv
-            + lam * (8.0 + b_iy + b_iu + b_iv))
+            + lam * (b_common + pred_mode_bits(cbflat, jnp.ones_like(b))
+                     + intra_mode_mpm_bits(cbflat, im, lmode, amode)
+                     + chroma_dm_bits(cbflat) + b_icbf
+                     + b_iy + b_iu + b_iv))
 
         costs = jnp.stack([cost_skip, cost_merge, cost_amvp, cost_intra],
                           axis=1)
         choice = jnp.argmin(costs, axis=1).astype(jnp.int32)
-        m_zero = (b_my <= 1.0) & (b_mu <= 1.0) & (b_mv <= 1.0)
+        m_zero = ~(cbf_m[0] | cbf_m[1] | cbf_m[2])
         choice = jnp.where((choice == 1) & m_zero, 0, choice)
 
         def pick4(s, m, a, i):
@@ -458,13 +519,16 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     pred16av = mc_chroma_batch_refs(refs_v, r16, gx_all * 8, gy_all * 8,
                                     m16x, m16y, 8, 8, bd)
     lev16ay, rec16ay, d16ay, b16ay = _code(org16_blk, pred16a, qp, 4,
-                                           bd, lam)
+                                           bd, lam, cbflat, True)
     lev16au, rec16au, d16au, b16au = _code(org16u, pred16au, qpc, 3,
-                                           bd, lam)
+                                           bd, lam, cbflat, False)
     lev16av, rec16av, d16av, b16av = _code(org16v, pred16av, qpc, 3,
-                                           bd, lam)
+                                           bd, lam, cbflat, False)
     dist_a16 = d16ay + d16au + d16av
     bits_a16 = b16ay + b16au + b16av
+    cbf_a16 = (jnp.any(lev16ay.reshape(P16, 256) != 0, axis=1),
+               jnp.any(lev16au.reshape(P16, 64) != 0, axis=1),
+               jnp.any(lev16av.reshape(P16, 64) != 0, axis=1))
     lev16_a384 = jnp.concatenate([lev16ay.reshape(P16, 256),
                                   lev16au.reshape(P16, 64),
                                   lev16av.reshape(P16, 64)], axis=1)
@@ -523,10 +587,12 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                  + jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
                  + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
                  ).astype(jnp.float32)
-        lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 4, bd, lam)
+        lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 4, bd, lam,
+                                           cbflat, True)
         levC2, recC2, dC2, bC2 = _code(
             jnp.concatenate([orgu, orgv]),
-            jnp.concatenate([pred_mu, pred_mv_]), qpc, 3, bd, lam)
+            jnp.concatenate([pred_mu, pred_mv_]), qpc, 3, bd, lam,
+            cbflat, False)
         lev_mu, lev_mv_ = levC2[:B], levC2[B:]
         rec_mu, rec_mv_ = recC2[:B], recC2[B:]
         d_mu, d_mv = dC2[:B], dC2[B:]
@@ -539,27 +605,54 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         p0x, p0y, p1x, p1y = amvp_candidates_dev(
             nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc, **takw)
         amx, amy = m16x[g], m16y[g]
-        bits0 = mv_bits_dev(amx - p0x, amy - p0y)
-        bits1 = mv_bits_dev(amx - p1x, amy - p1y)
+        bits0 = mvd_bits(cbflat, amx - p0x, amy - p0y)
+        bits1 = mvd_bits(cbflat, amx - p1x, amy - p1y)
         use1 = bits1 < bits0
         mvpi = use1.astype(jnp.int32)
         mvdx = jnp.where(use1, amx - p1x, amx - p0x)
         mvdy = jnp.where(use1, amy - p1y, amy - p0y)
-        bits_mvd = jnp.minimum(bits0, bits1).astype(jnp.float32)
-        ref_bits = jnp.where(aref == 0, 1.0,
-                             (1 + jnp.minimum(aref, num_ref - 2))
-                             .astype(jnp.float32)) if num_ref > 1 else 0.0
-        mif = mi.astype(jnp.float32)
-        cost_skip = msse3 + lam * (2.0 + mif)
-        cost_merge = d_my + d_mu + d_mv \
-            + lam * (4.0 + mif + b_my + b_mu + b_mv)
-        cost_amvp = dist_a16[g] + lam * (5.0 + ref_bits + bits_mvd
-                                         + bits_a16[g])
+        bits_mvd = jnp.minimum(bits0, bits1)
+
+        corner = (gyb * 2) * bw + gxb * 2
+        cL = jnp.where(gxb > 0, corner - 1, 0)
+        cA = jnp.where(gyb > 0, corner - bw, 0)
+        l_blk = st["blk"][cL]
+        a_blk = st["blk"][cA]
+        inc_sk = ((gxb > 0) & (l_blk[:, K_KIND] == 0)) \
+            .astype(jnp.int32) \
+            + ((gyb > 0) & (a_blk[:, K_KIND] == 0)).astype(jnp.int32)
+        b_skip1 = skip_flag_bits(cbflat, jnp.ones_like(g), inc_sk)
+        b_skip0 = skip_flag_bits(cbflat, jnp.zeros_like(g), inc_sk)
+        b_mi = merge_idx_bits(cbflat, mi, max_merge)
+        b_inter = b_skip0 + part_size_2nx2n_bits(cbflat) \
+            + pred_mode_bits(cbflat, jnp.zeros_like(g))
+        cbf_m = (jnp.any(lev_my.reshape(B, 256) != 0, 1),
+                 jnp.any(lev_mu.reshape(B, 64) != 0, 1),
+                 jnp.any(lev_mv_.reshape(B, 64) != 0, 1))
+        cost_skip = msse3 + lam * (b_skip1 + b_mi)
+        cost_merge = d_my + d_mu + d_mv + lam * (
+            b_inter + merge_flag_bits(cbflat, jnp.ones_like(g)) + b_mi
+            + cbf_bits_inter(*cbf_m) + b_my + b_mu + b_mv)
+        cost_amvp = dist_a16[g] + lam * (
+            b_inter + merge_flag_bits(cbflat, jnp.zeros_like(g))
+            + mvp_idx_bits(cbflat, mvpi) + bits_mvd
+            + ref_idx_bits(cbflat, aref, num_ref)
+            + _root_cbf_bits(cbflat, cbf_a16[0][g], cbf_a16[1][g],
+                             cbf_a16[2][g], cbf_bits_inter)
+            + bits_a16[g])
         costs = jnp.stack([cost_skip, cost_merge, cost_amvp], axis=1)
         c16 = jnp.argmin(costs, axis=1).astype(jnp.int32)
-        m_zero = (b_my <= 1.0) & (b_mu <= 1.0) & (b_mv <= 1.0)
+        m_zero = ~(cbf_m[0] | cbf_m[1] | cbf_m[2])
         c16 = jnp.where((c16 == 1) & m_zero, 0, c16)
         cost16 = jnp.min(costs, axis=1)
+        # split_cu_flag at the 16 depth: the 4x8x8 path pays split=1,
+        # the single CU split=0 (9.3.4.2.2 ctx from neighbour depths)
+        inc_sp = ((gxb > 0) & (l_blk[:, K_SZ] == 0)).astype(jnp.int32) \
+            + ((gyb > 0) & (a_blk[:, K_SZ] == 0)).astype(jnp.int32)
+        sp0 = lam * split_flag_bits(cbflat, jnp.zeros_like(g), inc_sp)
+        sp1 = lam * split_flag_bits(cbflat, jnp.ones_like(g), inc_sp)
+        cost16 = cost16 + sp0
+        cost8 = cost8 + sp1
         use16 = valid & (cost16 < cost8)
 
         def pick3(s, m, a):
@@ -647,13 +740,16 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     pred32av = mc_chroma_batch_refs(refs_v, r32, qx_all * 16,
                                     qy_all * 16, m32x, m32y, 16, 16, bd)
     lev32ay, rec32ay, d32ay, b32ay = _code(org32_blk, pred32a, qp, 5,
-                                           bd, lam)
+                                           bd, lam, cbflat, True)
     lev32au, rec32au, d32au, b32au = _code(org32u, pred32au, qpc, 4,
-                                           bd, lam)
+                                           bd, lam, cbflat, False)
     lev32av, rec32av, d32av, b32av = _code(org32v, pred32av, qpc, 4,
-                                           bd, lam)
+                                           bd, lam, cbflat, False)
     dist_a32 = d32ay + d32au + d32av
     bits_a32 = b32ay + b32au + b32av
+    cbf_a32 = (jnp.any(lev32ay.reshape(P32, 1024) != 0, axis=1),
+               jnp.any(lev32au.reshape(P32, 256) != 0, axis=1),
+               jnp.any(lev32av.reshape(P32, 256) != 0, axis=1))
     lev32_a1536 = jnp.concatenate([lev32ay.reshape(P32, 1024),
                                    lev32au.reshape(P32, 256),
                                    lev32av.reshape(P32, 256)], axis=1)
@@ -711,10 +807,12 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                  + jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
                  + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
                  ).astype(jnp.float32)
-        lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 5, bd, lam)
+        lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 5, bd, lam,
+                                           cbflat, True)
         levC2, recC2, dC2, bC2 = _code(
             jnp.concatenate([orgu, orgv]),
-            jnp.concatenate([pred_mu, pred_mv_]), qpc, 4, bd, lam)
+            jnp.concatenate([pred_mu, pred_mv_]), qpc, 4, bd, lam,
+            cbflat, False)
         lev_mu, lev_mv_ = levC2[:B], levC2[B:]
         rec_mu, rec_mv_ = recC2[:B], recC2[B:]
         d_mu, d_mv = dC2[:B], dC2[B:]
@@ -727,27 +825,53 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         p0x, p0y, p1x, p1y = amvp_candidates_dev(
             nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc, **takw)
         amx, amy = m32x[g], m32y[g]
-        bits0 = mv_bits_dev(amx - p0x, amy - p0y)
-        bits1 = mv_bits_dev(amx - p1x, amy - p1y)
+        bits0 = mvd_bits(cbflat, amx - p0x, amy - p0y)
+        bits1 = mvd_bits(cbflat, amx - p1x, amy - p1y)
         use1 = bits1 < bits0
         mvpi = use1.astype(jnp.int32)
         mvdx = jnp.where(use1, amx - p1x, amx - p0x)
         mvdy = jnp.where(use1, amy - p1y, amy - p0y)
-        bits_mvd = jnp.minimum(bits0, bits1).astype(jnp.float32)
-        ref_bits = jnp.where(aref == 0, 1.0,
-                             (1 + jnp.minimum(aref, num_ref - 2))
-                             .astype(jnp.float32)) if num_ref > 1 else 0.0
-        mif = mi.astype(jnp.float32)
-        cost_skip = msse3 + lam * (2.0 + mif)
-        cost_merge = d_my + d_mu + d_mv \
-            + lam * (4.0 + mif + b_my + b_mu + b_mv)
-        cost_amvp = dist_a32[g] + lam * (5.0 + ref_bits + bits_mvd
-                                         + bits_a32[g])
+        bits_mvd = jnp.minimum(bits0, bits1)
+
+        corner = (qyb * 4) * bw + qxb * 4
+        cL = jnp.where(qxb > 0, corner - 1, 0)
+        cA = jnp.where(qyb > 0, corner - bw, 0)
+        l_blk = st["blk"][cL]
+        a_blk = st["blk"][cA]
+        inc_sk = ((qxb > 0) & (l_blk[:, K_KIND] == 0)) \
+            .astype(jnp.int32) \
+            + ((qyb > 0) & (a_blk[:, K_KIND] == 0)).astype(jnp.int32)
+        b_skip1 = skip_flag_bits(cbflat, jnp.ones_like(g), inc_sk)
+        b_skip0 = skip_flag_bits(cbflat, jnp.zeros_like(g), inc_sk)
+        b_mi = merge_idx_bits(cbflat, mi, max_merge)
+        b_inter = b_skip0 + part_size_2nx2n_bits(cbflat) \
+            + pred_mode_bits(cbflat, jnp.zeros_like(g))
+        cbf_m = (jnp.any(lev_my.reshape(B, 1024) != 0, 1),
+                 jnp.any(lev_mu.reshape(B, 256) != 0, 1),
+                 jnp.any(lev_mv_.reshape(B, 256) != 0, 1))
+        cost_skip = msse3 + lam * (b_skip1 + b_mi)
+        cost_merge = d_my + d_mu + d_mv + lam * (
+            b_inter + merge_flag_bits(cbflat, jnp.ones_like(g)) + b_mi
+            + cbf_bits_inter(*cbf_m) + b_my + b_mu + b_mv)
+        cost_amvp = dist_a32[g] + lam * (
+            b_inter + merge_flag_bits(cbflat, jnp.zeros_like(g))
+            + mvp_idx_bits(cbflat, mvpi) + bits_mvd
+            + ref_idx_bits(cbflat, aref, num_ref)
+            + _root_cbf_bits(cbflat, cbf_a32[0][g], cbf_a32[1][g],
+                             cbf_a32[2][g], cbf_bits_inter)
+            + bits_a32[g])
         costs = jnp.stack([cost_skip, cost_merge, cost_amvp], axis=1)
         c32 = jnp.argmin(costs, axis=1).astype(jnp.int32)
-        m_zero = (b_my <= 1.0) & (b_mu <= 1.0) & (b_mv <= 1.0)
+        m_zero = ~(cbf_m[0] | cbf_m[1] | cbf_m[2])
         c32 = jnp.where((c32 == 1) & m_zero, 0, c32)
         cost32 = jnp.min(costs, axis=1)
+        # split_cu_flag at the 32 depth
+        inc_sp = ((qxb > 0) & (l_blk[:, K_SZ] < 2)).astype(jnp.int32) \
+            + ((qyb > 0) & (a_blk[:, K_SZ] < 2)).astype(jnp.int32)
+        sp0 = lam * split_flag_bits(cbflat, jnp.zeros_like(g), inc_sp)
+        sp1 = lam * split_flag_bits(cbflat, jnp.ones_like(g), inc_sp)
+        cost32 = cost32 + sp0
+        cost_sub = cost_sub + sp1
         use32 = can32 & (cost32 < cost_sub)
 
         def pick3(s, m, a):
@@ -804,7 +928,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                      lv_blk, nb_ok, nb_flat, sub_y, none_y, sub_c,
                      none_c, sched16, sched32, ref_pocs, cur_poc,
-                     qp=32, qpc=32, col=None, col_poc=0,
+                     qp=32, qpc=32, col=None, col_poc=0, cbflat=None,
                      *, w: int, h: int,
                      num_ref: int, max_merge: int,
                      bd: int, srange: int, subpel: str,
@@ -962,6 +1086,7 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                         mv16=mv16, sched16=sched16, mv32=mv32,
                         sched32=sched32, qp=qp,
                         qpc=qpc, col=col, col_poc=col_poc,
+                        cbflat=cbflat,
                         w=w, h=h, num_ref=num_ref, max_merge=max_merge,
                         bd=bd, qp_factor=qp_factor,
                         levels=levels, tmvp=tmvp,
@@ -1033,10 +1158,14 @@ class PFrameDeviceEncoder(PFrameEncoder):
     contract, decision pass on device (entropy pass inherited)."""
 
     def __init__(self, *a, qp_factor: float = 0.57, tmvp: bool = True,
-                 **kw):
+                 ctx_states=None, **kw):
         super().__init__(*a, **kw)
         self.qp_factor = qp_factor
         self.tmvp = tmvp
+        # context states pricing the decision pass (harvested from a
+        # previous frame's real entropy coding, or None -> slice init)
+        self.ctx_states = ctx_states
+        self.final_ctx = None
 
     def launch(self, frame: Frame, qp: int, refs: list[Frame],
                ref_pocs: list[int], poc: int, sh: SliceHeader):
@@ -1068,6 +1197,11 @@ class PFrameDeviceEncoder(PFrameEncoder):
             if self.tmvp and sh.temporal_mvp else None
         use_tmvp = col_in is not None
         col_arrays, col_poc = col_in if use_tmvp else (None, 0)
+        from hmtpu.entropy.contexts import make_contexts
+        from hmtpu.entropy.fracbits import ctx_bits_table
+        ctx0 = self.ctx_states if self.ctx_states is not None \
+            else make_contexts(SliceType.P, qp)
+        cbflat = jnp.asarray(ctx_bits_table(ctx0).reshape(-1))
         st, dev_planes = full_pframe_pass(
             jnp.asarray(frame.y, jnp.int32), jnp.asarray(frame.u, jnp.int32),
             jnp.asarray(frame.v, jnp.int32), refs_y, refs_u, refs_v,
@@ -1077,7 +1211,7 @@ class PFrameDeviceEncoder(PFrameEncoder):
             dev["sched16"], dev["sched32"],
             jnp.asarray(ref_pocs, jnp.int32), jnp.int32(poc),
             jnp.int32(qp), jnp.int32(qpc),
-            col_arrays, jnp.int32(col_poc),
+            col_arrays, jnp.int32(col_poc), cbflat,
             w=w, h=h, num_ref=len(refs), max_merge=sh.max_num_merge_cand,
             bd=bd, srange=self.search_range,
             subpel=self.subpel, deblock=deblock_on, sao=sao_on,
@@ -1393,6 +1527,9 @@ class PFrameDeviceEncoder(PFrameEncoder):
                 nat["lev32y"], nat["lev32cb"], nat["lev32cr"],
                 self._depth8, sao_packed)
             if rbsp is not None:
+                # the native engine adapts ctx in place: harvest the
+                # post-frame states to price the NEXT frame's RDO
+                self.final_ctx = ctx
                 return rbsp
         return super()._entropy_pass(qp, modes, skip_map, intra_map,
                                      decisions, sh, sao=sao,

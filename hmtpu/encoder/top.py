@@ -120,6 +120,9 @@ class Encoder:
         self.rc = None                           # R-lambda rate control
         self.dpb: list[tuple[int, Frame]] = []   # (poc, recon) newest last
         self._last_idr = 0                       # input index of last IDR
+        # adapted CABAC states harvested per GOP position, pricing the
+        # next same-position frame's device RDO (entropy/fracbits.py)
+        self._ctx_harvest: dict[int, object] = {}
         self.nn_params = None
         if cfg.subpel == "nn":
             self.nn_params = self._load_nn(cfg)
@@ -262,10 +265,14 @@ class Encoder:
             negative_refs=negs, num_ref_idx_l0=n_ref,
             five_minus_max_num_merge_cand=5 - cfg.max_num_merge_cand,
             temporal_mvp=self.sps.temporal_mvp_enabled)
+        gpos_key = (rel_poc - 1) % max(len(cfg.gop_qp_offsets), 1)
         pe = PFrameDeviceEncoder(self.sps, self.pps, subpel=cfg.subpel,
                                  nn_params=self.nn_params,
                                  search_range=cfg.search_range,
-                                 qp_factor=qpf, tmvp=cfg.tmvp)
+                                 qp_factor=qpf, tmvp=cfg.tmvp,
+                                 ctx_states=self._ctx_harvest.get(
+                                     gpos_key))
+        pe._gpos_key = gpos_key
         ctx = pe.launch(frame, qp, refs, ref_pocs, rel_poc, sh)
         ph = Frame(None, None, None, cfg.bit_depth)
         ph.dev = ctx["dev"]
@@ -292,6 +299,8 @@ class Encoder:
             sao = ("packed", pe._sao_packed)
         slice_rbsp = pe._entropy_pass(sh.slice_qp, *maps, decisions, sh,
                                       sao=sao)
+        if pe.final_ctx is not None:
+            self._ctx_harvest[pe._gpos_key] = pe.final_ctx
         bw = write_slice_header(sh, self.sps, self.pps)
         bw.write_bytes(slice_rbsp)
         nals = self._prefix_seis(False)

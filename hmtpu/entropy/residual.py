@@ -211,6 +211,8 @@ def encode_residual(enc, ctx: np.ndarray, coeffs: np.ndarray, log2: int,
 
         # ---- level/sign coding for this CG
         n = len(sig_levels)
+        if n == 0:
+            continue        # all-zero CG0 below the last CG
         abs_levels = [abs(v) for _, v in sig_levels]
         signs = [1 if v < 0 else 0 for _, v in sig_levels]
         ctx_set = (2 if (ci > 0 and is_luma) else 0) + (1 if c1 == 0 else 0)

@@ -319,6 +319,8 @@ void encode_residual(Enc& e, const int32_t* levels, int log2, bool luma,
             if (sig && p > 0) infer_dc = false;
         }
 
+        if (n == 0) continue;        // all-zero CG0 below the last CG
+
         // ---- greater1/greater2, signs, remainders
         int abs_lv[16], signs[16];
         for (int i = 0; i < n; i++) {
