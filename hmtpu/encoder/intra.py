@@ -90,11 +90,12 @@ class IntraFrameEncoder:
         self.bd = sps.bit_depth_luma
 
     # -- main entry ---------------------------------------------------------
-    def analyze(self, frame: Frame, qp: int):
+    def analyze(self, frame: Frame, qp: int, lam_factor: float = 0.57):
         """Device RDO + closed-loop reconstruction (no entropy); the
         caller runs loop filters/SAO and then the final entropy pass —
         the TEncGOP compressGOP -> loopFilter -> SAO -> encodeSlice
-        ordering (TEncGOP.cpp:1554-1733)."""
+        ordering (TEncGOP.cpp:1554-1733).  lam_factor is HM's I-slice
+        QP factor 0.57*(1 - 0.05*NumberBFrames) (TEncSlice.cpp)."""
         from hmtpu.encoder import intra_rdo
 
         sps = self.sps
@@ -102,7 +103,7 @@ class IntraFrameEncoder:
         assert w % 8 == 0 and h % 8 == 0, "pad input to the 8-pel grid"
         qpc = chroma_qp_from_luma(qp + self.pps.cb_qp_offset)
         sis = sps.strong_intra_smoothing
-        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        lam = lam_factor * 2.0 ** ((qp - 12) / 3.0)
         ctu, log2_ctu = sps.ctu_size, sps.log2_ctu_size
 
         costs = intra_rdo.openloop_costs(frame.y, frame.u, frame.v, qp,
@@ -113,6 +114,47 @@ class IntraFrameEncoder:
             frame.y, frame.u, frame.v, leaves, qp, qpc, self.bd, sis,
             w, h, ctu, log2_ctu)
         recon = Frame(rec_y, rec_u, rec_v, self.bd)
+        return recon, decisions, mode8, depth8
+
+    def analyze_device(self, frame: Frame, qp: int,
+                       lam_factor: float = 0.57, deblock: bool = True,
+                       sao: bool = True):
+        """Whole-frame device wavefront path (encoder/iframe_dev.py):
+        decision + exact recon + in-loop filters in one dispatch.
+        Sets self.post_done / self._sao_packed like the P-frame twin."""
+        import jax
+        import jax.numpy as jnp
+
+        from hmtpu.encoder.iframe_dev import (
+            iframe_full_pass,
+            unpack_iframe_state,
+        )
+        from hmtpu.entropy.contexts import make_contexts
+        from hmtpu.entropy.fracbits import ctx_bits_table
+
+        sps = self.sps
+        w, h = sps.pic_width, sps.pic_height
+        qpc = chroma_qp_from_luma(qp + self.pps.cb_qp_offset)
+        cb = ctx_bits_table(make_contexts(SliceType.I, qp))
+        st = iframe_full_pass(
+            jnp.asarray(frame.y, jnp.int32),
+            jnp.asarray(frame.u, jnp.int32),
+            jnp.asarray(frame.v, jnp.int32),
+            jnp.int32(qp), jnp.int32(qpc),
+            jnp.asarray(cb.reshape(-1)),
+            w=w, h=h, bd=self.bd, sis=sps.strong_intra_smoothing,
+            log2_ctu=sps.log2_ctu_size, deblock=deblock, sao=sao,
+            ctu=sps.ctu_size, cb_off=self.pps.cb_qp_offset,
+            cr_off=self.pps.cr_qp_offset, qp_factor=lam_factor)
+        st = {k: np.asarray(v).astype(np.int32)
+              for k, v in jax.device_get(st).items()}
+        mode8, depth8, decisions = unpack_iframe_state(
+            st, w, h, sps.log2_ctu_size)
+        recon = Frame(st["rec_y"].reshape(h, w),
+                      st["rec_u"].reshape(h // 2, w // 2),
+                      st["rec_v"].reshape(h // 2, w // 2), self.bd)
+        self.post_done = deblock or sao
+        self._sao_packed = st["sao"].reshape(-1, 21) if sao else None
         return recon, decisions, mode8, depth8
 
     def encode_frame(self, frame: Frame, qp: int):

@@ -140,47 +140,30 @@ def _scan_pos_table(log2: int) -> np.ndarray:
 
 
 def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
-          is_luma=True):
+          is_luma=True, dw=None):
     """transform -> quant -> RDOQ-lite -> dequant -> inverse -> clip;
     returns (lev, rec, sse, bits).
 
     Bits are the CABAC-state-aware estimate of ops/ratebits.py (the
     batched twin of HM's FAST_BIT_EST counter) priced from harvested
     context states; 0.0 for an all-zero TB (cbf priced at CU level).
-
-    RDOQ-lite (capability parity with TComTrQuant::xRateDistOptQuant,
-    TComTrQuant.cpp:2129, vectorised): each coefficient independently
-    picks argmin over {level, level-1, 0} of coefficient-domain
-    distortion (exact scale 2^-2*(15-bd-log2) to pixel SSE) plus the
-    calibrated per-coefficient rate."""
+    Quantisation is the full vectorised RDOQ (ops/rdoq.py) when lam is
+    given; dw is HM's chroma distortion weight applied to the returned
+    SSE (chroma callers pass lam = lambda/dw per RDOQ_CHROMA_LAMBDA)."""
     n = 1 << log2
     resi = org - pred
     coef = forward_transform(resi, n, bd)
-    lev = quantize_t(coef, qp, log2, bd, False)
     if lam is not None:
-        c = jnp.float32(2.0 ** (-2 * (15 - bd - log2)))
-        sign = jnp.sign(lev)
-        a = jnp.abs(lev)
-
-        def bl(x):
-            return jnp.where(
-                x > 0, 32 - jax.lax.clz(x.astype(jnp.uint32)), 0) \
-                .astype(jnp.float32)
-
-        co = coef.astype(jnp.float32)
-        dq = dequantize_t(lev, qp, log2, bd).astype(jnp.float32)
-        dqm = dequantize_t(lev - sign, qp, log2, bd).astype(jnp.float32)
-        d_keep = (co - dq) ** 2 * c + lam * (2.0 + 1.5 * bl(a))
-        d_m1 = (co - dqm) ** 2 * c \
-            + lam * jnp.where(a > 1, 2.0 + 1.5 * bl(a - 1), 0.0)
-        d_zero = co * co * c
-        use_z = (a > 0) & (d_zero < d_keep) & (d_zero < d_m1)
-        use_m = (a > 0) & ~use_z & (d_m1 < d_keep)
-        lev = jnp.where(use_z, 0, jnp.where(use_m, lev - sign, lev))
+        from hmtpu.ops.rdoq import rdoq_tb
+        lev = rdoq_tb(coef, qp, log2, bd, lam, cbflat, is_luma)
+    else:
+        lev = quantize_t(coef, qp, log2, bd, False)
     deq = dequantize_t(lev, qp, log2, bd)
     r = inverse_transform(deq, n, bd)
     rec = jnp.clip(pred + r, 0, (1 << bd) - 1)
     sse = jnp.sum((org - rec) ** 2, axis=(-1, -2)).astype(jnp.float32)
+    if dw is not None:
+        sse = sse * dw          # HM chroma distortion weight
     return lev, rec, sse, tb_bits(lev, cbflat, log2, is_luma)
 
 
@@ -200,6 +183,10 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     lam = jnp.float32(qp_factor) \
         * jnp.power(2.0, (qp - 12) / 3.0).astype(jnp.float32)
     lam_sqrt = jnp.sqrt(lam)
+    # chroma distortion weight + chroma RDOQ lambda (TEncSlice
+    # setUpLambda: w = 2^((qp-qpc)/3), lambda_c = lambda/w)
+    wchroma = jnp.exp2((qp - qpc).astype(jnp.float32) / 3.0)
+    lam_c = lam / wchroma
     mid = jnp.int32(1 << (bd - 1))
     bidx = jnp.arange(P)
     by_all, bx_all = bidx // bw, bidx % bw
@@ -220,9 +207,9 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     lev_ay, rec_ay, d_ay, b_ay = _code(org_blk, pred_a, qp, 3, bd, lam,
                                        cbflat, True)
     lev_au, rec_au, d_au, b_au = _code(orgu_blk, pred_au, qpc, 2, bd,
-                                       lam, cbflat, False)
+                                       lam_c, cbflat, False, wchroma)
     lev_av, rec_av, d_av, b_av = _code(orgv_blk, pred_av, qpc, 2, bd,
-                                       lam, cbflat, False)
+                                       lam_c, cbflat, False, wchroma)
     dist_a = d_ay + d_au + d_av
     bits_a_lev = b_ay + b_au + b_av
     cbf_a8 = (jnp.any(lev_ay.reshape(P, 64) != 0, axis=1),
@@ -326,10 +313,11 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             refs_c, jnp.concatenate([w_ref, w_ref + num_ref]),
             two(bxi * 4), two(byi * 4), two(w_mvx), two(w_mvy), 4, 4, bd)
         pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
-        msse3 = (jnp.sum((org - pred_m) ** 2, axis=(-1, -2))
-                 + jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
-                 + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
-                 ).astype(jnp.float32)
+        msse3 = jnp.sum((org - pred_m) ** 2, axis=(-1, -2)) \
+            .astype(jnp.float32) + wchroma * (
+            jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
+            + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
+            ).astype(jnp.float32)
 
         # AMVP: exact list (per-block target ref) -> true mvd bits
         nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
@@ -391,8 +379,8 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         b_my, b_iy = bY2[:B], bY2[B:]
         orgC4 = jnp.concatenate([orgu, orgv, orgu, orgv])
         predC4 = jnp.concatenate([pred_mu, pred_mv_, cpu, cpv])
-        levC4, recC4, dC4, bC4 = _code(orgC4, predC4, qpc, 2, bd, lam,
-                                       cbflat, False)
+        levC4, recC4, dC4, bC4 = _code(orgC4, predC4, qpc, 2, bd,
+                                       lam_c, cbflat, False, wchroma)
         lev_mu, lev_mv_, lev_iu, lev_iv = jnp.split(levC4, 4)
         rec_mu, rec_mv_, rec_iu, rec_iv = jnp.split(recC4, 4)
         d_mu, d_mv, d_iu, d_iv = jnp.split(dC4, 4)
@@ -521,9 +509,11 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     lev16ay, rec16ay, d16ay, b16ay = _code(org16_blk, pred16a, qp, 4,
                                            bd, lam, cbflat, True)
     lev16au, rec16au, d16au, b16au = _code(org16u, pred16au, qpc, 3,
-                                           bd, lam, cbflat, False)
+                                           bd, lam_c, cbflat, False,
+                                           wchroma)
     lev16av, rec16av, d16av, b16av = _code(org16v, pred16av, qpc, 3,
-                                           bd, lam, cbflat, False)
+                                           bd, lam_c, cbflat, False,
+                                           wchroma)
     dist_a16 = d16ay + d16au + d16av
     bits_a16 = b16ay + b16au + b16av
     cbf_a16 = (jnp.any(lev16ay.reshape(P16, 256) != 0, axis=1),
@@ -583,16 +573,17 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             refs_c, jnp.concatenate([w_ref, w_ref + num_ref]),
             two(gxb * 8), two(gyb * 8), two(w_mvx), two(w_mvy), 8, 8, bd)
         pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
-        msse3 = (jnp.sum((org - pred_m) ** 2, axis=(-1, -2))
-                 + jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
-                 + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
-                 ).astype(jnp.float32)
+        msse3 = jnp.sum((org - pred_m) ** 2, axis=(-1, -2)) \
+            .astype(jnp.float32) + wchroma * (
+            jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
+            + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
+            ).astype(jnp.float32)
         lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 4, bd, lam,
                                            cbflat, True)
         levC2, recC2, dC2, bC2 = _code(
             jnp.concatenate([orgu, orgv]),
-            jnp.concatenate([pred_mu, pred_mv_]), qpc, 3, bd, lam,
-            cbflat, False)
+            jnp.concatenate([pred_mu, pred_mv_]), qpc, 3, bd, lam_c,
+            cbflat, False, wchroma)
         lev_mu, lev_mv_ = levC2[:B], levC2[B:]
         rec_mu, rec_mv_ = recC2[:B], recC2[B:]
         d_mu, d_mv = dC2[:B], dC2[B:]
@@ -742,9 +733,11 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     lev32ay, rec32ay, d32ay, b32ay = _code(org32_blk, pred32a, qp, 5,
                                            bd, lam, cbflat, True)
     lev32au, rec32au, d32au, b32au = _code(org32u, pred32au, qpc, 4,
-                                           bd, lam, cbflat, False)
+                                           bd, lam_c, cbflat, False,
+                                           wchroma)
     lev32av, rec32av, d32av, b32av = _code(org32v, pred32av, qpc, 4,
-                                           bd, lam, cbflat, False)
+                                           bd, lam_c, cbflat, False,
+                                           wchroma)
     dist_a32 = d32ay + d32au + d32av
     bits_a32 = b32ay + b32au + b32av
     cbf_a32 = (jnp.any(lev32ay.reshape(P32, 1024) != 0, axis=1),
@@ -803,16 +796,17 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             two(qxb * 16), two(qyb * 16), two(w_mvx), two(w_mvy),
             16, 16, bd)
         pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
-        msse3 = (jnp.sum((org - pred_m) ** 2, axis=(-1, -2))
-                 + jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
-                 + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
-                 ).astype(jnp.float32)
+        msse3 = jnp.sum((org - pred_m) ** 2, axis=(-1, -2)) \
+            .astype(jnp.float32) + wchroma * (
+            jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
+            + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
+            ).astype(jnp.float32)
         lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 5, bd, lam,
                                            cbflat, True)
         levC2, recC2, dC2, bC2 = _code(
             jnp.concatenate([orgu, orgv]),
-            jnp.concatenate([pred_mu, pred_mv_]), qpc, 4, bd, lam,
-            cbflat, False)
+            jnp.concatenate([pred_mu, pred_mv_]), qpc, 4, bd, lam_c,
+            cbflat, False, wchroma)
         lev_mu, lev_mv_ = levC2[:B], levC2[B:]
         rec_mu, rec_mv_ = recC2[:B], recC2[B:]
         d_mu, d_mv = dC2[:B], dC2[B:]

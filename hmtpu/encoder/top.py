@@ -86,6 +86,38 @@ def psnr(org: np.ndarray, rec: np.ndarray, maxv: int) -> float:
     return 10.0 * np.log10(maxv * maxv / mse)
 
 
+def gop_depth(poc: int, gop_size: int) -> int:
+    """Hierarchy depth of a POC within the GOP (TEncSlice::initEncSlice
+    depth derivation): 0 for GOP-aligned pictures, >0 otherwise; HM
+    scales lambda by Clip3(2,4,(qp-12)/6) whenever depth > 0."""
+    p = poc % gop_size
+    if p == 0:
+        return 0
+    depth = 0
+    step = gop_size
+    i = step >> 1
+    while i >= 1:
+        for j in range(i, gop_size, step):
+            if j == p:
+                i = 0
+                break
+        step >>= 1
+        depth += 1
+        if i == 0:
+            break
+        i >>= 1
+    return depth
+
+
+def lambda_qp_factor(base_factor: float, qp: int, depth: int) -> float:
+    """HM's per-slice lambda = factor * 2^((qp-12)/3), with the depth
+    scale for non-anchor pictures (TEncSlice.cpp initEncSlice)."""
+    f = base_factor
+    if depth > 0:
+        f *= min(max((qp - 12) / 6.0, 2.0), 4.0)
+    return f
+
+
 class Encoder:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
@@ -155,6 +187,16 @@ class Encoder:
                 best = min(cands, key=lambda q: abs(q - cfg.qp))
                 return nnfme.load_npz(os.path.join(d, f"qp{best}.npz"))
         return nnfme.init_random(jax.random.PRNGKey(0))
+
+    def _intra_lambda_factor(self) -> float:
+        """I-slice QP factor: 0.57 * (1 - Clip3(0, .5, .05*(GOPSize-1)))
+        (TEncSlice::initEncSlice I_SLICE branch)."""
+        if self.cfg.gop == "ai":
+            return 0.57
+        gop_size = 8 if self.cfg.gop == "ra" \
+            else max(len(self.cfg.gop_qp_offsets), 4)
+        nb = gop_size - 1
+        return 0.57 * (1.0 - min(max(0.05 * nb, 0.0), 0.5))
 
     def _is_idr(self, poc: int) -> bool:
         if self.cfg.gop == "ai":
@@ -252,10 +294,12 @@ class Encoder:
         ref_pocs = [p for p, _ in self.dpb[-n_ref:]][::-1]
         negs = [(rel_poc - p, True) for p in ref_pocs]
         qp, qpf = cfg.qp, 0.57
+        gop_size = max(len(cfg.gop_qp_offsets), 1)
         if cfg.gop_qp_offsets:
             gpos = (rel_poc - 1) % len(cfg.gop_qp_offsets)
             qp = cfg.qp + cfg.gop_qp_offsets[gpos]
             qpf = cfg.gop_qp_factors[gpos]
+        qpf = lambda_qp_factor(qpf, qp, gop_depth(rel_poc, gop_size))
         if self.rc is not None:
             _, lam, qp = self.rc.pick(False, (rel_poc - 1) % 4)
             qpf = lam / 2.0 ** ((qp - 12) / 3.0)
@@ -356,7 +400,16 @@ class Encoder:
             self.dpb.clear()
             self._last_idr = poc
             fe = IntraFrameEncoder(self.sps, self.pps)
-            recon, decisions, mode8, depth8 = fe.analyze(frame, qp_frame)
+            if cfg.wavefront:
+                recon, decisions, mode8, depth8 = fe.analyze_device(
+                    frame, qp_frame,
+                    lam_factor=self._intra_lambda_factor(),
+                    deblock=cfg.deblock,
+                    sao=bool(self.sps.sao_enabled))
+            else:
+                recon, decisions, mode8, depth8 = fe.analyze(
+                    frame, qp_frame,
+                    lam_factor=self._intra_lambda_factor())
             sh = SliceHeader(slice_type=SliceType.I, pps_id=0,
                              slice_qp=qp_frame,
                              nal_type=NalUnitType.IDR_W_RADL)
@@ -416,7 +469,8 @@ class Encoder:
                 ref_pocs_l1)
             stype = "B"
 
-        if cfg.deblock:
+        post_done = is_idr and getattr(fe, "post_done", False)
+        if cfg.deblock and not post_done:
             from hmtpu.common.motion import PicMotion
             from hmtpu.ops.deblock import deblock_frame, \
                 meta_from_frame_state
@@ -440,7 +494,17 @@ class Encoder:
                           cr_qp_off=self.pps.cr_qp_offset)
 
         sao = None
-        if self.sps.sao_enabled:
+        if self.sps.sao_enabled and post_done:
+            from hmtpu.ops.sao import grid_from_packed
+
+            ny = self.sps.pic_height_in_ctus
+            nx = self.sps.pic_width_in_ctus
+            grid = grid_from_packed(fe._sao_packed.reshape(ny, nx,
+                                                           3, 7))
+            sh.sao_luma = True
+            sh.sao_chroma = True
+            sao = (grid, True, True)
+        elif self.sps.sao_enabled:
             from hmtpu.common.spec_tables import chroma_qp_from_luma
             from hmtpu.ops.sao import (
                 apply_sao_plane,
@@ -448,7 +512,8 @@ class Encoder:
                 estimate_sao_plane,
             )
 
-            lam = 0.57 * 2.0 ** ((qp_frame - 12) / 3.0)
+            lamf_sao = self._intra_lambda_factor() if is_idr else 0.57
+            lam = lamf_sao * 2.0 ** ((qp_frame - 12) / 3.0)
             ctu = cfg.ctu_size
             p_y = estimate_sao_plane(frame.y, recon.y, ctu, lam,
                                      cfg.bit_depth)

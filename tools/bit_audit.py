@@ -39,6 +39,7 @@ def main():
     from hmtpu.utils.bitaudit import AuditBackend
 
     native.available = lambda: False          # force the Python walk
+    native.get_entropy_lib = lambda: None     # (both entry points)
 
     audits = []
 
