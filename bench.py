@@ -1,9 +1,12 @@
 """Benchmark driver: encode the headline config (BlowingBubbles-class
-low-delay-P with NN-FME sub-pel, BASELINE.json north star) and report
-throughput vs the measured HM-16.9 baseline (BASELINE_MEASURED.json).
+low-delay-P with NN-FME sub-pel, BASELINE.json north star), report
+throughput vs the measured HM-16.9 baseline (BASELINE_MEASURED.json),
+and run the 4-QP BD-rate sweep against the 20-frame HM anchors
+(tools/anchors_20f.json, SURVEY §6 protocol).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
+   "bd_rate_y_pct": N, ...}
 """
 import json
 import os
@@ -14,6 +17,7 @@ import time
 def main():
     frames_n = int(os.environ.get("HMTPU_BENCH_FRAMES", "30"))
     qp = int(os.environ.get("HMTPU_BENCH_QP", "22"))
+    bd_frames = int(os.environ.get("HMTPU_BENCH_BD_FRAMES", "20"))
 
     import numpy as np
 
@@ -25,15 +29,15 @@ def main():
                     v.astype(np.int32))
               for y, u, v in synth_clip(416, 240, frames_n)]
 
-    def run(n):
-        enc = Encoder(EncoderConfig(width=416, height=240, qp=qp,
+    def run(n, q):
+        enc = Encoder(EncoderConfig(width=416, height=240, qp=q,
                                     gop="ldp", subpel="nn"))
         t0 = time.time()
         enc.encode_sequence(frames[:n])
         return enc, time.time() - t0
 
-    run(min(6, frames_n))                 # warmup: compile all variants
-    enc, dt = run(frames_n)
+    run(min(6, frames_n), qp)             # warmup: compile all variants
+    enc, dt = run(frames_n, qp)
     fps = frames_n / dt
 
     base = json.load(open(os.path.join(os.path.dirname(__file__),
@@ -43,11 +47,33 @@ def main():
     mean_psnr = sum(r.psnr_y for r in enc.results) / len(enc.results)
     bitrate = sum(r.bits for r in enc.results) / frames_n * 50 / 1000.0
 
+    # ---- BD-rate sweep vs the 20-frame HM anchors
+    bd = None
+    try:
+        from hmtpu.utils.bdrate import bd_rate
+
+        anchors = json.load(open(os.path.join(
+            os.path.dirname(__file__), "tools",
+            "anchors_20f.json")))["ldp"]
+        ours_r, ours_p, ar, ap = [], [], [], []
+        for q in (22, 27, 32, 37):
+            e, _ = run(bd_frames, q)
+            n = len(e.results)
+            ours_r.append(sum(r.bits for r in e.results)
+                          / n * 50 / 1000.0)
+            ours_p.append(sum(r.psnr_y for r in e.results) / n)
+            ar.append(anchors[str(q)]["kbps"])
+            ap.append(anchors[str(q)]["psnr_y"])
+        bd = bd_rate(ar, ap, ours_r, ours_p)
+    except Exception:
+        bd = None
+
     print(json.dumps({
         "metric": f"encode_fps_ldp_nnfme_416x240_qp{qp}",
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / hm["fps"], 4),
+        "bd_rate_y_pct": None if bd is None else round(bd, 1),
         "psnr_y": round(mean_psnr, 3),
         "bitrate_kbps": round(bitrate, 1),
         "hm_fps": hm["fps"],

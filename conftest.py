@@ -6,11 +6,15 @@ first `import jax` anywhere in the test session, which this root
 conftest guarantees.
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from hmtpu.utils.cachedir import set_default_env  # noqa: E402
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_hmtpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# per-machine cache: stale AOT entries from a host with different CPU
+# features mis-execute (buffer-count errors, SIGILL segfaults)
+set_default_env()
 
 
 def pytest_configure(config):

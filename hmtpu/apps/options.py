@@ -146,7 +146,7 @@ def resolve(opts: dict[str, str]) -> AppConfig:
     cfg.gop_size = geti("GOPSize", cfg.gop_size)
     cfg.search_range = geti("SearchRange", cfg.search_range)
     cfg.max_num_merge_cand = geti("MaxNumMergeCand", 5)
-    cfg.sign_hiding = _BOOLISH.get(opts.get("SignHideFlag", "0").lower(),
+    cfg.sign_hiding = _BOOLISH.get(opts.get("SignHideFlag", "1").lower(),
                                    False)
     cfg.sao = _BOOLISH.get(opts.get("SAO", "1").lower(), True)
     cfg.deblock = not _BOOLISH.get(

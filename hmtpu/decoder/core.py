@@ -346,7 +346,8 @@ class Decoder:
                 inter_dir, mv01, ridx01 = c.inter_dir, c.mv, c.ref_idx
                 root_cbf = 1
             else:
-                inter_dir = decode_inter_dir(dec, ctx, 3) if is_b else 1
+                inter_dir = decode_inter_dir(dec, ctx, depth) \
+                    if is_b else 1
                 mv01 = [(0, 0), (0, 0)]
                 ridx01 = [-1, -1]
                 for li in (0, 1):

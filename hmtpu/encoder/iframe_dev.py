@@ -56,33 +56,30 @@ K16 = 2      # per 16x16 / 32x32 CU
 
 @lru_cache(maxsize=None)
 def _i_static(w: int, h: int, log2_ctu: int):
-    """Schedules + substituted ref-gather maps for every size."""
+    """Schedules + substituted ref-gather maps for every size.
+
+    NB: numpy only — this cache is shared across jit traces (the
+    caller converts per trace), so entries must be trace-free."""
     sched = block_schedule(w, h, log2_ctu)
     out = dict(
-        lv_blk=jnp.asarray(sched["lv_blk"]),
-        g8=[jnp.asarray(a) for a in static_ref_gather(w, h, log2_ctu, 8)],
-        g4=[jnp.asarray(a) for a in
-            static_ref_gather(w // 2, h // 2, log2_ctu - 1, 4)],
+        lv_blk=sched["lv_blk"],
+        g8=list(static_ref_gather(w, h, log2_ctu, 8)),
+        g4=list(static_ref_gather(w // 2, h // 2, log2_ctu - 1, 4)),
         sched16=None, sched32=None,
     )
     if w % 16 == 0 and h % 16 == 0:
         s16 = block_schedule16(w, h, log2_ctu)
-        out["sched16"] = (jnp.asarray(s16["lv_blk"]),
-                          jnp.asarray(s16["cells"]))
-        out["g16"] = [jnp.asarray(a)
-                      for a in static_ref_gather(w, h, log2_ctu, 16)]
-        out["g8c"] = [jnp.asarray(a) for a in
-                      static_ref_gather(w // 2, h // 2, log2_ctu - 1, 8)]
+        out["sched16"] = (s16["lv_blk"], s16["cells"])
+        out["g16"] = list(static_ref_gather(w, h, log2_ctu, 16))
+        out["g8c"] = list(static_ref_gather(w // 2, h // 2,
+                                            log2_ctu - 1, 8))
         if w % 32 == 0 and h % 32 == 0:
             s32 = block_schedule32(w, h, log2_ctu)
-            out["sched32"] = (jnp.asarray(s32["lv_blk"]),
-                              jnp.asarray(s32["cells16"]),
-                              jnp.asarray(s32["cells8"]))
-            out["g32"] = [jnp.asarray(a)
-                          for a in static_ref_gather(w, h, log2_ctu, 32)]
-            out["g16c"] = [jnp.asarray(a) for a in
-                           static_ref_gather(w // 2, h // 2,
-                                             log2_ctu - 1, 16)]
+            out["sched32"] = (s32["lv_blk"], s32["cells16"],
+                              s32["cells8"])
+            out["g32"] = list(static_ref_gather(w, h, log2_ctu, 32))
+            out["g16c"] = list(static_ref_gather(w // 2, h // 2,
+                                                 log2_ctu - 1, 16))
     return out
 
 
@@ -101,15 +98,16 @@ def _topk_modes(org_blk, ref_u, ref_f, n, bd, lam_sqrt, k):
     return idx.astype(jnp.int32)                       # (P, k)
 
 
-@partial(jax.jit, static_argnames=("w", "h", "bd", "sis", "log2_ctu",
-                                   "levels"))
+# NB: deliberately NOT @jax.jit — traced inline by iframe_full_pass
+# (see wavefront_pass: jax 0.9 nested-jit buffer-count mis-execution)
 def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                 *, w: int, h: int, bd: int = 8, sis: bool = False,
                 log2_ctu: int = 6, levels: int = 3,
-                qp_factor=0.57):
+                qp_factor=0.57, sdh: bool = False):
     from hmtpu.encoder.pframe_dev import _code
 
-    st8 = _i_static(w, h, log2_ctu)
+    st8 = jax.tree_util.tree_map(jnp.asarray, _i_static(w, h,
+                                                         log2_ctu))
     bw, bh = w // 8, h // 8
     P = bw * bh
     lam = jnp.float32(qp_factor) \
@@ -161,21 +159,37 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
         irefu = jnp.where(nonec[b, None], mid, st["rec_u"][subc[b]])
         irefv = jnp.where(nonec[b, None], mid, st["rec_v"][subc[b]])
 
-        repK = lambda a: jnp.repeat(a, K, axis=0)
-        mflat = modes.reshape(-1)
-        pred = predict_one_mode(repK(iref), repK(iref_f), mflat, n,
-                                True, bd)
-        cpred2 = predict_one_mode(
-            jnp.concatenate([repK(irefu), repK(irefv)]),
-            jnp.concatenate([repK(irefu), repK(irefv)]),
-            jnp.concatenate([mflat, mflat]), n // 2, False, bd)
-        cpu, cpv = cpred2[:B * K], cpred2[B * K:]
+        # one predict per candidate k (K is static): simpler layout
+        # than a repeated batch — arrays are (K*B, ...) k-major
+        preds, cpus, cpvs = [], [], []
+        for k in range(K):
+            mk = modes[:, k]
+            preds.append(predict_one_mode(iref, iref_f, mk, n, True,
+                                          bd))
+            c2 = predict_one_mode(
+                jnp.concatenate([irefu, irefv]),
+                jnp.concatenate([irefu, irefv]),
+                jnp.concatenate([mk, mk]), n // 2, False, bd)
+            cpus.append(c2[:B])
+            cpvs.append(c2[B:])
+        pred = jnp.concatenate(preds)
+        cpu = jnp.concatenate(cpus)
+        cpv = jnp.concatenate(cpvs)
+        repK = lambda a: jnp.concatenate([a] * K, axis=0)
+        # mode-dependent coding scans (7.4.9.11) drive the SDH parity
+        # groups: 8x8 luma and 4x4 chroma TBs only
+        from hmtpu.encoder.pframe_dev import _intra_scan_sel
+        msel = _intra_scan_sel(modes.T.reshape(-1))     # k-major (K*B,)
+        sel_y = msel if log2 == 3 else None
+        sel_c = (jnp.concatenate([msel, msel])
+                 if log2 - 1 == 2 else None)
         levY, recY, dY, bY = _code(repK(org), pred, qp, log2, bd, lam,
-                                   cbflat, True)
+                                   cbflat, True, sdh=sdh,
+                                   scan_sel=sel_y)
         levC, recC, dC, bC = _code(
             jnp.concatenate([repK(orgu), repK(orgv)]),
             jnp.concatenate([cpu, cpv]), qpc, log2 - 1, bd, lam_c,
-            cbflat, False, wchroma)
+            cbflat, False, wchroma, sdh=sdh, scan_sel=sel_c)
         levU, levV = levC[:B * K], levC[B * K:]
         recU, recV = recC[:B * K], recC[B * K:]
         dU, dV = dC[:B * K], dC[B * K:]
@@ -191,14 +205,15 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                 levV, recV, dV, bV, b_cbf)
 
     def pick_best(modes, parts, mode_bits, lam_):
-        """argmin over the K candidates; returns flat pick indices."""
+        """argmin over the K candidates; returns flat pick indices
+        into the k-major (K*B, ...) candidate arrays."""
         B, K = modes.shape
         (_, levY, recY, dY, bY, levU, recU, dU, bU,
          levV, recV, dV, bV, b_cbf) = parts
-        cost = (dY + dU + dV).reshape(B, K) + lam_ * (
-            (bY + bU + bV + b_cbf).reshape(B, K) + mode_bits)
+        cost = (dY + dU + dV).reshape(K, B).T + lam_ * (
+            (bY + bU + bV + b_cbf).reshape(K, B).T + mode_bits)
         ki = jnp.argmin(cost, axis=1).astype(jnp.int32)
-        pick = jnp.arange(B) * K + ki
+        pick = ki * B + jnp.arange(B)
         return ki, pick, jnp.min(cost, axis=1)
 
     def cell_step(st, blk, valid):
@@ -401,19 +416,21 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
     return state
 
 
-@partial(jax.jit, static_argnames=("w", "h", "bd", "sis", "log2_ctu",
-                                   "deblock", "sao", "ctu", "cb_off",
-                                   "cr_off"))
+_IFP_STATICS = ("w", "h", "bd", "sis", "log2_ctu", "deblock", "sao",
+                "ctu", "cb_off", "cr_off", "sdh")
+
+
 def iframe_full_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                      *, w: int, h: int, bd: int = 8, sis: bool = False,
                      log2_ctu: int = 6, deblock: bool = True,
                      sao: bool = True, ctu: int = 64, cb_off: int = 0,
-                     cr_off: int = 0, qp_factor=0.57):
+                     cr_off: int = 0, qp_factor=0.57,
+                     sdh: bool = False):
     """Decision pass + in-loop filters in one dispatch (the I-frame
     twin of full_pframe_pass)."""
     st = iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat, w=w, h=h,
                      bd=bd, sis=sis, log2_ctu=log2_ctu,
-                     qp_factor=qp_factor)
+                     qp_factor=qp_factor, sdh=sdh)
     bw, bh = w // 8, h // 8
     if deblock or sao:
         from hmtpu.ops.deblock import deblock_frame_dev
@@ -455,6 +472,13 @@ def iframe_full_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                  imode=jnp.int8, cusz=jnp.int8, cbfy=jnp.int8,
                  levs=jnp.int16, sao=jnp.int8)
     return {k: v.astype(small[k]) for k, v in st.items()}
+
+
+from hmtpu.encoder.pframe_dev import python_dispatch as _pd  # noqa: E402
+
+iframe_full_pass = _pd(
+    jax.jit(iframe_full_pass, static_argnames=_IFP_STATICS),
+    _IFP_STATICS)
 
 
 def unpack_iframe_state(st, w: int, h: int, log2_ctu: int):

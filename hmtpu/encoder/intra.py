@@ -112,7 +112,7 @@ class IntraFrameEncoder:
             costs, lam, w, h, ctu, log2_ctu)
         rec_y, rec_u, rec_v, decisions = intra_rdo.reconstruct(
             frame.y, frame.u, frame.v, leaves, qp, qpc, self.bd, sis,
-            w, h, ctu, log2_ctu)
+            w, h, ctu, log2_ctu, sdh=bool(self.pps.sign_data_hiding))
         recon = Frame(rec_y, rec_u, rec_v, self.bd)
         return recon, decisions, mode8, depth8
 
@@ -145,7 +145,8 @@ class IntraFrameEncoder:
             w=w, h=h, bd=self.bd, sis=sps.strong_intra_smoothing,
             log2_ctu=sps.log2_ctu_size, deblock=deblock, sao=sao,
             ctu=sps.ctu_size, cb_off=self.pps.cb_qp_offset,
-            cr_off=self.pps.cr_qp_offset, qp_factor=lam_factor)
+            cr_off=self.pps.cr_qp_offset, qp_factor=lam_factor,
+            sdh=bool(self.pps.sign_data_hiding))
         st = {k: np.asarray(v).astype(np.int32)
               for k, v in jax.device_get(st).items()}
         mode8, depth8, decisions = unpack_iframe_state(

@@ -273,7 +273,7 @@ def select_tree(costs: dict, lam: float, w: int, h: int, ctu: int,
 
 def reconstruct(frame_y, frame_u, frame_v, leaves, qp: int, qpc: int,
                 bd: int, sis: bool, w: int, h: int, ctu: int,
-                log2_ctu: int):
+                log2_ctu: int, sdh: bool = False):
     """Reconstruct the picture in CTU-raster/z-scan order with exact
     decoder availability.  Returns (rec_y, rec_u, rec_v, decisions)."""
     maxv = (1 << bd) - 1
@@ -294,6 +294,10 @@ def reconstruct(frame_y, frame_u, frame_v, leaves, qp: int, qpc: int,
         pred = predict_mode_np(ref_u_line, ref_f_line, n, mode, True, bd)
         coef = forward_np((org - pred)[None], bd)[0]
         lev = quantize_np(coef, qp, log2, bd, True)
+        if sdh and lev.any():
+            from hmtpu.common.scan import intra_scan_idx
+            from hmtpu.ops.quant import sdh_fix_np
+            lev = sdh_fix_np(lev, log2, intra_scan_idx(mode, log2, True))
         if lev.any():
             r = inverse_np(dequantize_np(lev, qp, log2, bd)[None], bd)[0]
         else:
@@ -311,6 +315,11 @@ def reconstruct(frame_y, frame_u, frame_v, leaves, qp: int, qpc: int,
             pred_c = predict_mode_np(ref_c, ref_c, cn, mode, False, bd)
             coef_c = forward_np((corg - pred_c)[None], bd)[0]
             lv = quantize_np(coef_c, qpc, clog2, bd, True)
+            if sdh and lv.any():
+                from hmtpu.common.scan import intra_scan_idx
+                from hmtpu.ops.quant import sdh_fix_np
+                lv = sdh_fix_np(lv, clog2,
+                                intra_scan_idx(mode, clog2, False))
             if lv.any():
                 rc = inverse_np(dequantize_np(lv, qpc, clog2, bd)[None],
                                 bd)[0]

@@ -88,12 +88,17 @@ def est_level_bits(lev: np.ndarray) -> float:
     return 8.0 + nz.size * 2.0 + float(np.ceil(np.log2(np.abs(nz) + 1)).sum()) * 2.0
 
 
-def code_residual_block(org, pred, qp, log2, bd):
+def code_residual_block(org, pred, qp, log2, bd, sdh=False,
+                        scan_idx=0):
     """transform -> quant -> (dequant -> inverse) ; returns (lev, recon
-    residual)."""
+    residual).  scan_idx must match the writer's (mode-dependent for
+    intra) so the SDH parity fix groups the right CGs."""
     resi = org - pred
     coef = forward_np(resi[None], bd)[0]
     lev = quantize_np(coef, qp, log2, bd, True)
+    if sdh and lev.any():
+        from hmtpu.ops.quant import sdh_fix_np
+        lev = sdh_fix_np(lev, log2, scan_idx)
     if lev.any():
         deq = dequantize_np(lev, qp, log2, bd)
         r = inverse_np(deq[None], bd)[0]
@@ -113,6 +118,7 @@ class PFrameEncoder:
         self.subpel = subpel
         self.nn_params = nn_params
         self.search_range = search_range
+        self._sdh = bool(pps.sign_data_hiding)
 
     # -- stage A+B: device batched search ----------------------------------
     def motion_search(self, frame: Frame, ref: Frame, qp: int):
@@ -372,11 +378,11 @@ class PFrameEncoder:
             <= sse_a + lam * hdr_a
         if code_merge:
             lev_y_m, ry_m = code_residual_block(org, best_mpred[0], qp,
-                                                3, bd)
+                                                3, bd, self._sdh)
             lev_cb_m, ru_m = code_residual_block(org_u, best_mpred[1],
-                                                 qpc, 2, bd)
+                                                 qpc, 2, bd, self._sdh)
             lev_cr_m, rv_m = code_residual_block(org_v, best_mpred[2],
-                                                 qpc, 2, bd)
+                                                 qpc, 2, bd, self._sdh)
             d_merge = sse3(np.clip(best_mpred[0] + ry_m, 0, maxv),
                            np.clip(best_mpred[1] + ru_m, 0, maxv),
                            np.clip(best_mpred[2] + rv_m, 0, maxv))
@@ -390,11 +396,11 @@ class PFrameEncoder:
             lev_y_m = lev_cb_m = lev_cr_m = np.zeros((8, 8), np.int32)
             ry_m = ru_m = rv_m = 0
             cost_merge = np.inf
-            lev_y_a, ry_a = code_residual_block(org, pred_a[0], qp, 3, bd)
+            lev_y_a, ry_a = code_residual_block(org, pred_a[0], qp, 3, bd, self._sdh)
             lev_cb_a, ru_a = code_residual_block(org_u, pred_a[1], qpc,
-                                                 2, bd)
+                                                 2, bd, self._sdh)
             lev_cr_a, rv_a = code_residual_block(org_v, pred_a[2], qpc,
-                                                 2, bd)
+                                                 2, bd, self._sdh)
             d = sse3(np.clip(pred_a[0] + ry_a, 0, maxv),
                      np.clip(pred_a[1] + ru_a, 0, maxv),
                      np.clip(pred_a[2] + rv_a, 0, maxv))
@@ -422,7 +428,10 @@ class PFrameEncoder:
 
         imode, ipred, ibits = self._intra_candidate(frame, qp, x, y,
                                                     rec_y, modes)
-        lev_y_i, ry_i = code_residual_block(org, ipred, qp, 3, bd)
+        from hmtpu.common.scan import intra_scan_idx as _isi
+        lev_y_i, ry_i = code_residual_block(org, ipred, qp, 3, bd,
+                                            self._sdh, _isi(imode, 3,
+                                                            True))
         # chroma DM prediction from reconstructed chroma neighbours
         ich = []
         for plane_org, plane_rec, corg in ((frame.u, rec_u, org_u),
@@ -434,7 +443,9 @@ class PFrameEncoder:
             raw_c = gather_ref_line(plane_rec, cx, cy, 4)
             ref_c = substitute_unavailable(raw_c, avail_c, bd)
             pred_c = predict_mode_np(ref_c, ref_c, 4, imode, False, bd)
-            lv, rc = code_residual_block(corg, pred_c, qpc, 2, bd)
+            lv, rc = code_residual_block(corg, pred_c, qpc, 2, bd,
+                                         self._sdh,
+                                         _isi(imode, 2, False))
             ich.append((pred_c, lv, rc))
         d_intra = sse3(np.clip(ipred + ry_i, 0, maxv),
                        np.clip(ich[0][0] + ich[0][2], 0, maxv),
@@ -596,7 +607,9 @@ class PFrameEncoder:
             else:
                 enc.encode_bin(OFF["MERGE_FLAG"], 0)
                 if is_b:
-                    encode_inter_dir(enc, d.inter_dir, 3)  # CtDepth 3
+                    # bin0 ctx = CtDepth of the CU (9.3.4.2.2)
+                    encode_inter_dir(enc, d.inter_dir,
+                                     sps.log2_ctu_size - log2)
                 if d.inter_dir & 1:
                     encode_ref_idx(enc, d.ref_idx, num_ref)
                     encode_mvd(enc, d.mvd[0], d.mvd[1])

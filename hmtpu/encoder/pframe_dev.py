@@ -69,10 +69,12 @@ from hmtpu.ops.ratebits import (
 from hmtpu.ops.transform import forward_transform, inverse_transform
 from hmtpu.search.wavefront import (
     amvp_candidates_dev,
+    amvp_candidates_dev_b,
     block_schedule,
     block_schedule16,
     block_schedule32,
     merge_candidates_dev,
+    merge_candidates_dev_b,
     mv_bits_dev,
     scale_mv_pair_dev,
     static_ref_gather,
@@ -81,6 +83,38 @@ from hmtpu.search.wavefront import (
 
 INTRA_GATE = 24.0          # evaluate intra only when inter cost > gate*lam
 BIG = jnp.float32(3e38)
+
+
+def python_dispatch(jitfn, static_names=()):
+    """Dispatch a jitted function through memoized AOT-compiled
+    executables (jax.stages) instead of the PjitFunction C++ fastpath.
+
+    Works around a jax 0.9.0 CPU mis-execution: from the second call
+    of a compiled instance onward, the fastpath supplies only the
+    user arguments while the loaded program also expects the closed-
+    over constant buffers ("Execution supplied N buffers but compiled
+    program expected M") — the first (python-path) call of the same
+    instance works.  The stages.Compiled path always prepends the
+    constants.  Dispatch overhead is ~1 ms per call, noise against
+    these whole-frame programs."""
+    cache = {}
+    statics = frozenset(static_names)
+
+    def wrapper(*args, **kwargs):
+        leaves, treedef = jax.tree_util.tree_flatten((args, kwargs))
+        key = (treedef, tuple(
+            (x.shape, str(getattr(x, "dtype", ""))) if hasattr(x, "shape")
+            else x for x in leaves))
+        ex = cache.get(key)
+        if ex is None:
+            ex = jitfn.lower(*args, **kwargs).compile()
+            cache[key] = ex
+        dyn_kwargs = {k: v for k, v in kwargs.items()
+                      if k not in statics}
+        return ex(*args, **dyn_kwargs)
+
+    wrapper.__wrapped__ = jitfn
+    return wrapper
 
 
 @lru_cache(maxsize=None)
@@ -139,8 +173,17 @@ def _scan_pos_table(log2: int) -> np.ndarray:
     return spos
 
 
+def _intra_scan_sel(m):
+    """Vectorised intra_scan_idx (7.4.9.11) for the sizes where the
+    coding scan is mode-dependent (4x4/8x8 luma, 4x4 chroma):
+    2=vertical for modes 6-14, 1=horizontal for 22-30, else diag."""
+    return jnp.where((m >= 6) & (m <= 14), 2,
+                     jnp.where((m >= 22) & (m <= 30), 1, 0)) \
+        .astype(jnp.int32)
+
+
 def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
-          is_luma=True, dw=None):
+          is_luma=True, dw=None, sdh: bool = False, scan_sel=None):
     """transform -> quant -> RDOQ-lite -> dequant -> inverse -> clip;
     returns (lev, rec, sse, bits).
 
@@ -155,7 +198,8 @@ def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
     coef = forward_transform(resi, n, bd)
     if lam is not None:
         from hmtpu.ops.rdoq import rdoq_tb
-        lev = rdoq_tb(coef, qp, log2, bd, lam, cbflat, is_luma)
+        lev = rdoq_tb(coef, qp, log2, bd, lam, cbflat, is_luma,
+                      sdh=sdh, scan_sel=scan_sel)
     else:
         lev = quantize_t(coef, qp, log2, bd, False)
     deq = dequantize_t(lev, qp, log2, bd)
@@ -164,22 +208,53 @@ def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
     sse = jnp.sum((org - rec) ** 2, axis=(-1, -2)).astype(jnp.float32)
     if dw is not None:
         sse = sse * dw          # HM chroma distortion weight
-    return lev, rec, sse, tb_bits(lev, cbflat, log2, is_luma)
+    return lev, rec, sse, tb_bits(lev, cbflat, log2, is_luma, 0, sdh)
 
 
-@partial(jax.jit, static_argnames=("w", "h", "num_ref", "max_merge",
-                                   "bd", "levels", "tmvp", "log2_ctu"))
+# NB: deliberately NOT @jax.jit — always traced inline by
+# full_pframe_pass (jax 0.9 mis-executes the nested-jit form of this
+# constant-heavy function: "Execution supplied N buffers but compiled
+# program expected M"); __graft_entry__ wraps it explicitly.
 def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                    mv_x, mv_y, mv_ref, lv_blk, nb_ok, nb_flat,
                    sub_y, none_y, sub_u, none_c, ref_pocs, cur_poc,
                    mv16=None, sched16=None, mv32=None, sched32=None,
                    qp=32, qpc=32, col=None, col_poc=0, cbflat=None,
+                   mv_lx=None, ref_pocs_l1=None,
                    *, w: int, h: int, num_ref: int, max_merge: int,
                    bd: int = 8,
                    qp_factor=0.57, levels: int = 1,
-                   tmvp: bool = False, log2_ctu: int = 6):
+                   tmvp: bool = False, log2_ctu: int = 6,
+                   sdh: bool = False, num_ref_l1: int = 0,
+                   l0map: tuple = None, l1map: tuple = None):
+    """B-slice mode (num_ref_l1 > 0): refs_* are the deduped union of
+    both reference lists, l0map/l1map are static union indices per
+    list, mv_lx/mv16[3]/mv32[3] carry the per-block AMVP list choice,
+    and merge candidates run the two-list derivation
+    (search/wavefront.py merge_candidates_dev_b) with bi-prediction
+    via intermediate-precision hypotheses (TEncSearch motion
+    compensation parity, 8.5.4.2.3.2)."""
     bw, bh = w // 8, h // 8
     P = bw * bh
+    is_b = num_ref_l1 > 0
+    Ru = refs_y.shape[0]
+    if is_b:
+        l0m = jnp.asarray(l0map, jnp.int32)
+        l1m = jnp.asarray(l1map, jnp.int32)
+        headroom = 14 - bd       # IF_INTERNAL_PREC - bd
+        from hmtpu.ops.interp import (
+            bi_average_t,
+            mc_chroma_batch_refs_i,
+            mc_luma_batch_refs_i,
+        )
+        from hmtpu.ops.ratebits import inter_dir_bits
+
+        def apx_uni(i):
+            """Approximate final samples from an intermediate-precision
+            hypothesis (screening only — winners are recomputed with
+            the exact final-precision filter)."""
+            return jnp.clip((i + 8192 + (1 << (headroom - 1)))
+                            >> headroom, 0, (1 << bd) - 1)
     lam = jnp.float32(qp_factor) \
         * jnp.power(2.0, (qp - 12) / 3.0).astype(jnp.float32)
     lam_sqrt = jnp.sqrt(lam)
@@ -198,18 +273,26 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     # ---- phase 1a: AMVP candidate prediction + residual for all blocks
     mvxf, mvyf = mv_x.reshape(-1), mv_y.reshape(-1)
     rself = mv_ref.reshape(-1)
-    pred_a = mc_luma_batch_refs(refs_y, rself, x0_all, y0_all,
+    if is_b:
+        lxf = mv_lx.reshape(-1)
+        rsu = jnp.where(lxf == 0, l0m[jnp.clip(rself, 0, num_ref - 1)],
+                        l1m[jnp.clip(rself, 0, num_ref_l1 - 1)])
+    else:
+        rsu = rself
+    pred_a = mc_luma_batch_refs(refs_y, rsu, x0_all, y0_all,
                                 mvxf, mvyf, 8, 8, bd)
-    pred_au = mc_chroma_batch_refs(refs_u, rself, bx_all * 4, by_all * 4,
+    pred_au = mc_chroma_batch_refs(refs_u, rsu, bx_all * 4, by_all * 4,
                                    mvxf, mvyf, 4, 4, bd)
-    pred_av = mc_chroma_batch_refs(refs_v, rself, bx_all * 4, by_all * 4,
+    pred_av = mc_chroma_batch_refs(refs_v, rsu, bx_all * 4, by_all * 4,
                                    mvxf, mvyf, 4, 4, bd)
     lev_ay, rec_ay, d_ay, b_ay = _code(org_blk, pred_a, qp, 3, bd, lam,
-                                       cbflat, True)
+                                       cbflat, True, sdh=sdh)
     lev_au, rec_au, d_au, b_au = _code(orgu_blk, pred_au, qpc, 2, bd,
-                                       lam_c, cbflat, False, wchroma)
+                                       lam_c, cbflat, False, wchroma,
+                                       sdh=sdh)
     lev_av, rec_av, d_av, b_av = _code(orgv_blk, pred_av, qpc, 2, bd,
-                                       lam_c, cbflat, False, wchroma)
+                                       lam_c, cbflat, False, wchroma,
+                                       sdh=sdh)
     dist_a = d_ay + d_au + d_av
     bits_a_lev = b_ay + b_au + b_av
     cbf_a8 = (jnp.any(lev_ay.reshape(P, 64) != 0, axis=1),
@@ -259,19 +342,124 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     t8 = t_level(8, mv_ref.reshape(-1)) if tmvp else None
 
     # ---- phase 2: wavefront scan over dependency levels.  Per-block
-    # state is packed into one (P, 11) tensor [kind, mi, mvdx, mvdy,
-    # mvpi, dir, mvx, mvy, ref, size-code, luma-cbf] and one (P, 96)
-    # level tensor so each step costs one gather + one scatter per
-    # consumer.
+    # state is packed into one (P, 14) tensor [kind, mi, mvdx, mvdy,
+    # mvpi, dir, mvx, mvy, ref, size-code, luma-cbf, mvx1, mvy1, ref1]
+    # and one (P, 96) level tensor so each step costs one gather + one
+    # scatter per consumer.  The L1 columns stay zero for P slices.
     K_KIND, K_MI, K_MVDX, K_MVDY, K_MVPI, K_DIR, K_MVX, K_MVY, K_REF, \
-        K_SZ, K_CBFY = range(11)
+        K_SZ, K_CBFY, K_MVX1, K_MVY1, K_REF1 = range(14)
     state = dict(
         rec_y=jnp.zeros(h * w, jnp.int32),
         rec_u=jnp.zeros(h * w // 4, jnp.int32),
         rec_v=jnp.zeros(h * w // 4, jnp.int32),
-        blk=jnp.zeros((P, 11), jnp.int32),
+        blk=jnp.zeros((P, 14), jnp.int32),
         levs=jnp.zeros((P, 96), jnp.int32),
     )
+
+    def merge_b_nxn(nbv, nbp, x0, y0, n):
+        """B-slice merge list + SSE screening + exact winner
+        prediction for an n x n CU batch at (x0, y0): candidates via
+        the two-list derivation, every hypothesis at intermediate
+        precision (screening finals approximate), the winner's uni
+        prediction recomputed with the exact final-precision filter
+        and its bi average taken from the exact intermediates."""
+        B = x0.shape[0]
+        M = max_merge
+        rep = lambda a: jnp.repeat(a, M)
+        two = lambda a: jnp.concatenate([a, a])
+        ndir = nbp[..., K_DIR]
+        nmx, nmy, nrf = (nbp[..., K_MVX], nbp[..., K_MVY],
+                         nbp[..., K_REF])
+        nmx1, nmy1, nrf1 = (nbp[..., K_MVX1], nbp[..., K_MVY1],
+                            nbp[..., K_REF1])
+        (cdir, cmx, cmy, crf, cmx1, cmy1,
+         crf1) = merge_candidates_dev_b(
+            nbv, ndir, nmx, nmy, nrf, nmx1, nmy1, nrf1,
+            ref_pocs, ref_pocs_l1, num_ref, num_ref_l1, max_merge)
+        u0 = l0m[jnp.clip(crf.reshape(-1), 0, num_ref - 1)]
+        u1 = l1m[jnp.clip(crf1.reshape(-1), 0, num_ref_l1 - 1)]
+        i0 = mc_luma_batch_refs_i(
+            refs_y, u0, rep(x0), rep(y0), cmx.reshape(-1),
+            cmy.reshape(-1), n, n, bd).reshape(B, M, n, n)
+        i1 = mc_luma_batch_refs_i(
+            refs_y, u1, rep(x0), rep(y0), cmx1.reshape(-1),
+            cmy1.reshape(-1), n, n, bd).reshape(B, M, n, n)
+        bi_c = (cdir == 3)[:, :, None, None]
+        uni0 = ((cdir & 1) > 0)[:, :, None, None]
+        pred_l = jnp.where(
+            bi_c, bi_average_t(i0, i1, bd),
+            jnp.where(uni0, apx_uni(i0), apx_uni(i1)))
+        return cdir, cmx, cmy, crf, cmx1, cmy1, crf1, i0, i1, pred_l
+
+    def merge_b_winner(cands, mi, x0, y0, n):
+        """Gather the winning candidate's fields and compute its exact
+        luma + chroma prediction."""
+        (cdir, cmx, cmy, crf, cmx1, cmy1, crf1, i0, i1, _) = cands
+        two = lambda a: jnp.concatenate([a, a])
+        g1 = lambda a: jnp.take_along_axis(a, mi[:, None], 1)[:, 0]
+        w_dir = g1(cdir)
+        w_mvx, w_mvy, w_ref = g1(cmx), g1(cmy), g1(crf)
+        w_mvx1, w_mvy1, w_ref1 = g1(cmx1), g1(cmy1), g1(crf1)
+        w_i0 = jnp.take_along_axis(i0, mi[:, None, None, None], 1)[:, 0]
+        w_i1 = jnp.take_along_axis(i1, mi[:, None, None, None], 1)[:, 0]
+        uses0 = (w_dir & 1) > 0
+        uref = jnp.where(uses0, l0m[jnp.clip(w_ref, 0, num_ref - 1)],
+                         l1m[jnp.clip(w_ref1, 0, num_ref_l1 - 1)])
+        umx = jnp.where(uses0, w_mvx, w_mvx1)
+        umy = jnp.where(uses0, w_mvy, w_mvy1)
+        pred_u = mc_luma_batch_refs(refs_y, uref, x0, y0, umx, umy,
+                                    n, n, bd)
+        w_bi = (w_dir == 3)[:, None, None]
+        pred_m = jnp.where(w_bi, bi_average_t(w_i0, w_i1, bd), pred_u)
+        cxy, cyy = x0 // 2, y0 // 2
+        pc_u = mc_chroma_batch_refs(
+            refs_c, jnp.concatenate([uref, uref + Ru]),
+            two(cxy), two(cyy), two(umx), two(umy), n // 2, n // 2, bd)
+        u0w = l0m[jnp.clip(w_ref, 0, num_ref - 1)]
+        u1w = l1m[jnp.clip(w_ref1, 0, num_ref_l1 - 1)]
+        pc_i0 = mc_chroma_batch_refs_i(
+            refs_c, jnp.concatenate([u0w, u0w + Ru]),
+            two(cxy), two(cyy), two(w_mvx), two(w_mvy),
+            n // 2, n // 2, bd)
+        pc_i1 = mc_chroma_batch_refs_i(
+            refs_c, jnp.concatenate([u1w, u1w + Ru]),
+            two(cxy), two(cyy), two(w_mvx1), two(w_mvy1),
+            n // 2, n // 2, bd)
+        pc_bi = bi_average_t(pc_i0, pc_i1, bd)
+        pred_c2 = jnp.where(two(w_dir == 3)[:, None, None], pc_bi,
+                            pc_u)
+        B = x0.shape[0]
+        return (w_dir, w_mvx, w_mvy, w_ref, w_mvx1, w_mvy1, w_ref1,
+                pred_m, pred_c2[:B], pred_c2[B:])
+
+    def amvp_b_nxn(nbv, nbp, lxb, aref, amx, amy, depth: int):
+        """B-slice AMVP list + mvd choice + signalling bits for the
+        phase-1 candidate (list lxb, ref aref, MV amx/amy)."""
+        ndir = nbp[..., K_DIR]
+        nmx, nmy, nrf = (nbp[..., K_MVX], nbp[..., K_MVY],
+                         nbp[..., K_REF])
+        nmx1, nmy1, nrf1 = (nbp[..., K_MVX1], nbp[..., K_MVY1],
+                            nbp[..., K_REF1])
+        tpoc = jnp.where(
+            lxb == 0, ref_pocs[jnp.clip(aref, 0, num_ref - 1)],
+            ref_pocs_l1[jnp.clip(aref, 0, num_ref_l1 - 1)])
+        nb_poc0 = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
+        nb_poc1 = ref_pocs_l1[jnp.clip(nrf1, 0, num_ref_l1 - 1)]
+        p0x, p0y, p1x, p1y = amvp_candidates_dev_b(
+            nbv, ndir, nmx, nmy, nb_poc0, nmx1, nmy1, nb_poc1,
+            lxb, tpoc, cur_poc)
+        bits0 = mvd_bits(cbflat, amx - p0x, amy - p0y)
+        bits1 = mvd_bits(cbflat, amx - p1x, amy - p1y)
+        use1 = bits1 < bits0
+        mvpi = use1.astype(jnp.int32)
+        mvdx = jnp.where(use1, amx - p1x, amx - p0x)
+        mvdy = jnp.where(use1, amy - p1y, amy - p0y)
+        bits_mvd = jnp.minimum(bits0, bits1)
+        b_refa = jnp.where(
+            lxb == 0, ref_idx_bits(cbflat, aref, num_ref),
+            ref_idx_bits(cbflat, aref, num_ref_l1)) \
+            + inter_dir_bits(cbflat, 1 + lxb, depth)
+        return mvpi, mvdx, mvdy, bits_mvd, b_refa
 
     def cell_step(st, blk, valid):
         """Decide one batch of 8x8 CUs against the committed state;
@@ -286,33 +474,46 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 
         # merge list from committed neighbour motion (one packed gather)
         nb = nb_flat[b]                                     # (B, 5)
-        nbp = st["blk"][nb]                                 # (B, 5, 9)
+        nbp = st["blk"][nb]                                 # (B, 5, 14)
         nbv = nb_ok[b] & (nbp[..., K_DIR] > 0)
         nmx, nmy, nrf = nbp[..., K_MVX], nbp[..., K_MVY], nbp[..., K_REF]
-        tkw = {} if t8 is None else dict(
-            t_ok=t8[0][b], t_mvx=t8[1][b], t_mvy=t8[2][b])
-        cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
-                                             num_ref, max_merge, **tkw)
-
-        # luma SSE screening over all candidates
         M = max_merge
         rep = lambda a: jnp.repeat(a, M)
-        pred_l = mc_luma_batch_refs(
-            refs_y, crf.reshape(-1), rep(x0), rep(y0),
-            cmx.reshape(-1), cmy.reshape(-1), 8, 8, bd).reshape(B, M, 8, 8)
-        sse_l = jnp.sum((org[:, None] - pred_l) ** 2, axis=(-1, -2))
-        mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)     # (B,)
-        w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
-        w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
-        w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
-        pred_m = jnp.take_along_axis(
-            pred_l, mi[:, None, None, None], 1)[:, 0]
-        # winner chroma, both planes in one MC over the stacked refs
         two = lambda a: jnp.concatenate([a, a])
-        pred_c2 = mc_chroma_batch_refs(
-            refs_c, jnp.concatenate([w_ref, w_ref + num_ref]),
-            two(bxi * 4), two(byi * 4), two(w_mvx), two(w_mvy), 4, 4, bd)
-        pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
+        if is_b:
+            cands = merge_b_nxn(nbv, nbp, x0, y0, 8)
+            sse_l = jnp.sum((org[:, None] - cands[-1]) ** 2,
+                            axis=(-1, -2))
+            mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+            (w_dir, w_mvx, w_mvy, w_ref, w_mvx1, w_mvy1, w_ref1,
+             pred_m, pred_mu, pred_mv_) = merge_b_winner(
+                cands, mi, x0, y0, 8)
+        else:
+            tkw = {} if t8 is None else dict(
+                t_ok=t8[0][b], t_mvx=t8[1][b], t_mvy=t8[2][b])
+            cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
+                                                 num_ref, max_merge,
+                                                 **tkw)
+
+            # luma SSE screening over all candidates
+            pred_l = mc_luma_batch_refs(
+                refs_y, crf.reshape(-1), rep(x0), rep(y0),
+                cmx.reshape(-1), cmy.reshape(-1), 8, 8,
+                bd).reshape(B, M, 8, 8)
+            sse_l = jnp.sum((org[:, None] - pred_l) ** 2,
+                            axis=(-1, -2))
+            mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)  # (B,)
+            w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
+            w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
+            w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
+            pred_m = jnp.take_along_axis(
+                pred_l, mi[:, None, None, None], 1)[:, 0]
+            # winner chroma, both planes in one MC over the stacked refs
+            pred_c2 = mc_chroma_batch_refs(
+                refs_c, jnp.concatenate([w_ref, w_ref + Ru]),
+                two(bxi * 4), two(byi * 4), two(w_mvx), two(w_mvy),
+                4, 4, bd)
+            pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
         msse3 = jnp.sum((org - pred_m) ** 2, axis=(-1, -2)) \
             .astype(jnp.float32) + wchroma * (
             jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
@@ -320,20 +521,27 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             ).astype(jnp.float32)
 
         # AMVP: exact list (per-block target ref) -> true mvd bits
-        nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
         aref = rself[b]
-        takw = {} if t8 is None else dict(
-            t_ok=t8[0][b], t_mvx=t8[3][b], t_mvy=t8[4][b])
-        p0x, p0y, p1x, p1y = amvp_candidates_dev(
-            nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc, **takw)
         amx, amy = mvxf[b], mvyf[b]
-        bits0 = mvd_bits(cbflat, amx - p0x, amy - p0y)
-        bits1 = mvd_bits(cbflat, amx - p1x, amy - p1y)
-        use1 = bits1 < bits0
-        mvpi = use1.astype(jnp.int32)
-        mvdx = jnp.where(use1, amx - p1x, amx - p0x)
-        mvdy = jnp.where(use1, amy - p1y, amy - p0y)
-        bits_mvd = jnp.minimum(bits0, bits1)
+        if is_b:
+            lxb = lxf[b]
+            mvpi, mvdx, mvdy, bits_mvd, b_refa = amvp_b_nxn(
+                nbv, nbp, lxb, aref, amx, amy, log2_ctu - 3)
+        else:
+            nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
+            takw = {} if t8 is None else dict(
+                t_ok=t8[0][b], t_mvx=t8[3][b], t_mvy=t8[4][b])
+            p0x, p0y, p1x, p1y = amvp_candidates_dev(
+                nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc,
+                **takw)
+            bits0 = mvd_bits(cbflat, amx - p0x, amy - p0y)
+            bits1 = mvd_bits(cbflat, amx - p1x, amy - p1y)
+            use1 = bits1 < bits0
+            mvpi = use1.astype(jnp.int32)
+            mvdx = jnp.where(use1, amx - p1x, amx - p0x)
+            mvdy = jnp.where(use1, amy - p1y, amy - p0y)
+            bits_mvd = jnp.minimum(bits0, bits1)
+            b_refa = ref_idx_bits(cbflat, aref, num_ref)
 
         # CU mode syntax priced from the committed neighbour state
         # (cu_skip_flag ctx 9.3.4.2.2 = left/above skip)
@@ -351,7 +559,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         cost_amvp = dist_a[b] + lam * (
             b_inter + merge_flag_bits(cbflat, jnp.zeros_like(b))
             + mvp_idx_bits(cbflat, mvpi) + bits_mvd
-            + ref_idx_bits(cbflat, aref, num_ref)
+            + b_refa
             + _root_cbf_bits(cbflat, cbf_a8[0][b], cbf_a8[1][b],
                              cbf_a8[2][b], cbf_bits_inter)
             + bits_a_lev[b])
@@ -370,17 +578,22 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 
         # fused residual coding: merge+intra luma in one transform
         # batch, all four chroma blocks in another
+        isel = _intra_scan_sel(im)
+        z_b = jnp.zeros_like(isel)
         levY2, recY2, dY2, bY2 = _code(
             two(org), jnp.concatenate([pred_m, ipred]), qp, 3, bd, lam,
-            cbflat, True)
+            cbflat, True, sdh=sdh,
+            scan_sel=jnp.concatenate([z_b, isel]))
         lev_my, lev_iy = levY2[:B], levY2[B:]
         rec_my, rec_iy = recY2[:B], recY2[B:]
         d_my, d_iy = dY2[:B], dY2[B:]
         b_my, b_iy = bY2[:B], bY2[B:]
         orgC4 = jnp.concatenate([orgu, orgv, orgu, orgv])
         predC4 = jnp.concatenate([pred_mu, pred_mv_, cpu, cpv])
-        levC4, recC4, dC4, bC4 = _code(orgC4, predC4, qpc, 2, bd,
-                                       lam_c, cbflat, False, wchroma)
+        levC4, recC4, dC4, bC4 = _code(
+            orgC4, predC4, qpc, 2, bd, lam_c, cbflat, False, wchroma,
+            sdh=sdh,
+            scan_sel=jnp.concatenate([z_b, z_b, isel, isel]))
         lev_mu, lev_mv_, lev_iu, lev_iv = jnp.split(levC4, 4)
         rec_mu, rec_mv_, rec_iu, rec_iv = jnp.split(recC4, 4)
         d_mu, d_mv, d_iu, d_iv = jnp.split(dC4, 4)
@@ -435,10 +648,36 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                       f96(lev_my, lev_mu, lev_mv_), lev_a96[b],
                       f96(lev_iy, lev_iu, lev_iv))
 
-        new_mvx = pick4(w_mvx, w_mvx, amx, jnp.zeros_like(amx))
-        new_mvy = pick4(w_mvy, w_mvy, amy, jnp.zeros_like(amy))
-        new_ref = pick4(w_ref, w_ref, aref, jnp.zeros_like(w_ref))
-        new_dir = jnp.where(choice == 3, 0, 1)
+        if is_b:
+            uses0a = lxb == 0
+            new_mvx = pick4(w_mvx, w_mvx,
+                            jnp.where(uses0a, amx, 0),
+                            jnp.zeros_like(amx))
+            new_mvy = pick4(w_mvy, w_mvy,
+                            jnp.where(uses0a, amy, 0),
+                            jnp.zeros_like(amy))
+            new_ref = pick4(w_ref, w_ref,
+                            jnp.where(uses0a, aref, 0),
+                            jnp.zeros_like(w_ref))
+            new_mvx1 = pick4(w_mvx1, w_mvx1,
+                             jnp.where(uses0a, 0, amx),
+                             jnp.zeros_like(amx))
+            new_mvy1 = pick4(w_mvy1, w_mvy1,
+                             jnp.where(uses0a, 0, amy),
+                             jnp.zeros_like(amy))
+            new_ref1 = pick4(w_ref1, w_ref1,
+                             jnp.where(uses0a, 0, aref),
+                             jnp.zeros_like(w_ref))
+            new_dir = pick4(w_dir, w_dir, 1 + lxb,
+                            jnp.zeros_like(w_dir))
+        else:
+            new_mvx = pick4(w_mvx, w_mvx, amx, jnp.zeros_like(amx))
+            new_mvy = pick4(w_mvy, w_mvy, amy, jnp.zeros_like(amy))
+            new_ref = pick4(w_ref, w_ref, aref, jnp.zeros_like(w_ref))
+            new_mvx1 = jnp.zeros_like(new_mvx)
+            new_mvy1 = jnp.zeros_like(new_mvx)
+            new_ref1 = jnp.zeros_like(new_mvx)
+            new_dir = jnp.where(choice == 3, 0, 1)
         zero_b = jnp.zeros((B,), bool)
         cbf_y = pick4(zero_b,
                       jnp.any(lev_my.reshape(B, 64) != 0, axis=1),
@@ -447,7 +686,8 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             .astype(jnp.int32)
         o_blk = jnp.stack([choice, mi, mvdx, mvdy, mvpi,
                            new_dir, new_mvx, new_mvy, new_ref,
-                           jnp.zeros_like(choice), cbf_y], axis=1)
+                           jnp.zeros_like(choice), cbf_y,
+                           new_mvx1, new_mvy1, new_ref1], axis=1)
 
         # scatters (invalid lanes -> out-of-bounds index, dropped)
         drop = jnp.where(valid, b, P)
@@ -488,7 +728,11 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     # (TEncCu.cpp:352).
     gw, gh = bw // 2, bh // 2
     P16 = gw * gh
-    mv16_x, mv16_y, mv16_ref = mv16
+    if is_b:
+        mv16_x, mv16_y, mv16_ref, mv16_lx = mv16
+        lx16f = mv16_lx.reshape(-1)
+    else:
+        mv16_x, mv16_y, mv16_ref = mv16
     t16 = t_level(16, mv16_ref.reshape(-1)) if tmvp else None
     lv16, cells16, nb16_ok, nb16_cell = sched16
     g_all = jnp.arange(P16)
@@ -500,20 +744,27 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     # hoisted CU16 AMVP prediction + residual
     m16x, m16y = mv16_x.reshape(-1), mv16_y.reshape(-1)
     r16 = mv16_ref.reshape(-1)
-    pred16a = mc_luma_batch_refs(refs_y, r16, gx_all * 16, gy_all * 16,
-                                 m16x, m16y, 16, 16, bd)
-    pred16au = mc_chroma_batch_refs(refs_u, r16, gx_all * 8, gy_all * 8,
-                                    m16x, m16y, 8, 8, bd)
-    pred16av = mc_chroma_batch_refs(refs_v, r16, gx_all * 8, gy_all * 8,
-                                    m16x, m16y, 8, 8, bd)
+    if is_b:
+        r16u = jnp.where(lx16f == 0,
+                         l0m[jnp.clip(r16, 0, num_ref - 1)],
+                         l1m[jnp.clip(r16, 0, num_ref_l1 - 1)])
+    else:
+        r16u = r16
+    pred16a = mc_luma_batch_refs(refs_y, r16u, gx_all * 16,
+                                 gy_all * 16, m16x, m16y, 16, 16, bd)
+    pred16au = mc_chroma_batch_refs(refs_u, r16u, gx_all * 8,
+                                    gy_all * 8, m16x, m16y, 8, 8, bd)
+    pred16av = mc_chroma_batch_refs(refs_v, r16u, gx_all * 8,
+                                    gy_all * 8, m16x, m16y, 8, 8, bd)
     lev16ay, rec16ay, d16ay, b16ay = _code(org16_blk, pred16a, qp, 4,
-                                           bd, lam, cbflat, True)
+                                           bd, lam, cbflat, True,
+                                           sdh=sdh)
     lev16au, rec16au, d16au, b16au = _code(org16u, pred16au, qpc, 3,
                                            bd, lam_c, cbflat, False,
-                                           wchroma)
+                                           wchroma, sdh=sdh)
     lev16av, rec16av, d16av, b16av = _code(org16v, pred16av, qpc, 3,
                                            bd, lam_c, cbflat, False,
-                                           wchroma)
+                                           wchroma, sdh=sdh)
     dist_a16 = d16ay + d16au + d16av
     bits_a16 = b16ay + b16au + b16av
     cbf_a16 = (jnp.any(lev16ay.reshape(P16, 256) != 0, axis=1),
@@ -551,58 +802,77 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         nbp = st["blk"][nb]
         nbv = nb16_ok[g] & (nbp[..., K_DIR] > 0)
         nmx, nmy, nrf = nbp[..., K_MVX], nbp[..., K_MVY], nbp[..., K_REF]
-        tkw = {} if t16 is None else dict(
-            t_ok=t16[0][g], t_mvx=t16[1][g], t_mvy=t16[2][g])
-        cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
-                                             num_ref, max_merge, **tkw)
         M = max_merge
         rep = lambda a: jnp.repeat(a, M)
-        pred_l = mc_luma_batch_refs(
-            refs_y, crf.reshape(-1), rep(x0), rep(y0),
-            cmx.reshape(-1), cmy.reshape(-1), 16, 16, bd) \
-            .reshape(B, M, 16, 16)
-        sse_l = jnp.sum((org[:, None] - pred_l) ** 2, axis=(-1, -2))
-        mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
-        w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
-        w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
-        w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
-        pred_m = jnp.take_along_axis(
-            pred_l, mi[:, None, None, None], 1)[:, 0]
         two = lambda a: jnp.concatenate([a, a])
-        pred_c2 = mc_chroma_batch_refs(
-            refs_c, jnp.concatenate([w_ref, w_ref + num_ref]),
-            two(gxb * 8), two(gyb * 8), two(w_mvx), two(w_mvy), 8, 8, bd)
-        pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
+        if is_b:
+            cands = merge_b_nxn(nbv, nbp, x0, y0, 16)
+            sse_l = jnp.sum((org[:, None] - cands[-1]) ** 2,
+                            axis=(-1, -2))
+            mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+            (w_dir, w_mvx, w_mvy, w_ref, w_mvx1, w_mvy1, w_ref1,
+             pred_m, pred_mu, pred_mv_) = merge_b_winner(
+                cands, mi, x0, y0, 16)
+        else:
+            tkw = {} if t16 is None else dict(
+                t_ok=t16[0][g], t_mvx=t16[1][g], t_mvy=t16[2][g])
+            cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
+                                                 num_ref, max_merge,
+                                                 **tkw)
+            pred_l = mc_luma_batch_refs(
+                refs_y, crf.reshape(-1), rep(x0), rep(y0),
+                cmx.reshape(-1), cmy.reshape(-1), 16, 16, bd) \
+                .reshape(B, M, 16, 16)
+            sse_l = jnp.sum((org[:, None] - pred_l) ** 2,
+                            axis=(-1, -2))
+            mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+            w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
+            w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
+            w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
+            pred_m = jnp.take_along_axis(
+                pred_l, mi[:, None, None, None], 1)[:, 0]
+            pred_c2 = mc_chroma_batch_refs(
+                refs_c, jnp.concatenate([w_ref, w_ref + Ru]),
+                two(gxb * 8), two(gyb * 8), two(w_mvx), two(w_mvy),
+                8, 8, bd)
+            pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
         msse3 = jnp.sum((org - pred_m) ** 2, axis=(-1, -2)) \
             .astype(jnp.float32) + wchroma * (
             jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
             + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
             ).astype(jnp.float32)
         lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 4, bd, lam,
-                                           cbflat, True)
+                                           cbflat, True, sdh=sdh)
         levC2, recC2, dC2, bC2 = _code(
             jnp.concatenate([orgu, orgv]),
             jnp.concatenate([pred_mu, pred_mv_]), qpc, 3, bd, lam_c,
-            cbflat, False, wchroma)
+            cbflat, False, wchroma, sdh=sdh)
         lev_mu, lev_mv_ = levC2[:B], levC2[B:]
         rec_mu, rec_mv_ = recC2[:B], recC2[B:]
         d_mu, d_mv = dC2[:B], dC2[B:]
         b_mu, b_mv = bC2[:B], bC2[B:]
 
-        nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
         aref = r16[g]
-        takw = {} if t16 is None else dict(
-            t_ok=t16[0][g], t_mvx=t16[3][g], t_mvy=t16[4][g])
-        p0x, p0y, p1x, p1y = amvp_candidates_dev(
-            nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc, **takw)
         amx, amy = m16x[g], m16y[g]
-        bits0 = mvd_bits(cbflat, amx - p0x, amy - p0y)
-        bits1 = mvd_bits(cbflat, amx - p1x, amy - p1y)
-        use1 = bits1 < bits0
-        mvpi = use1.astype(jnp.int32)
-        mvdx = jnp.where(use1, amx - p1x, amx - p0x)
-        mvdy = jnp.where(use1, amy - p1y, amy - p0y)
-        bits_mvd = jnp.minimum(bits0, bits1)
+        if is_b:
+            lx16b = lx16f[g]
+            mvpi, mvdx, mvdy, bits_mvd, b_refa16 = amvp_b_nxn(
+                nbv, nbp, lx16b, aref, amx, amy, log2_ctu - 4)
+        else:
+            nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
+            takw = {} if t16 is None else dict(
+                t_ok=t16[0][g], t_mvx=t16[3][g], t_mvy=t16[4][g])
+            p0x, p0y, p1x, p1y = amvp_candidates_dev(
+                nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc,
+                **takw)
+            bits0 = mvd_bits(cbflat, amx - p0x, amy - p0y)
+            bits1 = mvd_bits(cbflat, amx - p1x, amy - p1y)
+            use1 = bits1 < bits0
+            mvpi = use1.astype(jnp.int32)
+            mvdx = jnp.where(use1, amx - p1x, amx - p0x)
+            mvdy = jnp.where(use1, amy - p1y, amy - p0y)
+            bits_mvd = jnp.minimum(bits0, bits1)
+            b_refa16 = ref_idx_bits(cbflat, aref, num_ref)
 
         corner = (gyb * 2) * bw + gxb * 2
         cL = jnp.where(gxb > 0, corner - 1, 0)
@@ -627,7 +897,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         cost_amvp = dist_a16[g] + lam * (
             b_inter + merge_flag_bits(cbflat, jnp.zeros_like(g))
             + mvp_idx_bits(cbflat, mvpi) + bits_mvd
-            + ref_idx_bits(cbflat, aref, num_ref)
+            + b_refa16
             + _root_cbf_bits(cbflat, cbf_a16[0][g], cbf_a16[1][g],
                              cbf_a16[2][g], cbf_bits_inter)
             + bits_a16[g])
@@ -658,16 +928,31 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                                 lev_mv_.reshape(B, 64)], axis=1)
         o_lev = pick3(jnp.zeros((B, 384), jnp.int32), pack,
                       lev16_a384[g]).reshape(B, 4, 96)
-        n_mvx = pick3(w_mvx, w_mvx, amx)
-        n_mvy = pick3(w_mvy, w_mvy, amy)
-        n_ref = pick3(w_ref, w_ref, aref)
+        if is_b:
+            u0a = lx16b == 0
+            n_mvx = pick3(w_mvx, w_mvx, jnp.where(u0a, amx, 0))
+            n_mvy = pick3(w_mvy, w_mvy, jnp.where(u0a, amy, 0))
+            n_ref = pick3(w_ref, w_ref, jnp.where(u0a, aref, 0))
+            n_mvx1 = pick3(w_mvx1, w_mvx1, jnp.where(u0a, 0, amx))
+            n_mvy1 = pick3(w_mvy1, w_mvy1, jnp.where(u0a, 0, amy))
+            n_ref1 = pick3(w_ref1, w_ref1, jnp.where(u0a, 0, aref))
+            n_dir = pick3(w_dir, w_dir, 1 + lx16b)
+        else:
+            n_mvx = pick3(w_mvx, w_mvx, amx)
+            n_mvy = pick3(w_mvy, w_mvy, amy)
+            n_ref = pick3(w_ref, w_ref, aref)
+            n_mvx1 = jnp.zeros_like(n_mvx)
+            n_mvy1 = jnp.zeros_like(n_mvx)
+            n_ref1 = jnp.zeros_like(n_mvx)
+            n_dir = jnp.ones_like(c16)
         cbf16b = pick3(jnp.zeros((B,), bool),
                        jnp.any(lev_my.reshape(B, 256) != 0, axis=1),
                        jnp.any(lev16ay[g].reshape(B, 256) != 0, axis=1)
                        ).astype(jnp.int32)
         o_blk = jnp.stack([c16, mi, mvdx, mvdy, mvpi,
-                           jnp.ones_like(c16), n_mvx, n_mvy, n_ref,
-                           jnp.ones_like(c16), cbf16b], axis=1)
+                           n_dir, n_mvx, n_mvy, n_ref,
+                           jnp.ones_like(c16), cbf16b,
+                           n_mvx1, n_mvy1, n_ref1], axis=1)
 
         drop4 = jnp.where(use16[:, None], c4, P)
         yy = (y0[:, None] + jnp.arange(16)[None, :])
@@ -706,7 +991,11 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     qw = (gw + 1) // 2
     qh = (gh + 1) // 2
     P32 = qw * qh
-    mv32_x, mv32_y, mv32_ref = mv32
+    if is_b:
+        mv32_x, mv32_y, mv32_ref, mv32_lx = mv32
+        lx32f = mv32_lx.reshape(-1)
+    else:
+        mv32_x, mv32_y, mv32_ref = mv32
     t32 = t_level(32, mv32_ref.reshape(-1), gw=qw, gh=qh) \
         if tmvp else None
     orgp_y = jnp.pad(org_y, ((0, qh * 32 - h), (0, qw * 32 - w)),
@@ -724,20 +1013,27 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     # hoisted CU32 AMVP prediction + residual
     m32x, m32y = mv32_x.reshape(-1), mv32_y.reshape(-1)
     r32 = mv32_ref.reshape(-1)
-    pred32a = mc_luma_batch_refs(refs_y, r32, qx_all * 32, qy_all * 32,
-                                 m32x, m32y, 32, 32, bd)
-    pred32au = mc_chroma_batch_refs(refs_u, r32, qx_all * 16,
+    if is_b:
+        r32u = jnp.where(lx32f == 0,
+                         l0m[jnp.clip(r32, 0, num_ref - 1)],
+                         l1m[jnp.clip(r32, 0, num_ref_l1 - 1)])
+    else:
+        r32u = r32
+    pred32a = mc_luma_batch_refs(refs_y, r32u, qx_all * 32,
+                                 qy_all * 32, m32x, m32y, 32, 32, bd)
+    pred32au = mc_chroma_batch_refs(refs_u, r32u, qx_all * 16,
                                     qy_all * 16, m32x, m32y, 16, 16, bd)
-    pred32av = mc_chroma_batch_refs(refs_v, r32, qx_all * 16,
+    pred32av = mc_chroma_batch_refs(refs_v, r32u, qx_all * 16,
                                     qy_all * 16, m32x, m32y, 16, 16, bd)
     lev32ay, rec32ay, d32ay, b32ay = _code(org32_blk, pred32a, qp, 5,
-                                           bd, lam, cbflat, True)
+                                           bd, lam, cbflat, True,
+                                           sdh=sdh)
     lev32au, rec32au, d32au, b32au = _code(org32u, pred32au, qpc, 4,
                                            bd, lam_c, cbflat, False,
-                                           wchroma)
+                                           wchroma, sdh=sdh)
     lev32av, rec32av, d32av, b32av = _code(org32v, pred32av, qpc, 4,
                                            bd, lam_c, cbflat, False,
-                                           wchroma)
+                                           wchroma, sdh=sdh)
     dist_a32 = d32ay + d32au + d32av
     bits_a32 = b32ay + b32au + b32av
     cbf_a32 = (jnp.any(lev32ay.reshape(P32, 1024) != 0, axis=1),
@@ -773,59 +1069,77 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         nbp = st["blk"][nb]
         nbv = nb32_ok[g] & (nbp[..., K_DIR] > 0)
         nmx, nmy, nrf = nbp[..., K_MVX], nbp[..., K_MVY], nbp[..., K_REF]
-        tkw = {} if t32 is None else dict(
-            t_ok=t32[0][g], t_mvx=t32[1][g], t_mvy=t32[2][g])
-        cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
-                                             num_ref, max_merge, **tkw)
         M = max_merge
         rep = lambda a: jnp.repeat(a, M)
-        pred_l = mc_luma_batch_refs(
-            refs_y, crf.reshape(-1), rep(x0), rep(y0),
-            cmx.reshape(-1), cmy.reshape(-1), 32, 32, bd) \
-            .reshape(B, M, 32, 32)
-        sse_l = jnp.sum((org[:, None] - pred_l) ** 2, axis=(-1, -2))
-        mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
-        w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
-        w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
-        w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
-        pred_m = jnp.take_along_axis(
-            pred_l, mi[:, None, None, None], 1)[:, 0]
         two = lambda a: jnp.concatenate([a, a])
-        pred_c2 = mc_chroma_batch_refs(
-            refs_c, jnp.concatenate([w_ref, w_ref + num_ref]),
-            two(qxb * 16), two(qyb * 16), two(w_mvx), two(w_mvy),
-            16, 16, bd)
-        pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
+        if is_b:
+            cands = merge_b_nxn(nbv, nbp, x0, y0, 32)
+            sse_l = jnp.sum((org[:, None] - cands[-1]) ** 2,
+                            axis=(-1, -2))
+            mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+            (w_dir, w_mvx, w_mvy, w_ref, w_mvx1, w_mvy1, w_ref1,
+             pred_m, pred_mu, pred_mv_) = merge_b_winner(
+                cands, mi, x0, y0, 32)
+        else:
+            tkw = {} if t32 is None else dict(
+                t_ok=t32[0][g], t_mvx=t32[1][g], t_mvy=t32[2][g])
+            cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
+                                                 num_ref, max_merge,
+                                                 **tkw)
+            pred_l = mc_luma_batch_refs(
+                refs_y, crf.reshape(-1), rep(x0), rep(y0),
+                cmx.reshape(-1), cmy.reshape(-1), 32, 32, bd) \
+                .reshape(B, M, 32, 32)
+            sse_l = jnp.sum((org[:, None] - pred_l) ** 2,
+                            axis=(-1, -2))
+            mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+            w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
+            w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
+            w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
+            pred_m = jnp.take_along_axis(
+                pred_l, mi[:, None, None, None], 1)[:, 0]
+            pred_c2 = mc_chroma_batch_refs(
+                refs_c, jnp.concatenate([w_ref, w_ref + Ru]),
+                two(qxb * 16), two(qyb * 16), two(w_mvx), two(w_mvy),
+                16, 16, bd)
+            pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
         msse3 = jnp.sum((org - pred_m) ** 2, axis=(-1, -2)) \
             .astype(jnp.float32) + wchroma * (
             jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
             + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
             ).astype(jnp.float32)
         lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 5, bd, lam,
-                                           cbflat, True)
+                                           cbflat, True, sdh=sdh)
         levC2, recC2, dC2, bC2 = _code(
             jnp.concatenate([orgu, orgv]),
             jnp.concatenate([pred_mu, pred_mv_]), qpc, 4, bd, lam_c,
-            cbflat, False, wchroma)
+            cbflat, False, wchroma, sdh=sdh)
         lev_mu, lev_mv_ = levC2[:B], levC2[B:]
         rec_mu, rec_mv_ = recC2[:B], recC2[B:]
         d_mu, d_mv = dC2[:B], dC2[B:]
         b_mu, b_mv = bC2[:B], bC2[B:]
 
-        nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
         aref = r32[g]
-        takw = {} if t32 is None else dict(
-            t_ok=t32[0][g], t_mvx=t32[3][g], t_mvy=t32[4][g])
-        p0x, p0y, p1x, p1y = amvp_candidates_dev(
-            nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc, **takw)
         amx, amy = m32x[g], m32y[g]
-        bits0 = mvd_bits(cbflat, amx - p0x, amy - p0y)
-        bits1 = mvd_bits(cbflat, amx - p1x, amy - p1y)
-        use1 = bits1 < bits0
-        mvpi = use1.astype(jnp.int32)
-        mvdx = jnp.where(use1, amx - p1x, amx - p0x)
-        mvdy = jnp.where(use1, amy - p1y, amy - p0y)
-        bits_mvd = jnp.minimum(bits0, bits1)
+        if is_b:
+            lx32b = lx32f[g]
+            mvpi, mvdx, mvdy, bits_mvd, b_refa32 = amvp_b_nxn(
+                nbv, nbp, lx32b, aref, amx, amy, log2_ctu - 5)
+        else:
+            nb_refpoc = ref_pocs[jnp.clip(nrf, 0, num_ref - 1)]
+            takw = {} if t32 is None else dict(
+                t_ok=t32[0][g], t_mvx=t32[3][g], t_mvy=t32[4][g])
+            p0x, p0y, p1x, p1y = amvp_candidates_dev(
+                nbv, nmx, nmy, nb_refpoc, ref_pocs[aref], cur_poc,
+                **takw)
+            bits0 = mvd_bits(cbflat, amx - p0x, amy - p0y)
+            bits1 = mvd_bits(cbflat, amx - p1x, amy - p1y)
+            use1 = bits1 < bits0
+            mvpi = use1.astype(jnp.int32)
+            mvdx = jnp.where(use1, amx - p1x, amx - p0x)
+            mvdy = jnp.where(use1, amy - p1y, amy - p0y)
+            bits_mvd = jnp.minimum(bits0, bits1)
+            b_refa32 = ref_idx_bits(cbflat, aref, num_ref)
 
         corner = (qyb * 4) * bw + qxb * 4
         cL = jnp.where(qxb > 0, corner - 1, 0)
@@ -850,7 +1164,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         cost_amvp = dist_a32[g] + lam * (
             b_inter + merge_flag_bits(cbflat, jnp.zeros_like(g))
             + mvp_idx_bits(cbflat, mvpi) + bits_mvd
-            + ref_idx_bits(cbflat, aref, num_ref)
+            + b_refa32
             + _root_cbf_bits(cbflat, cbf_a32[0][g], cbf_a32[1][g],
                              cbf_a32[2][g], cbf_bits_inter)
             + bits_a32[g])
@@ -880,16 +1194,31 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                                 lev_mv_.reshape(B, 256)], axis=1)
         o_lev = pick3(jnp.zeros((B, 1536), jnp.int32), pack,
                       lev32_a1536[g]).reshape(B, 16, 96)
-        n_mvx = pick3(w_mvx, w_mvx, amx)
-        n_mvy = pick3(w_mvy, w_mvy, amy)
-        n_ref = pick3(w_ref, w_ref, aref)
+        if is_b:
+            u0a = lx32b == 0
+            n_mvx = pick3(w_mvx, w_mvx, jnp.where(u0a, amx, 0))
+            n_mvy = pick3(w_mvy, w_mvy, jnp.where(u0a, amy, 0))
+            n_ref = pick3(w_ref, w_ref, jnp.where(u0a, aref, 0))
+            n_mvx1 = pick3(w_mvx1, w_mvx1, jnp.where(u0a, 0, amx))
+            n_mvy1 = pick3(w_mvy1, w_mvy1, jnp.where(u0a, 0, amy))
+            n_ref1 = pick3(w_ref1, w_ref1, jnp.where(u0a, 0, aref))
+            n_dir = pick3(w_dir, w_dir, 1 + lx32b)
+        else:
+            n_mvx = pick3(w_mvx, w_mvx, amx)
+            n_mvy = pick3(w_mvy, w_mvy, amy)
+            n_ref = pick3(w_ref, w_ref, aref)
+            n_mvx1 = jnp.zeros_like(n_mvx)
+            n_mvy1 = jnp.zeros_like(n_mvx)
+            n_ref1 = jnp.zeros_like(n_mvx)
+            n_dir = jnp.ones_like(c32)
         cbf32b = pick3(jnp.zeros((B,), bool),
                        jnp.any(lev_my.reshape(B, 1024) != 0, axis=1),
                        jnp.any(lev32ay[g].reshape(B, 1024) != 0, axis=1)
                        ).astype(jnp.int32)
         o_blk = jnp.stack([c32, mi, mvdx, mvdy, mvpi,
-                           jnp.ones_like(c32), n_mvx, n_mvy, n_ref,
-                           jnp.full_like(c32, 2), cbf32b], axis=1)
+                           n_dir, n_mvx, n_mvy, n_ref,
+                           jnp.full_like(c32, 2), cbf32b,
+                           n_mvx1, n_mvy1, n_ref1], axis=1)
 
         drop16 = jnp.where(use32[:, None], cells8_32[g], P)
         yy = (y0[:, None] + jnp.arange(32)[None, :])
@@ -915,55 +1244,98 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     return state
 
 
-@partial(jax.jit, static_argnames=("w", "h", "num_ref", "max_merge",
-                                   "bd", "srange", "subpel",
-                                   "deblock", "sao", "ctu", "cb_off",
-                                   "cr_off", "tmvp"))
+_FPP_STATICS = ("w", "h", "num_ref", "max_merge", "bd", "srange",
+                "subpel", "deblock", "sao", "ctu", "cb_off", "cr_off",
+                "tmvp", "sdh", "num_ref_l1", "l0map", "l1map")
+
+
 def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                      lv_blk, nb_ok, nb_flat, sub_y, none_y, sub_c,
                      none_c, sched16, sched32, ref_pocs, cur_poc,
                      qp=32, qpc=32, col=None, col_poc=0, cbflat=None,
+                     ref_pocs_l1=None,
                      *, w: int, h: int,
                      num_ref: int, max_merge: int,
                      bd: int, srange: int, subpel: str,
                      deblock: bool = False, sao: bool = False,
                      ctu: int = 64, cb_off: int = 0, cr_off: int = 0,
-                     qp_factor=0.57, tmvp: bool = False):
+                     qp_factor=0.57, tmvp: bool = False,
+                     sdh: bool = False, num_ref_l1: int = 0,
+                     l0map: tuple = None, l1map: tuple = None):
     """ME + sub-pel + wavefront decision + in-loop filters in ONE
     dispatch, with compact output dtypes (spec coefficient range is
     int16; recon fits the bit depth) to minimise the device->host
-    transfer."""
+    transfer.
+
+    B slices (num_ref_l1 > 0): refs_* hold the deduped union of both
+    lists, l0map/l1map are the per-list union indices, and the
+    integer-ME stage searches every reference of both lists, keeping
+    the best (list, ref, MV) triple per block for the AMVP candidate
+    (TEncSearch::predInterSearch's per-list loop; bi candidates enter
+    through the merge list)."""
     from hmtpu.search.me import frac_refine_batch, integer_me
 
     bw, bh = w // 8, h // 8
+    is_b = num_ref_l1 > 0
     lam_sqrt = jnp.sqrt(jnp.float32(qp_factor)
                         * jnp.power(2.0, (qp - 12) / 3.0)
                         .astype(jnp.float32))
     zeros = jnp.zeros((bh, bw), jnp.int32)
 
+    def me_level(n: int, refp=None, orgp=None, gw=None, gh=None):
+        """Integer ME over every active reference (both lists for B):
+        returns (mvx, mvy, ref-within-list, lx, stencil)."""
+        o = org_y if orgp is None else orgp
+        if gw is None:
+            gw, gh = w // n, h // n
+        z = jnp.zeros((gh, gw), jnp.int32)
+        lists = [(0, r, u) for r, u in enumerate(
+            l0map if is_b else tuple(range(num_ref)))]
+        if is_b:
+            lists += [(1, r, u) for r, u in enumerate(l1map)]
+        mv_all, sten_all, cost_all, meta = [], [], [], []
+        for lx, r, u in lists:
+            ref_plane = refs_y[u] if refp is None else refp[u]
+            (mx, my), sten, sad = integer_me(ref_plane, o, n, srange,
+                                             lam_sqrt, z, z)
+            nr = num_ref if lx == 0 else num_ref_l1
+            refbits = 0.0 if nr == 1 else float(1 + min(r, nr - 2))
+            mv_all.append(jnp.stack([mx, my]))
+            sten_all.append(sten)
+            cost_all.append(sad.astype(jnp.float32)
+                            + lam_sqrt * refbits)
+            meta.append((lx, r))
+        sel = jnp.argmin(jnp.stack(cost_all), axis=0).astype(jnp.int32)
+        mvsel = jnp.take_along_axis(jnp.stack(mv_all),
+                                    sel[None, None], 0)[0]
+        sten = jnp.take_along_axis(
+            jnp.stack(sten_all), sel[None, :, :, None, None], 0)[0]
+        lx_tab = jnp.asarray([m[0] for m in meta], jnp.int32)
+        r_tab = jnp.asarray([m[1] for m in meta], jnp.int32)
+        return (mvsel[0], mvsel[1], r_tab[sel], lx_tab[sel], sten)
+
     # multi-reference integer ME: full-window search against EVERY
     # active reference (HM searches all refs in predInterSearch), best
     # reference per block by motion cost + ref-idx signalling bits
-    mv_all, sten_all, cost_all = [], [], []
-    for r in range(num_ref):
-        (mvx_r, mvy_r), sten_r, sad_r = integer_me(
-            refs_y[r], org_y, 8, srange, lam_sqrt, zeros, zeros)
-        refbits = 0.0 if num_ref == 1 else float(1 + min(r, num_ref - 2))
-        mv_all.append(jnp.stack([mvx_r, mvy_r]))
-        sten_all.append(sten_r)
-        cost_all.append(sad_r.astype(jnp.float32) + lam_sqrt * refbits)
-    rsel = jnp.argmin(jnp.stack(cost_all), axis=0).astype(jnp.int32)
-    mvsel = jnp.take_along_axis(jnp.stack(mv_all),
-                                rsel[None, None], 0)[0]
-    mvx, mvy = mvsel[0], mvsel[1]
-    stencil = jnp.take_along_axis(
-        jnp.stack(sten_all), rsel[None, :, :, None, None], 0)[0]
+    mvx, mvy, rsel, lxsel, stencil = me_level(8)
 
     # coherence pass: trade per-block SAD optimality for a mergeable
     # motion field (the economics large inter CUs give HM)
-    from hmtpu.search.me import regularize_mv_field
-    mvx, mvy, rsel = regularize_mv_field(refs_y, org_y, mvx, mvy, rsel,
-                                         lam_sqrt, iters=3)
+    if not is_b:
+        from hmtpu.search.me import regularize_mv_field
+        mvx, mvy, rsel = regularize_mv_field(refs_y, org_y, mvx, mvy,
+                                             rsel, lam_sqrt, iters=3)
+
+    def union_idx(rr, ll):
+        """(ref-within-list, list) -> index into the union ref stack."""
+        if not is_b:
+            return rr
+        return jnp.where(
+            ll == 0,
+            jnp.asarray(l0map, jnp.int32)[
+                jnp.clip(rr, 0, num_ref - 1)],
+            jnp.asarray(l1map, jnp.int32)[
+                jnp.clip(rr, 0, num_ref_l1 - 1)])
 
     if subpel == "nn":
         from hmtpu.models.nnfme import predict_offsets
@@ -977,7 +1349,7 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
         qx, qy = frac_refine_batch(
             refs_y, xs0.reshape(-1), ys0.reshape(-1),
             _blockify(org_y, 8), mvx.reshape(-1), mvy.reshape(-1), 8,
-            bd, ridx=rsel.reshape(-1))
+            bd, ridx=union_idx(rsel, lxsel).reshape(-1))
         mvq_x, mvq_y = qx.reshape(bh, bw), qy.reshape(bh, bw)
     else:
         mvq_x, mvq_y = mvx * 4, mvy * 4
@@ -986,43 +1358,29 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     two_level = (w % 16 == 0) and (h % 16 == 0)
     mv16 = None
     if two_level and sched16 is not None:
-        mv16_all, st16_all, c16_all = [], [], []
-        for r in range(num_ref):
-            (mx, my), s16, sad16 = integer_me(
-                refs_y[r], org_y, 16, srange, lam_sqrt,
-                jnp.zeros((bh // 2, bw // 2), jnp.int32),
-                jnp.zeros((bh // 2, bw // 2), jnp.int32))
-            refbits = 0.0 if num_ref == 1 \
-                else float(1 + min(r, num_ref - 2))
-            mv16_all.append(jnp.stack([mx, my]))
-            st16_all.append(s16)
-            c16_all.append(sad16.astype(jnp.float32)
-                           + lam_sqrt * refbits)
-        r16 = jnp.argmin(jnp.stack(c16_all), axis=0).astype(jnp.int32)
-        m16 = jnp.take_along_axis(jnp.stack(mv16_all),
-                                  r16[None, None], 0)[0]
-        s16 = jnp.take_along_axis(
-            jnp.stack(st16_all), r16[None, :, :, None, None], 0)[0]
+        m16x_i, m16y_i, r16, lx16, s16 = me_level(16)
         if subpel == "nn":
             from hmtpu.models.nnfme import predict_offsets
             st9 = s16.reshape(-1, 9).astype(jnp.float32)
             sizes16 = jnp.full(((bh // 2) * (bw // 2),), 16, jnp.int32)
             _, offs16 = predict_offsets(nn, st9, sizes16, sizes16)
-            mv16q_x = (m16[0].reshape(-1) * 4
+            mv16q_x = (m16x_i.reshape(-1) * 4
                        + offs16[:, 0]).reshape(bh // 2, bw // 2)
-            mv16q_y = (m16[1].reshape(-1) * 4
+            mv16q_y = (m16y_i.reshape(-1) * 4
                        + offs16[:, 1]).reshape(bh // 2, bw // 2)
         elif subpel == "dctif":
             ys0, xs0 = jnp.mgrid[0:bh // 2, 0:bw // 2] * 16
             qx, qy = frac_refine_batch(
                 refs_y, xs0.reshape(-1), ys0.reshape(-1),
-                _blockify(org_y, 16), m16[0].reshape(-1),
-                m16[1].reshape(-1), 16, bd, ridx=r16.reshape(-1))
+                _blockify(org_y, 16), m16x_i.reshape(-1),
+                m16y_i.reshape(-1), 16, bd,
+                ridx=union_idx(r16, lx16).reshape(-1))
             mv16q_x = qx.reshape(bh // 2, bw // 2)
             mv16q_y = qy.reshape(bh // 2, bw // 2)
         else:
-            mv16q_x, mv16q_y = m16[0] * 4, m16[1] * 4
-        mv16 = (mv16q_x, mv16q_y, r16)
+            mv16q_x, mv16q_y = m16x_i * 4, m16y_i * 4
+        mv16 = (mv16q_x, mv16q_y, r16, lx16) if is_b \
+            else (mv16q_x, mv16q_y, r16)
 
     # 32x32 ME for the third CU level (org/ref padded up; lanes in the
     # padded strip never become CUs — full32 masks them in the scan)
@@ -1030,48 +1388,33 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     mv32 = None
     if three_level:
         qw, qh = (bw // 2 + 1) // 2, (bh // 2 + 1) // 2
-        pads = ((0, qh * 32 - h), (0, qw * 32 - w))
-        orgp = jnp.pad(org_y, pads, mode="edge")
-        mv32_all, st32_all, c32_all = [], [], []
-        for r in range(num_ref):
-            refp = jnp.pad(refs_y[r], pads, mode="edge")
-            (mx, my), s32, sad32 = integer_me(
-                refp, orgp, 32, srange, lam_sqrt,
-                jnp.zeros((qh, qw), jnp.int32),
-                jnp.zeros((qh, qw), jnp.int32))
-            refbits = 0.0 if num_ref == 1 \
-                else float(1 + min(r, num_ref - 2))
-            mv32_all.append(jnp.stack([mx, my]))
-            st32_all.append(s32)
-            c32_all.append(sad32.astype(jnp.float32)
-                           + lam_sqrt * refbits)
-        r32 = jnp.argmin(jnp.stack(c32_all), axis=0).astype(jnp.int32)
-        m32 = jnp.take_along_axis(jnp.stack(mv32_all),
-                                  r32[None, None], 0)[0]
-        s32 = jnp.take_along_axis(
-            jnp.stack(st32_all), r32[None, :, :, None, None], 0)[0]
+        pads = ((0, 0), (0, qh * 32 - h), (0, qw * 32 - w))
+        orgp = jnp.pad(org_y, pads[1:], mode="edge")
+        refs_p = jnp.pad(refs_y, pads, mode="edge")
+        m32x_i, m32y_i, r32, lx32, s32 = me_level(
+            32, refp=refs_p, orgp=orgp, gw=qw, gh=qh)
         if subpel == "nn":
             from hmtpu.models.nnfme import predict_offsets
             st9 = s32.reshape(-1, 9).astype(jnp.float32)
             sizes32 = jnp.full((qh * qw,), 32, jnp.int32)
             _, offs32 = predict_offsets(nn, st9, sizes32, sizes32)
-            mv32q_x = (m32[0].reshape(-1) * 4
+            mv32q_x = (m32x_i.reshape(-1) * 4
                        + offs32[:, 0]).reshape(qh, qw)
-            mv32q_y = (m32[1].reshape(-1) * 4
+            mv32q_y = (m32y_i.reshape(-1) * 4
                        + offs32[:, 1]).reshape(qh, qw)
         elif subpel == "dctif":
             ys0, xs0 = jnp.mgrid[0:qh, 0:qw] * 32
             qx, qy = frac_refine_batch(
-                jnp.stack([jnp.pad(refs_y[r], pads, mode="edge")
-                           for r in range(num_ref)]),
-                xs0.reshape(-1), ys0.reshape(-1),
-                _blockify(orgp, 32), m32[0].reshape(-1),
-                m32[1].reshape(-1), 32, bd, ridx=r32.reshape(-1))
+                refs_p, xs0.reshape(-1), ys0.reshape(-1),
+                _blockify(orgp, 32), m32x_i.reshape(-1),
+                m32y_i.reshape(-1), 32, bd,
+                ridx=union_idx(r32, lx32).reshape(-1))
             mv32q_x = qx.reshape(qh, qw)
             mv32q_y = qy.reshape(qh, qw)
         else:
-            mv32q_x, mv32q_y = m32[0] * 4, m32[1] * 4
-        mv32 = (mv32q_x, mv32q_y, r32)
+            mv32q_x, mv32q_y = m32x_i * 4, m32y_i * 4
+        mv32 = (mv32q_x, mv32q_y, r32, lx32) if is_b \
+            else (mv32q_x, mv32q_y, r32)
 
     levels = 3 if three_level else (2 if two_level else 1)
     st = wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
@@ -1081,10 +1424,14 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                         sched32=sched32, qp=qp,
                         qpc=qpc, col=col, col_poc=col_poc,
                         cbflat=cbflat,
+                        mv_lx=lxsel if is_b else None,
+                        ref_pocs_l1=ref_pocs_l1,
                         w=w, h=h, num_ref=num_ref, max_merge=max_merge,
                         bd=bd, qp_factor=qp_factor,
                         levels=levels, tmvp=tmvp,
-                        log2_ctu=ctu.bit_length() - 1)
+                        log2_ctu=ctu.bit_length() - 1, sdh=sdh,
+                        num_ref_l1=num_ref_l1, l0map=l0map,
+                        l1map=l1map)
 
     # ---- in-loop filters, still on device (8.7.2 deblock, 8.7.3 SAO)
     if deblock or sao:
@@ -1102,16 +1449,20 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
         # 8.7.2.4: the cbf condition counts LUMA coefficients only; the
         # scan commits each CU's luma cbf to every covered 8x8 cell.
         cbf4 = rep4(blk[:, 10] > 0)
-        zeros4 = jnp.zeros((h // 4, w // 4), jnp.int32)
-        mv_x4 = jnp.stack([rep4(jnp.where(dirf > 0, blk[:, 6], 0)),
-                           zeros4])
-        mv_y4 = jnp.stack([rep4(jnp.where(dirf > 0, blk[:, 7], 0)),
-                           zeros4])
-        refpoc4 = jnp.stack(
-            [rep4(jnp.where(dirf > 0,
-                            ref_pocs[jnp.clip(blk[:, 8], 0,
-                                              num_ref - 1)], -1)),
-             jnp.full((h // 4, w // 4), -1, jnp.int32)])
+        u0f, u1f = (dirf & 1) > 0, (dirf & 2) > 0
+        mv_x4 = jnp.stack([rep4(jnp.where(u0f, blk[:, 6], 0)),
+                           rep4(jnp.where(u1f, blk[:, 11], 0))])
+        mv_y4 = jnp.stack([rep4(jnp.where(u0f, blk[:, 7], 0)),
+                           rep4(jnp.where(u1f, blk[:, 12], 0))])
+        rp0 = rep4(jnp.where(
+            u0f, ref_pocs[jnp.clip(blk[:, 8], 0, num_ref - 1)], -1))
+        if num_ref_l1 > 0:
+            rp1 = rep4(jnp.where(
+                u1f, ref_pocs_l1[jnp.clip(blk[:, 13], 0,
+                                          num_ref_l1 - 1)], -1))
+        else:
+            rp1 = jnp.full((h // 4, w // 4), -1, jnp.int32)
+        refpoc4 = jnp.stack([rp0, rp1])
         if deblock:
             # 8-pel edges interior to a 16x16 / 32x32 CU/TU are not
             # boundaries (CUs are size-aligned, so the cell column/row
@@ -1147,6 +1498,11 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     return {k: v.astype(small[k]) for k, v in st.items()}, dev_planes
 
 
+full_pframe_pass = python_dispatch(
+    jax.jit(full_pframe_pass, static_argnames=_FPP_STATICS),
+    _FPP_STATICS)
+
+
 class PFrameDeviceEncoder(PFrameEncoder):
     """Drop-in replacement for PFrameEncoder on P slices: same analyze()
     contract, decision pass on device (entropy pass inherited)."""
@@ -1162,24 +1518,46 @@ class PFrameDeviceEncoder(PFrameEncoder):
         self.final_ctx = None
 
     def launch(self, frame: Frame, qp: int, refs: list[Frame],
-               ref_pocs: list[int], poc: int, sh: SliceHeader):
+               ref_pocs: list[int], poc: int, sh: SliceHeader,
+               refs_l1=None, ref_pocs_l1=None):
         """Dispatch the frame's device pass; returns an opaque context
         for finish().  Reference frames carrying a `.dev` attribute
         (device plane triple from a previous launch) are used in place
-        without re-upload — the DPB stays device-resident."""
+        without re-upload — the DPB stays device-resident.
+
+        For B slices the two lists are deduped by POC into one union
+        stack; l0map/l1map are static per-list indices into it (the
+        handful of RA GOP list shapes each compile once)."""
         sps = self.sps
         w, h = sps.pic_width, sps.pic_height
         bd = self.bd
         qpc = chroma_qp_from_luma(qp + self.pps.cb_qp_offset)
         dev = _dev_static(w, h, sps.log2_ctu_size)
+        is_b = sh.slice_type == SliceType.B and ref_pocs_l1
 
         def plane(r, i, host):
             d = getattr(r, "dev", None)
             return d[i] if d is not None else jnp.asarray(host, jnp.int32)
 
-        refs_y = jnp.stack([plane(r, 0, r.y) for r in refs])
-        refs_u = jnp.stack([plane(r, 1, r.u) for r in refs])
-        refs_v = jnp.stack([plane(r, 2, r.v) for r in refs])
+        if is_b:
+            union_pocs, union_refs = [], []
+            for p, r in zip(list(ref_pocs) + list(ref_pocs_l1),
+                            list(refs) + list(refs_l1)):
+                if p not in union_pocs:
+                    union_pocs.append(p)
+                    union_refs.append(r)
+            l0map = tuple(union_pocs.index(p) for p in ref_pocs)
+            l1map = tuple(union_pocs.index(p) for p in ref_pocs_l1)
+            num_ref_l1 = len(ref_pocs_l1)
+            pocs_l1 = jnp.asarray(ref_pocs_l1, jnp.int32)
+        else:
+            union_refs = refs
+            l0map = l1map = None
+            num_ref_l1 = 0
+            pocs_l1 = None
+        refs_y = jnp.stack([plane(r, 0, r.y) for r in union_refs])
+        refs_u = jnp.stack([plane(r, 1, r.u) for r in union_refs])
+        refs_v = jnp.stack([plane(r, 2, r.v) for r in union_refs])
 
         deblock_on = not self.pps.deblocking_filter_disabled
         sao_on = bool(sps.sao_enabled)
@@ -1188,13 +1566,13 @@ class PFrameDeviceEncoder(PFrameEncoder):
         # RefPicList0[collocated_ref_idx=0]).  Absent for an IDR col
         # pic — all-intra, so the candidate never exists anyway.
         col_in = getattr(refs[0], "dev_col", None) \
-            if self.tmvp and sh.temporal_mvp else None
+            if self.tmvp and sh.temporal_mvp and not is_b else None
         use_tmvp = col_in is not None
         col_arrays, col_poc = col_in if use_tmvp else (None, 0)
         from hmtpu.entropy.contexts import make_contexts
         from hmtpu.entropy.fracbits import ctx_bits_table
         ctx0 = self.ctx_states if self.ctx_states is not None \
-            else make_contexts(SliceType.P, qp)
+            else make_contexts(sh.slice_type, qp)
         cbflat = jnp.asarray(ctx_bits_table(ctx0).reshape(-1))
         st, dev_planes = full_pframe_pass(
             jnp.asarray(frame.y, jnp.int32), jnp.asarray(frame.u, jnp.int32),
@@ -1205,21 +1583,22 @@ class PFrameDeviceEncoder(PFrameEncoder):
             dev["sched16"], dev["sched32"],
             jnp.asarray(ref_pocs, jnp.int32), jnp.int32(poc),
             jnp.int32(qp), jnp.int32(qpc),
-            col_arrays, jnp.int32(col_poc), cbflat,
+            col_arrays, jnp.int32(col_poc), cbflat, pocs_l1,
             w=w, h=h, num_ref=len(refs), max_merge=sh.max_num_merge_cand,
             bd=bd, srange=self.search_range,
             subpel=self.subpel, deblock=deblock_on, sao=sao_on,
             ctu=sps.ctu_size, cb_off=self.pps.cb_qp_offset,
             cr_off=self.pps.cr_qp_offset, qp_factor=self.qp_factor,
-            tmvp=use_tmvp)
+            tmvp=use_tmvp, sdh=bool(self.pps.sign_data_hiding),
+            num_ref_l1=num_ref_l1, l0map=l0map, l1map=l1map)
         # this frame's motion on the 8x8 grid, kept on device as the
         # NEXT frame's collocated field (the 16x16 compression is the
-        # reader's index rounding)
+        # reader's index rounding); L0 motion (col pic convention)
         bw, bh = w // 8, h // 8
         blk = st["blk"].astype(jnp.int32)
         col_out = ((blk[:, 6].reshape(bh, bw),
                     blk[:, 7].reshape(bh, bw),
-                    (blk[:, 5] > 0).reshape(bh, bw),
+                    ((blk[:, 5] & 1) > 0).reshape(bh, bw),
                     jnp.asarray(ref_pocs, jnp.int32)[
                         jnp.clip(blk[:, 8], 0, len(refs) - 1)]
                     .reshape(bh, bw)), poc)
@@ -1228,14 +1607,16 @@ class PFrameDeviceEncoder(PFrameEncoder):
                     poc=poc, num_ref=len(refs),
                     max_merge=sh.max_num_merge_cand,
                     col_out=col_out, col_ref=refs[0],
-                    tmvp=use_tmvp)
+                    tmvp=use_tmvp,
+                    ref_pocs_l1=list(ref_pocs_l1 or []) if is_b
+                    else [],
+                    num_ref_l1=num_ref_l1)
 
     def analyze(self, frame: Frame, qp: int, refs: list[Frame],
                 ref_pocs: list[int], poc: int, sh: SliceHeader,
                 refs_l1=None, ref_pocs_l1=None):
-        assert sh.slice_type == SliceType.P, "device path is P-only"
         return self.finish(self.launch(frame, qp, refs, ref_pocs, poc,
-                                       sh))
+                                       sh, refs_l1, ref_pocs_l1))
 
     def finish(self, ctx):
         """Pull the decision tensors and build the host-side outputs."""
@@ -1253,10 +1634,14 @@ class PFrameDeviceEncoder(PFrameEncoder):
         rec_y = st["rec_y"].reshape(h, w)
         rec_u = st["rec_u"].reshape(h // 2, w // 2)
         rec_v = st["rec_v"].reshape(h // 2, w // 2)
-        blk = st["blk"].reshape(bh, bw, 11)
+        blk = st["blk"].reshape(bh, bw, 14)
         kind, mi, mvdx, mvdy, mvpi = (blk[..., k] for k in range(5))
+        fdir = blk[..., 5]
         fmvx, fmvy, fref = blk[..., 6], blk[..., 7], blk[..., 8]
+        fmvx1, fmvy1, fref1 = (blk[..., 11], blk[..., 12],
+                               blk[..., 13])
         cusz = blk[..., 9]
+        is_b = ctx["num_ref_l1"] > 0
         imode = st["imode"].reshape(bh, bw)
         levs = st["levs"].reshape(bh, bw, 96)
         levy = levs[..., :64].reshape(bh, bw, 8, 8)
@@ -1297,11 +1682,15 @@ class PFrameDeviceEncoder(PFrameEncoder):
         # motion field (4x4 granularity) for deblock + later frames
         field = PicMotion.create(w, h)
         rep = lambda a: np.repeat(np.repeat(a, 2, 0), 2, 1)
-        inter = kind != 3
-        field.inter_dir[:] = rep(inter.astype(np.int32))
-        field.mv[0, ..., 0] = rep(np.where(inter, fmvx, 0))
-        field.mv[0, ..., 1] = rep(np.where(inter, fmvy, 0))
-        field.ref_idx[0] = rep(np.where(inter, fref, -1))
+        u0m, u1m = (fdir & 1) > 0, (fdir & 2) > 0
+        field.inter_dir[:] = rep(fdir)
+        field.mv[0, ..., 0] = rep(np.where(u0m, fmvx, 0))
+        field.mv[0, ..., 1] = rep(np.where(u0m, fmvy, 0))
+        field.ref_idx[0] = rep(np.where(u0m, fref, -1))
+        if is_b:
+            field.mv[1, ..., 0] = rep(np.where(u1m, fmvx1, 0))
+            field.mv[1, ..., 1] = rep(np.where(u1m, fmvy1, 0))
+            field.ref_idx[1] = rep(np.where(u1m, fref1, -1))
 
         # ---- skip-region collapse: merge uniform all-skip regions into
         # one large skip CU.  A pure entropy-level transform — same-MV
@@ -1316,10 +1705,11 @@ class PFrameDeviceEncoder(PFrameEncoder):
         col_np = getattr(ctx["col_ref"], "col_np", None) \
             if ctx["tmvp"] else None
         mctx = MotionCtx(field, w, h, sps.log2_ctu_size,
-                         ctx["ref_pocs"], cur_poc=ctx["poc"],
-                         col=col_np)
+                         ctx["ref_pocs"], ctx["ref_pocs_l1"],
+                         cur_poc=ctx["poc"], col=col_np)
         max_merge = ctx["max_merge"]
         num_ref = ctx["num_ref"]
+        num_ref_l1 = ctx["num_ref_l1"]
 
         def collapse(x0, y0, log2):
             size = 1 << log2
@@ -1332,24 +1722,35 @@ class PFrameDeviceEncoder(PFrameEncoder):
                 nc = size // 8
                 ks = kind[cy:cy + nc, cx:cx + nc]
                 if (ks == 0).all():
-                    mx = fmvx[cy, cx]
-                    if (fmvx[cy:cy + nc, cx:cx + nc] == mx).all() \
-                            and (fmvy[cy:cy + nc, cx:cx + nc]
-                                 == fmvy[cy, cx]).all() \
-                            and (fref[cy:cy + nc, cx:cx + nc]
-                                 == fref[cy, cx]).all():
-                        want = (int(mx), int(fmvy[cy, cx]))
-                        wref = int(fref[cy, cx])
+                    uni = lambda a: (a[cy:cy + nc, cx:cx + nc]
+                                     == a[cy, cx]).all()
+                    if uni(fmvx) and uni(fmvy) and uni(fref) \
+                            and uni(fdir) and uni(fmvx1) \
+                            and uni(fmvy1) and uni(fref1):
+                        wdir = int(fdir[cy, cx])
+                        want = ((int(fmvx[cy, cx]), int(fmvy[cy, cx])),
+                                (int(fmvx1[cy, cx]),
+                                 int(fmvy1[cy, cx])))
+                        wref = (int(fref[cy, cx]), int(fref1[cy, cx]))
                         cands = merge_candidates(mctx, x0, y0, size,
                                                  size, max_merge,
-                                                 num_ref)
+                                                 num_ref, is_b,
+                                                 num_ref_l1)
                         for ci, c in enumerate(cands):
-                            if c.inter_dir == 1 and c.mv[0] == want \
-                                    and c.ref_idx[0] == wref:
-                                depth8[cy:cy + nc, cx:cx + nc] = \
-                                    sps.log2_ctu_size - log2
-                                mi[cy, cx] = ci
-                                return
+                            if c.inter_dir != wdir:
+                                continue
+                            if (wdir & 1) and (c.mv[0] != want[0]
+                                               or c.ref_idx[0]
+                                               != wref[0]):
+                                continue
+                            if (wdir & 2) and (c.mv[1] != want[1]
+                                               or c.ref_idx[1]
+                                               != wref[1]):
+                                continue
+                            depth8[cy:cy + nc, cx:cx + nc] = \
+                                sps.log2_ctu_size - log2
+                            mi[cy, cx] = ci
+                            return
             if log2 > 3:
                 half = size >> 1
                 for dy, dx in ((0, 0), (0, half), (half, 0),
@@ -1363,6 +1764,23 @@ class PFrameDeviceEncoder(PFrameEncoder):
                 collapse(ctxx, cty, sps.log2_ctu_size)
         self._depth8 = depth8
 
+        def b_kw(byi, bxi, k):
+            """Extra PuDec fields for B slices: inter_pred_idc and the
+            L1 motion/mvd (the writer gates each list on inter_dir)."""
+            if not is_b:
+                return {}
+            d = int(fdir[byi, bxi])
+            kw = dict(inter_dir=d)
+            if d & 2:
+                kw["mv_l1"] = (int(fmvx1[byi, bxi]),
+                               int(fmvy1[byi, bxi]))
+                kw["ref_idx_l1"] = int(fref1[byi, bxi])
+                if k == 2:          # AMVP on list 1
+                    kw["mvd_l1"] = (int(mvdx[byi, bxi]),
+                                    int(mvdy[byi, bxi]))
+                    kw["mvp_idx_l1"] = int(mvpi[byi, bxi])
+            return kw
+
         decisions: dict[tuple, PuDec] = {}
         for byi in range(bh):
             for bxi in range(bw):
@@ -1375,7 +1793,8 @@ class PFrameDeviceEncoder(PFrameEncoder):
                     common = dict(
                         log2=5,
                         mv=(int(fmvx[byi, bxi]), int(fmvy[byi, bxi])),
-                        ref_idx=int(fref[byi, bxi]))
+                        ref_idx=int(fref[byi, bxi]),
+                        **b_kw(byi, bxi, k))
                     if k == 0:
                         decisions[key] = PuDec(
                             "skip", merge_idx=int(mi[byi, bxi]),
@@ -1405,7 +1824,8 @@ class PFrameDeviceEncoder(PFrameEncoder):
                             "skip", log2=4, merge_idx=int(mi[byi, bxi]),
                             mv=(int(fmvx[byi, bxi]),
                                 int(fmvy[byi, bxi])),
-                            ref_idx=int(fref[byi, bxi]))
+                            ref_idx=int(fref[byi, bxi]),
+                            **b_kw(byi, bxi, k))
                     elif k == 1:
                         decisions[key] = PuDec(
                             "merge", log2=4,
@@ -1415,7 +1835,8 @@ class PFrameDeviceEncoder(PFrameEncoder):
                             ref_idx=int(fref[byi, bxi]),
                             lev_y=lev16y[gyi, gxi],
                             lev_cb=lev16cb[gyi, gxi],
-                            lev_cr=lev16cr[gyi, gxi])
+                            lev_cr=lev16cr[gyi, gxi],
+                            **b_kw(byi, bxi, k))
                     else:
                         decisions[key] = PuDec(
                             "amvp", log2=4,
@@ -1427,20 +1848,23 @@ class PFrameDeviceEncoder(PFrameEncoder):
                             ref_idx=int(fref[byi, bxi]),
                             lev_y=lev16y[gyi, gxi],
                             lev_cb=lev16cb[gyi, gxi],
-                            lev_cr=lev16cr[gyi, gxi])
+                            lev_cr=lev16cr[gyi, gxi],
+                            **b_kw(byi, bxi, k))
                     continue
                 if k == 0:
                     decisions[key] = PuDec(
                         "skip", merge_idx=int(mi[byi, bxi]),
                         mv=(int(fmvx[byi, bxi]), int(fmvy[byi, bxi])),
-                        ref_idx=int(fref[byi, bxi]))
+                        ref_idx=int(fref[byi, bxi]),
+                        **b_kw(byi, bxi, k))
                 elif k == 1:
                     decisions[key] = PuDec(
                         "merge", merge_idx=int(mi[byi, bxi]),
                         mv=(int(fmvx[byi, bxi]), int(fmvy[byi, bxi])),
                         ref_idx=int(fref[byi, bxi]),
                         lev_y=levy[byi, bxi], lev_cb=levcb[byi, bxi],
-                        lev_cr=levcr[byi, bxi])
+                        lev_cr=levcr[byi, bxi],
+                        **b_kw(byi, bxi, k))
                 elif k == 2:
                     decisions[key] = PuDec(
                         "amvp",
@@ -1449,7 +1873,8 @@ class PFrameDeviceEncoder(PFrameEncoder):
                         mvp_idx=int(mvpi[byi, bxi]),
                         ref_idx=int(fref[byi, bxi]),
                         lev_y=levy[byi, bxi], lev_cb=levcb[byi, bxi],
-                        lev_cr=levcr[byi, bxi])
+                        lev_cr=levcr[byi, bxi],
+                        **b_kw(byi, bxi, k))
                 else:
                     decisions[key] = PuDec(
                         "intra", intra_mode=int(imode[byi, bxi]),
@@ -1464,16 +1889,19 @@ class PFrameDeviceEncoder(PFrameEncoder):
         # host copy of this frame's motion for the NEXT frame's host
         # passes (collapse + decoder-parity candidate derivation)
         recon.col_np = dict(
-            mvx=fmvx, mvy=fmvy, ok=blk[..., 5] > 0,
+            mvx=fmvx, mvy=fmvy, ok=(fdir & 1) > 0,
             refpoc=np.asarray(ctx["ref_pocs"], np.int32)[
                 np.clip(fref, 0, ctx["num_ref"] - 1)],
             poc=ctx["poc"])
-        self._nat = dict(kind=kind, mi=mi, mvdx=mvdx, mvdy=mvdy,
-                         mvpi=mvpi, refi=fref, imode=imode, levy=levy,
-                         levcb=levcb, levcr=levcr, lev16y=lev16y,
-                         lev16cb=lev16cb, lev16cr=lev16cr,
-                         lev32y=lev32y, lev32cb=lev32cb,
-                         lev32cr=lev32cr)
+        # the native whole-slice walk speaks P syntax only so far; B
+        # slices fall back to the Python writer in _entropy_pass
+        self._nat = None if is_b else dict(
+            kind=kind, mi=mi, mvdx=mvdx, mvdy=mvdy,
+            mvpi=mvpi, refi=fref, imode=imode, levy=levy,
+            levcb=levcb, levcr=levcr, lev16y=lev16y,
+            lev16cb=lev16cb, lev16cr=lev16cr,
+            lev32y=lev32y, lev32cb=lev32cb,
+            lev32cr=lev32cr)
         return recon, field, decisions, (modes, skip_map, intra_map)
 
     def _entropy_pass(self, qp, modes, skip_map, intra_map, decisions,

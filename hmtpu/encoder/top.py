@@ -35,7 +35,7 @@ class EncoderConfig:
     bit_depth: int = 8
     ctu_size: int = 64
     decoded_picture_hash: bool = True
-    sign_data_hiding: bool = False
+    sign_data_hiding: bool = True   # HM SignHideFlag default
     frames: int = 0            # 0 = all
     deblock: bool = True       # in-loop deblocking filter
     sao: bool = True           # sample adaptive offset
@@ -440,6 +440,13 @@ class Encoder:
             # random access: B slice with RPS covering the retained DPB
             used, retained = ra
             rel_poc = poc
+            # hierarchical QP/lambda per temporal layer (the reference
+            # encoder_randomaccess GOP8 table: offsets 1/2/3/4, factors
+            # 0.442/0.3536/0.68)
+            _off_fac = {0: (1, 0.442), 4: (2, 0.3536),
+                        2: (3, 0.3536), 6: (3, 0.3536)}
+            ra_off, ra_fac = _off_fac.get(poc % 8, (4, 0.68))
+            qp_frame = min(cfg.qp + ra_off, 51)
             past_u = sorted((p for p in used if p < poc), reverse=True)
             futr_u = sorted(p for p in used if p > poc)
             ref_pocs = past_u + futr_u                  # L0 default order
@@ -461,15 +468,26 @@ class Encoder:
                 num_ref_idx_l0=len(ref_pocs),
                 num_ref_idx_l1=len(ref_pocs_l1),
                 five_minus_max_num_merge_cand=5 - cfg.max_num_merge_cand)
-            pe = PFrameEncoder(self.sps, self.pps, subpel=cfg.subpel,
-                               nn_params=self.nn_params,
-                               search_range=cfg.search_range)
+            if cfg.wavefront:
+                from hmtpu.encoder.pframe_dev import PFrameDeviceEncoder
+                pe = PFrameDeviceEncoder(
+                    self.sps, self.pps, subpel=cfg.subpel,
+                    nn_params=self.nn_params,
+                    search_range=cfg.search_range, qp_factor=ra_fac,
+                    tmvp=False)
+            else:
+                pe = PFrameEncoder(self.sps, self.pps,
+                                   subpel=cfg.subpel,
+                                   nn_params=self.nn_params,
+                                   search_range=cfg.search_range)
             recon, field, decisions, maps = pe.analyze(
                 frame, qp_frame, refs, ref_pocs, poc, sh, refs_l1,
                 ref_pocs_l1)
             stype = "B"
 
-        post_done = is_idr and getattr(fe, "post_done", False)
+        post_done = getattr(fe, "post_done", False) if is_idr \
+            else (not is_idr and ra is not None
+                  and getattr(pe, "post_done", False))
         if cfg.deblock and not post_done:
             from hmtpu.common.motion import PicMotion
             from hmtpu.ops.deblock import deblock_frame, \
@@ -499,8 +517,8 @@ class Encoder:
 
             ny = self.sps.pic_height_in_ctus
             nx = self.sps.pic_width_in_ctus
-            grid = grid_from_packed(fe._sao_packed.reshape(ny, nx,
-                                                           3, 7))
+            packed = (fe if is_idr else pe)._sao_packed
+            grid = grid_from_packed(packed.reshape(ny, nx, 3, 7))
             sh.sao_luma = True
             sh.sao_chroma = True
             sao = (grid, True, True)

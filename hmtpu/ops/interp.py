@@ -224,6 +224,83 @@ def _mc_batch_jax(plane, xs0, ys0, fxs, fys, n_w, n_h, filters, ntaps, bd,
     return jnp.clip(out, 0, maxv)
 
 
+def _mc_batch_jax_i(plane, xs0, ys0, fxs, fys, n_w, n_h, filters,
+                    ntaps, bd, ridx=None):
+    """Batched MC at intermediate (IF_INTERNAL_PREC, offset-centred)
+    precision — the per-hypothesis half of bi-prediction (8.5.4.2.3.2).
+    Mirrors _mc_batch_jax's gather/FIR structure with _mc_block_np's
+    is_last=False scaling rules."""
+    import jax.numpy as jnp
+
+    half = ntaps // 2 - 1
+    headroom = IF_INTERNAL_PREC - bd
+    h, w = plane.shape[-2:]
+    filt = jnp.asarray(filters)
+
+    py = ys0[:, None] + jnp.arange(-half, n_h + ntaps - 1 - half)[None, :]
+    px = xs0[:, None] + jnp.arange(-half, n_w + ntaps - 1 - half)[None, :]
+    cy = jnp.clip(py, 0, h - 1)[:, :, None]
+    cx = jnp.clip(px, 0, w - 1)[:, None, :]
+    if plane.ndim == 3:
+        patch = plane[ridx[:, None, None], cy, cx].astype(jnp.int32)
+    else:
+        patch = plane[cy, cx].astype(jnp.int32)
+
+    cx = filt[fxs]
+    cy = filt[fys]
+    hw = jnp.stack([patch[:, :, k:k + n_w] for k in range(ntaps)],
+                   axis=-1)
+    acc = (hw * cx[:, None, None, :]).sum(-1)
+    shift1 = bd - 8
+    both = (fxs != 0) & (fys != 0)
+    tmp = jnp.where(both[:, None, None],
+                    (acc - (IF_INTERNAL_OFFS << shift1)) >> shift1, acc)
+    vw = jnp.stack([tmp[:, k:k + n_h, :] for k in range(ntaps)],
+                   axis=-1)
+    acc2 = (vw * cy[:, None, None, :]).sum(-1)
+
+    single_h = (fys == 0) & (fxs != 0)
+    single_v = (fxs == 0) & (fys != 0)
+    copy = (fxs == 0) & (fys == 0)
+
+    # two-pass: second stage is a plain >> IF_FILTER_PREC
+    res_both = acc2 >> IF_FILTER_PREC
+    # ver-only: hor pass was phase-0 (x64) -> recover conv then scale
+    conv_v = acc2 >> IF_FILTER_PREC
+    res_single_v = (conv_v - (IF_INTERNAL_OFFS << shift1)) >> shift1
+    res_single_h = (acc[:, half:half + n_h, :]
+                    - (IF_INTERNAL_OFFS << shift1)) >> shift1
+    res_copy = (patch[:, half:half + n_h, half:half + n_w]
+                << headroom) - IF_INTERNAL_OFFS
+
+    return jnp.where(copy[:, None, None], res_copy,
+           jnp.where(single_h[:, None, None], res_single_h,
+           jnp.where(single_v[:, None, None], res_single_v, res_both)))
+
+
+def mc_luma_batch_refs_i(refs, ridx, xs0, ys0, mvx_q, mvy_q, n_w, n_h,
+                         bd=8):
+    return _mc_batch_jax_i(refs, xs0 + (mvx_q >> 2), ys0 + (mvy_q >> 2),
+                           mvx_q & 3, mvy_q & 3, n_w, n_h,
+                           LUMA_FILTERS, NTAPS_LUMA, bd, ridx=ridx)
+
+
+def mc_chroma_batch_refs_i(refs, ridx, xs0, ys0, mvx_q, mvy_q, n_w,
+                           n_h, bd=8):
+    return _mc_batch_jax_i(refs, xs0 + (mvx_q >> 3), ys0 + (mvy_q >> 3),
+                           mvx_q & 7, mvy_q & 7, n_w, n_h,
+                           CHROMA_FILTERS, NTAPS_CHROMA, bd, ridx=ridx)
+
+
+def bi_average_t(p0, p1, bd: int = 8):
+    """Device twin of bi_average (TComYuv::addAvg)."""
+    import jax.numpy as jnp
+
+    shift = IF_INTERNAL_PREC + 1 - bd
+    off = (1 << (shift - 1)) + 2 * IF_INTERNAL_OFFS
+    return jnp.clip((p0 + p1 + off) >> shift, 0, (1 << bd) - 1)
+
+
 def mc_luma_batch(plane, xs0, ys0, mvx_q, mvy_q, n_w, n_h, bd=8):
     """Batched luma MC: B blocks (same n_w x n_h) with per-block integer
     position and quarter-pel MV.  jit-friendly (static shapes)."""

@@ -103,6 +103,42 @@ def dequantize_t(level: jax.Array, qp: jax.Array, log2_size: int,
     return jnp.clip(out, COEFF_MIN, COEFF_MAX).astype(jnp.int32)
 
 
+def sdh_fix_np(lev: np.ndarray, log2_size: int,
+               scan_idx: int = 0) -> np.ndarray:
+    """Enforce the sign-data-hiding parity invariant on quantised
+    levels (xQuant SDH branch, TComTrQuant.cpp:1015, simplified): for
+    every CG whose sig-coeff span exceeds 3, the parity of the absolute
+    sum must equal the sign of the first (lowest-scan) coefficient.
+    Adjusts one in-span coefficient by +/-1, preferring the smallest
+    magnitude change."""
+    from hmtpu.common.scan import scan_order
+
+    out = lev.copy()
+    flat = out.reshape(-1)
+    scans = scan_order(log2_size, scan_idx).reshape(-1)
+    sl = flat[scans]
+    for ci in range(sl.size // 16):
+        cg = sl[ci * 16:(ci + 1) * 16]
+        nz = np.nonzero(cg)[0]
+        if nz.size == 0 or nz.max() - nz.min() <= 3:
+            continue
+        want = 1 if cg[nz.min()] < 0 else 0
+        if (np.abs(cg).sum() & 1) == want:
+            continue
+        # cheapest fix: decrement a |v|>1 coeff, else increment the
+        # largest-|v| coeff (keeps first/last nonzero)
+        cand = [p for p in nz if abs(cg[p]) > 1]
+        if cand:
+            p = cand[0]
+            cg[p] -= np.sign(cg[p])
+        else:
+            p = int(nz[0])
+            cg[p] += np.sign(cg[p])
+        sl[ci * 16:(ci + 1) * 16] = cg
+    flat[scans] = sl
+    return out
+
+
 # ---------------------------------------------------------------------------
 # scalar references (test oracle only)
 

@@ -35,15 +35,23 @@ from hmtpu.ops.quant import (
     _QUANT_SCALES,
     transform_shift,
 )
-from hmtpu.ops.ratebits import _remainder_ep_bits, _tb_tables
+from hmtpu.ops.ratebits import _remainder_ep_bits, _tb_tables, tb_bits
 
 _C1FLAG = 8
 
 
 def rdoq_tb(coef, qp, log2: int, bd: int, lam, cbflat, is_luma: bool,
-            scan_idx: int = 0, sdh: bool = False):
+            scan_idx: int = 0, sdh: bool = False, scan_sel=None):
     """coef: (..., n, n) int32 transform coefficients; returns levels
-    (..., n, n) int32.  qp/lam may be traced scalars."""
+    (..., n, n) int32.  qp/lam may be traced scalars.
+
+    scan_sel: optional (...,) int32 per-TB coding-scan id (0 diag /
+    1 hor / 2 ver) when the real scan is data-dependent (mode-
+    dependent intra scans, 7.4.9.11).  Only the SDH parity stage needs
+    the true scan — CG membership is the same 4x4 sub-blocks for all
+    three scans, so rate estimation on `scan_idx` stays a valid
+    approximation while first/last-significant ranks must follow the
+    coding scan for the decoder's sign inference to match."""
     t = _tb_tables(log2, scan_idx, is_luma)
     npos, ncg = t["npos"], t["ncg"]
     lead = coef.shape[:-2]
@@ -197,22 +205,64 @@ def rdoq_tb(coef, qp, log2: int, bd: int, lam, cbflat, is_luma: bool,
     levf = jnp.where(use_zero[..., None] | ~keep, 0, levf)
     lev = levf.reshape(g)
 
+    # ---- exact-rate guard: the stages above price contexts from the
+    # rounded-significance approximation, which can occasionally make a
+    # globally bad call (CG zeroing / last-pos move) on one block.
+    # Re-price the RDOQ result and the plain deadzone quantisation with
+    # the exact tb_bits estimator and keep the per-block winner, so
+    # RDOQ is never worse than not running it.
+    inv_scan = np.empty(npos, np.int64)
+    inv_scan[np.asarray(t["scans"])] = np.arange(npos)
+    inv_scan = jnp.asarray(inv_scan)
+    size = 1 << log2
+
+    def to_raster(l):
+        s = (l.reshape(lead + (npos,))
+             * jnp.where(sgn.reshape(lead + (npos,)) < 0, -1, 1))
+        return jnp.take(s, inv_scan, axis=-1).reshape(
+            lead + (size, size)).astype(jnp.int32)
+
+    def exact_rd(l):
+        d = jnp.sum(dist(l), axis=(-1, -2))
+        b = tb_bits(to_raster(l), cbflat, log2, is_luma, scan_idx)
+        nz = jnp.any(l != 0, axis=(-1, -2))
+        return d + lamf * (b + nz.astype(jnp.float32))
+
+    add_dz = jnp.int32(85) << (qbits - 9)
+    fb = jnp.minimum((a * scale + add_dz) >> qbits,
+                     COEFF_MAX).astype(jnp.int32)
+    use_fb = exact_rd(fb) < exact_rd(lev)
+    lev = jnp.where(use_fb[..., None, None], fb, lev)
+
     # ---- sign data hiding parity (xQuant SDH branch)
     if sdh:
+        if scan_sel is None:
+            ranks = jnp.arange(16)
+        else:
+            from hmtpu.common.scan import _SCANS
+            base = _SCANS[scan_idx](4, 4)
+            ptab = np.empty((3, 16), np.int32)
+            for s in range(3):
+                rk = {p: i for i, p in enumerate(_SCANS[s](4, 4))}
+                ptab[s] = [rk[p] for p in base]
+            # within-CG rank under the coding scan of the coefficient
+            # at static-scan rank j; broadcast over CGs
+            ranks = jnp.asarray(ptab)[scan_sel][..., None, :]
         nz = lev != 0
-        maxp = jnp.max(jnp.where(nz, jnp.arange(16), -1), axis=-1)
-        minp = jnp.min(jnp.where(nz, jnp.arange(16), 99), axis=-1)
+        maxp = jnp.max(jnp.where(nz, ranks, -1), axis=-1)
+        minp = jnp.min(jnp.where(nz, ranks, 99), axis=-1)
         hide = (maxp - minp) > 3
-        first_neg = jnp.take_along_axis(
-            (sgn < 0).astype(jnp.int32),
-            jnp.maximum(minp, 0)[..., None], -1)[..., 0]
+        first_mask = nz & (ranks == minp[..., None])
+        first_neg = jnp.sum(
+            jnp.where(first_mask, (sgn < 0).astype(jnp.int32), 0),
+            axis=-1)
         asum = jnp.sum(lev, axis=-1)
         bad = hide & ((asum & 1) != first_neg)
         d_now = dist(lev)
         d_inc = dist(lev + 1) - d_now
         d_dec = jnp.where(lev > 1, dist(lev - 1) - d_now, jnp.inf)
-        in_span = (jnp.arange(16) >= minp[..., None]) \
-            & (jnp.arange(16) <= maxp[..., None])
+        in_span = (ranks >= minp[..., None]) \
+            & (ranks <= maxp[..., None])
         d_inc = jnp.where(in_span & (lev < COEFF_MAX), d_inc, jnp.inf)
         d_dec = jnp.where(in_span, d_dec, jnp.inf)
         dd = jnp.minimum(d_inc, d_dec)
@@ -224,8 +274,4 @@ def rdoq_tb(coef, qp, log2: int, bd: int, lam, cbflat, is_luma: bool,
         onehot = jax.nn.one_hot(pick, 16, dtype=jnp.int32)
         lev = lev + onehot * (delta * bad.astype(jnp.int32))[..., None]
 
-    out_scan = (lev * jnp.where(sgn < 0, -1, 1)).reshape(lead + (npos,))
-    inv_scan = np.empty(npos, np.int64)
-    inv_scan[np.asarray(t["scans"])] = np.arange(npos)
-    out = jnp.take(out_scan, jnp.asarray(inv_scan), axis=-1)
-    return out.reshape(coef.shape).astype(jnp.int32)
+    return to_raster(lev).reshape(coef.shape)

@@ -349,6 +349,128 @@ def merge_candidates_dev(nb_valid, nb_mvx, nb_mvy, nb_ref,
     return cand_mvx, cand_mvy, cand_ref
 
 
+def merge_candidates_dev_b(nb_valid, nb_dir, nb_mvx0, nb_mvy0, nb_ref0,
+                           nb_mvx1, nb_mvy1, nb_ref1,
+                           ref_pocs_l0, ref_pocs_l1,
+                           num_ref_l0: int, num_ref_l1: int,
+                           max_merge: int):
+    """Vectorised merge list for B slices (8.5.3.1.2): two-list spatial
+    candidates with full-motion pruning, combined bi-predictive
+    candidates (8.5.3.1.3) in the spec's 12-pair priority order, then
+    dir=3 zero fill (mirrors common/motion.py merge_candidates is_b
+    path, which the decoder re-derives).
+
+    nb_* are (B, 5) slot order [A1, B1, B0, A0, B2]; nb_valid folds
+    z-scan availability AND inter-ness.  ref_pocs_l* are traced (R,)
+    POC arrays for the combined-candidate identity check.
+
+    Returns (dir, mvx0, mvy0, ref0, mvx1, mvy1, ref1), each
+    (B, max_merge) int32."""
+    v = nb_valid
+    u0 = (nb_dir & 1) > 0
+    u1 = (nb_dir & 2) > 0
+
+    def same(i, j):
+        eq0 = ~(u0[:, i] | u0[:, j]) | (
+            u0[:, i] & u0[:, j] & (nb_mvx0[:, i] == nb_mvx0[:, j])
+            & (nb_mvy0[:, i] == nb_mvy0[:, j])
+            & (nb_ref0[:, i] == nb_ref0[:, j]))
+        eq1 = ~(u1[:, i] | u1[:, j]) | (
+            u1[:, i] & u1[:, j] & (nb_mvx1[:, i] == nb_mvx1[:, j])
+            & (nb_mvy1[:, i] == nb_mvy1[:, j])
+            & (nb_ref1[:, i] == nb_ref1[:, j]))
+        return v[:, i] & v[:, j] & (nb_dir[:, i] == nb_dir[:, j]) \
+            & eq0 & eq1
+
+    incl = [v[:, SLOT_A1],
+            v[:, SLOT_B1] & ~same(SLOT_B1, SLOT_A1),
+            v[:, SLOT_B0] & ~same(SLOT_B0, SLOT_B1),
+            v[:, SLOT_A0] & ~same(SLOT_A0, SLOT_A1)]
+    cnt4 = sum(f.astype(jnp.int32) for f in incl)
+    incl.append(v[:, SLOT_B2] & ~same(SLOT_B2, SLOT_A1)
+                & ~same(SLOT_B2, SLOT_B1) & (cnt4 < 4))
+    incl = jnp.stack(incl, axis=1)                       # (B, 5)
+    pos = jnp.cumsum(incl.astype(jnp.int32), axis=1) - incl
+    target = jnp.where(incl & (pos < max_merge), pos, max_merge)
+    b = nb_mvx0.shape[0]
+    rows = jnp.arange(b)[:, None]
+
+    def scatter(vals, tgt):
+        out = jnp.zeros((b, max_merge + 1), jnp.int32)
+        return out.at[rows, tgt].set(vals)[:, :max_merge]
+
+    cdir = scatter(nb_dir, target)
+    cx0 = scatter(nb_mvx0, target)
+    cy0 = scatter(nb_mvy0, target)
+    cr0 = scatter(nb_ref0, target)
+    cx1 = scatter(nb_mvx1, target)
+    cy1 = scatter(nb_mvy1, target)
+    cr1 = scatter(nb_ref1, target)
+    n_sp = jnp.minimum(jnp.sum(incl, axis=1).astype(jnp.int32),
+                       max_merge)                        # (B,)
+
+    # combined bi-predictive candidates from pairs of list entries
+    PRIORITY = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+                (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2))
+    inc_flags, pair_ids = [], []
+    for p, (i0, i1) in enumerate(PRIORITY):
+        if i0 >= max_merge or i1 >= max_merge:
+            inc_flags.append(jnp.zeros((b,), bool))
+            pair_ids.append((0, 0))
+            continue
+        d0, d1 = cdir[:, i0], cdir[:, i1]
+        poc0 = ref_pocs_l0[jnp.clip(cr0[:, i0], 0, num_ref_l0 - 1)]
+        poc1 = ref_pocs_l1[jnp.clip(cr1[:, i1], 0, num_ref_l1 - 1)]
+        dup = (poc0 == poc1) & (cx0[:, i0] == cx1[:, i1]) \
+            & (cy0[:, i0] == cy1[:, i1])
+        ok = (n_sp > i0) & (n_sp > i1) & (p < n_sp * (n_sp - 1)) \
+            & ((d0 & 1) > 0) & ((d1 & 2) > 0) & ~dup
+        inc_flags.append(ok)
+        pair_ids.append((i0, i1))
+    incc = jnp.stack(inc_flags, axis=1)                  # (B, 12)
+    cpos = jnp.cumsum(incc.astype(jnp.int32), axis=1) - incc
+    slot = n_sp[:, None] + cpos
+    tgt_c = jnp.where(incc & (slot < max_merge), slot, max_merge)
+    gx0 = jnp.stack([cx0[:, i0] for i0, _ in pair_ids], 1)
+    gy0 = jnp.stack([cy0[:, i0] for i0, _ in pair_ids], 1)
+    gr0 = jnp.stack([cr0[:, i0] for i0, _ in pair_ids], 1)
+    gx1 = jnp.stack([cx1[:, i1] for _, i1 in pair_ids], 1)
+    gy1 = jnp.stack([cy1[:, i1] for _, i1 in pair_ids], 1)
+    gr1 = jnp.stack([cr1[:, i1] for _, i1 in pair_ids], 1)
+
+    # scatter combined entries on top (positions beyond spatial count)
+    def overlay(cur, vals):
+        padded = jnp.concatenate(
+            [cur, jnp.zeros((b, 1), jnp.int32)], axis=1)
+        return padded.at[rows, tgt_c].set(vals)[:, :max_merge]
+
+    cx0 = overlay(cx0, gx0)
+    cy0 = overlay(cy0, gy0)
+    cr0 = overlay(cr0, gr0)
+    cx1 = overlay(cx1, gx1)
+    cy1 = overlay(cy1, gy1)
+    cr1 = overlay(cr1, gr1)
+    cdir = overlay(cdir, jnp.full_like(gx0, 3))
+    n_tot = n_sp + jnp.sum(incc, axis=1).astype(jnp.int32)
+    n_tot = jnp.minimum(n_tot, max_merge)
+
+    # zero-MV fill: dir=3, ref idx cycling 0..min(R0,R1)-1
+    num_ref = min(num_ref_l0, num_ref_l1)
+    k = jnp.arange(max_merge)[None, :]
+    fill = k >= n_tot[:, None]
+    fill_ref = k - n_tot[:, None]
+    fill_ref = jnp.where(fill_ref < num_ref, fill_ref, 0)
+    z = jnp.zeros_like(cx0)
+    cx0 = jnp.where(fill, z, cx0)
+    cy0 = jnp.where(fill, z, cy0)
+    cr0 = jnp.where(fill, fill_ref, cr0)
+    cx1 = jnp.where(fill, z, cx1)
+    cy1 = jnp.where(fill, z, cy1)
+    cr1 = jnp.where(fill, fill_ref, cr1)
+    cdir = jnp.where(fill, 3, cdir)
+    return cdir, cx0, cy0, cr0, cx1, cy1, cr1
+
+
 def _scale_mv_dev(mvx, mvy, tb, td):
     """8.5.3.1.3 distance scaling, C-truncation division semantics."""
     abs_td = jnp.abs(td)
@@ -385,7 +507,64 @@ def amvp_candidates_dev(nb_valid, nb_mvx, nb_mvy, nb_refpoc,
     tb = cur_poc - target_poc
     smvx, smvy = _scale_mv_dev(nb_mvx, nb_mvy, tb, cur_poc - nb_refpoc)
     unscaled_ok = nb_valid & (nb_refpoc == target_poc)
+    return _amvp_assemble(nb_valid, unscaled_ok, nb_mvx, nb_mvy,
+                          smvx, smvy, t_ok, t_mvx, t_mvy)
 
+
+def amvp_candidates_dev_b(nb_valid, nb_dir,
+                          nb_mvx0, nb_mvy0, nb_poc0,
+                          nb_mvx1, nb_mvy1, nb_poc1,
+                          lx, target_poc, cur_poc,
+                          t_ok=None, t_mvx=None, t_mvy=None):
+    """Vectorised AMVP list for B slices: the neighbour candidate may
+    come from either of its lists — same-POC match checked in order
+    (LX, LY), then scaled from the first present list (mirrors
+    common/motion.py amvp_candidates from_pos, which the decoder
+    re-derives).
+
+    nb_poc0/1 are the POCs of each neighbour's list-0/1 references
+    ((B, 5), junk where the list is unused); lx is the block's target
+    list ((B,) in {0, 1}); target_poc the POC of its reference
+    (scalar or (B,)).  Returns (mvp0x, mvp0y, mvp1x, mvp1y)."""
+    target_poc = jnp.asarray(target_poc)
+    if target_poc.ndim == 1:
+        target_poc = target_poc[:, None]
+    lxc = lx[:, None]
+    ux = jnp.where(lxc == 0, (nb_dir & 1) > 0, (nb_dir & 2) > 0) \
+        & nb_valid
+    uy = jnp.where(lxc == 0, (nb_dir & 2) > 0, (nb_dir & 1) > 0) \
+        & nb_valid
+    mxx = jnp.where(lxc == 0, nb_mvx0, nb_mvx1)
+    mxy = jnp.where(lxc == 0, nb_mvy0, nb_mvy1)
+    pxp = jnp.where(lxc == 0, nb_poc0, nb_poc1)
+    myx = jnp.where(lxc == 0, nb_mvx1, nb_mvx0)
+    myy = jnp.where(lxc == 0, nb_mvy1, nb_mvy0)
+    pyp = jnp.where(lxc == 0, nb_poc1, nb_poc0)
+
+    # unscaled: same reference POC, LX first then LY
+    hitx = ux & (pxp == target_poc)
+    hity = uy & (pyp == target_poc)
+    unscaled_ok = hitx | hity
+    u_mvx = jnp.where(hitx, mxx, myx)
+    u_mvy = jnp.where(hitx, mxy, myy)
+
+    # allow_scaled pass: a same-POC match at the slot still wins
+    # (from_pos checks it before scaling, and cross-list it is NOT the
+    # identity the P path enjoys); else scale the first present list
+    pick_poc = jnp.where(ux, pxp, pyp)
+    pick_x = jnp.where(ux, mxx, myx)
+    pick_y = jnp.where(ux, mxy, myy)
+    tb = cur_poc - target_poc
+    s_mvx, s_mvy = _scale_mv_dev(pick_x, pick_y, tb,
+                                 cur_poc - pick_poc)
+    s_mvx = jnp.where(unscaled_ok, u_mvx, s_mvx)
+    s_mvy = jnp.where(unscaled_ok, u_mvy, s_mvy)
+    return _amvp_assemble(nb_valid, unscaled_ok, u_mvx, u_mvy,
+                          s_mvx, s_mvy, t_ok, t_mvx, t_mvy)
+
+
+def _amvp_assemble(nb_valid, unscaled_ok, nb_mvx, nb_mvy, smvx, smvy,
+                   t_ok, t_mvx, t_mvy):
     a_slots = (SLOT_A0, SLOT_A1)
     b_slots = (SLOT_B0, SLOT_B1, SLOT_B2)
 

@@ -41,8 +41,9 @@ def test_own_decoder_roundtrip(qp):
     assert len(pics) == 2
     for pic in pics:
         assert pic.hash_ok is True
-    # psnr sanity: decodes resemble the source
-    assert enc.results[0].psnr_y > (34 if qp == 32 else 40)
+    # psnr sanity: decodes resemble the source (SDH trades ~1dB of
+    # luma PSNR for bits at low QP — the RD win shows in rate)
+    assert enc.results[0].psnr_y > (34 if qp == 32 else 39)
 
 
 def test_partial_ctu_picture():

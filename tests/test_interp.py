@@ -117,3 +117,58 @@ def test_batch_matches_scalar_chroma():
         want = mc_chroma_np(plane, int(xs[i]), int(ys[i]), 4, 4,
                             int(mvx[i]), int(mvy[i]), 8)
         np.testing.assert_array_equal(got[i], want, err_msg=str(i))
+
+
+def test_batch_intermediate_matches_scalar_and_bi():
+    """Intermediate-precision batched MC (the bi-prediction hypothesis
+    path) must match mc_luma_np_i / mc_chroma_np_i exactly, and the
+    device bi average must match the host bi_average."""
+    from hmtpu.ops.interp import (
+        bi_average,
+        bi_average_t,
+        mc_chroma_batch_refs_i,
+        mc_chroma_np_i,
+        mc_luma_batch_refs_i,
+        mc_luma_np_i,
+    )
+
+    import jax.numpy as jnp
+
+    for bd in (8, 10):
+        rng = np.random.RandomState(33 + bd)
+        maxv = (1 << bd) - 1
+        planes = rng.randint(0, maxv + 1, (2, 48, 48)).astype(np.int32)
+        B = 64
+        xs = rng.randint(-2, 40, B)
+        ys = rng.randint(-2, 40, B)
+        mvx = rng.randint(-17, 17, B)
+        mvy = rng.randint(-17, 17, B)
+        ridx = rng.randint(0, 2, B)
+        got0 = np.asarray(mc_luma_batch_refs_i(
+            jnp.asarray(planes), jnp.asarray(ridx), jnp.asarray(xs),
+            jnp.asarray(ys), jnp.asarray(mvx), jnp.asarray(mvy),
+            8, 8, bd))
+        for i in range(B):
+            want = mc_luma_np_i(planes[ridx[i]], int(xs[i]),
+                                int(ys[i]), 8, 8, int(mvx[i]),
+                                int(mvy[i]), bd)
+            np.testing.assert_array_equal(got0[i], want,
+                                          err_msg=f"bd{bd} i{i}")
+        gotc = np.asarray(mc_chroma_batch_refs_i(
+            jnp.asarray(planes), jnp.asarray(ridx), jnp.asarray(xs),
+            jnp.asarray(ys), jnp.asarray(mvx), jnp.asarray(mvy),
+            4, 4, bd))
+        for i in range(B):
+            want = mc_chroma_np_i(planes[ridx[i]], int(xs[i]),
+                                  int(ys[i]), 4, 4, int(mvx[i]),
+                                  int(mvy[i]), bd)
+            np.testing.assert_array_equal(gotc[i], want,
+                                          err_msg=f"c bd{bd} i{i}")
+        h1 = np.asarray(mc_luma_batch_refs_i(
+            jnp.asarray(planes), jnp.asarray(1 - ridx),
+            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(-mvx),
+            jnp.asarray(mvy), 8, 8, bd))
+        got_bi = np.asarray(bi_average_t(jnp.asarray(got0),
+                                         jnp.asarray(h1), bd))
+        want_bi = bi_average(got0, h1, bd)
+        np.testing.assert_array_equal(got_bi, want_bi)

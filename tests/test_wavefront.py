@@ -297,3 +297,133 @@ def test_merge_amvp_dev_with_temporal_matches_host():
             wa = amvp_candidates(ctx, x * 8, y * 8, 8, 8, 0, 1)
             assert (p0x[p], p0y[p]) == wa[0], (x, y, wa)
             assert (p1x[p], p1y[p]) == wa[1], (x, y, wa)
+
+
+def _random_field_b(rng, num_ref_l0, num_ref_l1):
+    """Random two-list motion state: dir in {0 intra, 1, 2, 3}."""
+    dirs = rng.choice([0, 1, 2, 3], (BH, BW),
+                      p=[0.15, 0.25, 0.2, 0.4]).astype(np.int32)
+    mvx0 = rng.randint(-64, 65, (BH, BW)).astype(np.int32)
+    mvy0 = rng.randint(-64, 65, (BH, BW)).astype(np.int32)
+    ref0 = rng.randint(0, num_ref_l0, (BH, BW)).astype(np.int32)
+    mvx1 = rng.randint(-64, 65, (BH, BW)).astype(np.int32)
+    mvy1 = rng.randint(-64, 65, (BH, BW)).astype(np.int32)
+    ref1 = rng.randint(0, num_ref_l1, (BH, BW)).astype(np.int32)
+    # zero the unused list exactly like the wavefront state commit
+    u0, u1 = (dirs & 1) > 0, (dirs & 2) > 0
+    for a in (mvx0, mvy0, ref0):
+        a[~u0] = 0
+    for a in (mvx1, mvy1, ref1):
+        a[~u1] = 0
+    return dirs, mvx0, mvy0, ref0, mvx1, mvy1, ref1
+
+
+def _host_ctx_b(dirs, m, ref_pocs0, ref_pocs1, cur_poc):
+    mvx0, mvy0, ref0, mvx1, mvy1, ref1 = m
+    field = PicMotion.create(W, H)
+    for y in range(BH):
+        for x in range(BW):
+            d = int(dirs[y, x])
+            if d:
+                field.set_block(
+                    x * 8, y * 8, 8, 8, d,
+                    (int(mvx0[y, x]), int(mvy0[y, x])),
+                    int(ref0[y, x]) if d & 1 else -1,
+                    (int(mvx1[y, x]), int(mvy1[y, x])),
+                    int(ref1[y, x]) if d & 2 else -1)
+    return MotionCtx(field, W, H, LOG2CTU, ref_pocs0, ref_pocs1,
+                     cur_poc=cur_poc)
+
+
+@pytest.mark.parametrize("nr0,nr1", [(2, 1), (3, 2)])
+def test_merge_b_dev_matches_host(nr0, nr1):
+    """B merge list (two-list spatial + combined + zero fill) must
+    match common/motion.py merge_candidates(is_b=True) bit-for-bit."""
+    import jax.numpy as jnp
+
+    from hmtpu.search.wavefront import merge_candidates_dev_b
+
+    rng = np.random.RandomState(101 + nr0)
+    dirs, mvx0, mvy0, ref0, mvx1, mvy1, ref1 = _random_field_b(
+        rng, nr0, nr1)
+    cur_poc = 4
+    ref_pocs0 = [2, 0, 8][:nr0]
+    ref_pocs1 = [8, 2][:nr1]
+    s = block_schedule(W, H, LOG2CTU)
+    nb = s["nb_flat"].reshape(-1, 5)
+    ok = s["nb_ok"].reshape(-1, 5)
+    d = dirs.ravel()[nb]
+    v = ok & (d > 0)
+    ja = jnp.asarray
+    cdir, cx0, cy0, cr0, cx1, cy1, cr1 = merge_candidates_dev_b(
+        ja(v), ja(d), ja(mvx0.ravel()[nb]), ja(mvy0.ravel()[nb]),
+        ja(ref0.ravel()[nb]), ja(mvx1.ravel()[nb]),
+        ja(mvy1.ravel()[nb]), ja(ref1.ravel()[nb]),
+        ja(np.asarray(ref_pocs0, np.int32)),
+        ja(np.asarray(ref_pocs1, np.int32)), nr0, nr1, 5)
+    got = [np.asarray(a) for a in (cdir, cx0, cy0, cr0, cx1, cy1, cr1)]
+
+    ctx = _host_ctx_b(dirs, (mvx0, mvy0, ref0, mvx1, mvy1, ref1),
+                      ref_pocs0, ref_pocs1, cur_poc)
+    for y in range(BH):
+        for x in range(BW):
+            want = merge_candidates(ctx, x * 8, y * 8, 8, 8, 5, nr0,
+                                    True, nr1)
+            p = y * BW + x
+            for k, c in enumerate(want):
+                assert got[0][p, k] == c.inter_dir, (x, y, k, c)
+                if c.inter_dir & 1:
+                    assert (got[1][p, k], got[2][p, k]) == c.mv[0], \
+                        (x, y, k, c)
+                    assert got[3][p, k] == c.ref_idx[0], (x, y, k, c)
+                if c.inter_dir & 2:
+                    assert (got[4][p, k], got[5][p, k]) == c.mv[1], \
+                        (x, y, k, c)
+                    assert got[6][p, k] == c.ref_idx[1], (x, y, k, c)
+
+
+@pytest.mark.parametrize("lx,tgt", [(0, 0), (0, 1), (1, 0)])
+def test_amvp_b_dev_matches_host(lx, tgt):
+    """B AMVP (cross-list same-POC match, cross-list scaling) must
+    match common/motion.py amvp_candidates for either target list."""
+    import jax.numpy as jnp
+
+    from hmtpu.search.wavefront import amvp_candidates_dev_b
+
+    nr0, nr1 = 2, 2
+    rng = np.random.RandomState(211 + lx * 7 + tgt)
+    dirs, mvx0, mvy0, ref0, mvx1, mvy1, ref1 = _random_field_b(
+        rng, nr0, nr1)
+    cur_poc = 4
+    ref_pocs0 = [2, 0]
+    ref_pocs1 = [8, 2]
+    if (lx == 0 and tgt >= nr0) or (lx == 1 and tgt >= nr1):
+        pytest.skip("target out of range")
+    s = block_schedule(W, H, LOG2CTU)
+    nb = s["nb_flat"].reshape(-1, 5)
+    ok = s["nb_ok"].reshape(-1, 5)
+    d = dirs.ravel()[nb]
+    v = ok & (d > 0)
+    pocs0 = np.asarray(ref_pocs0, np.int32)
+    pocs1 = np.asarray(ref_pocs1, np.int32)
+    nb_poc0 = pocs0[np.clip(ref0.ravel()[nb], 0, nr0 - 1)]
+    nb_poc1 = pocs1[np.clip(ref1.ravel()[nb], 0, nr1 - 1)]
+    target_poc = (ref_pocs0 if lx == 0 else ref_pocs1)[tgt]
+    ja = jnp.asarray
+    P = BW * BH
+    p0x, p0y, p1x, p1y = amvp_candidates_dev_b(
+        ja(v), ja(d), ja(mvx0.ravel()[nb]), ja(mvy0.ravel()[nb]),
+        ja(nb_poc0), ja(mvx1.ravel()[nb]), ja(mvy1.ravel()[nb]),
+        ja(nb_poc1), jnp.full((P,), lx, jnp.int32),
+        jnp.full((P,), target_poc, jnp.int32), cur_poc)
+    p0x, p0y = np.asarray(p0x), np.asarray(p0y)
+    p1x, p1y = np.asarray(p1x), np.asarray(p1y)
+
+    ctx = _host_ctx_b(dirs, (mvx0, mvy0, ref0, mvx1, mvy1, ref1),
+                      ref_pocs0, ref_pocs1, cur_poc)
+    for y in range(BH):
+        for x in range(BW):
+            want = amvp_candidates(ctx, x * 8, y * 8, 8, 8, lx, tgt)
+            p = y * BW + x
+            assert (p0x[p], p0y[p]) == want[0], (x, y, want)
+            assert (p1x[p], p1y[p]) == want[1], (x, y, want)
