@@ -65,6 +65,7 @@ def _i_static(w: int, h: int, log2_ctu: int):
         lv_blk=sched["lv_blk"],
         g8=list(static_ref_gather(w, h, log2_ctu, 8)),
         g4=list(static_ref_gather(w // 2, h // 2, log2_ctu - 1, 4)),
+        g4l=list(static_ref_gather(w, h, log2_ctu, 4)),
         sched16=None, sched32=None,
     )
     if w % 16 == 0 and h % 16 == 0:
@@ -89,11 +90,20 @@ def _blockify(plane, n):
         .reshape(-1, n, n)
 
 
+def _satd4(resi):
+    """4x4 Hadamard SATD (xCalcHADs4x4 semantics, heuristic use)."""
+    h4 = jnp.asarray([[1, 1, 1, 1], [1, -1, 1, -1],
+                      [1, 1, -1, -1], [1, -1, -1, 1]], resi.dtype)
+    had = jnp.einsum("ij,...jk,lk->...il", h4, resi, h4)
+    return (jnp.sum(jnp.abs(had), axis=(-1, -2)) + 1) >> 1
+
+
 def _topk_modes(org_blk, ref_u, ref_f, n, bd, lam_sqrt, k):
     """Open-loop RMD: SATD + flat mode bits, top-k modes per block."""
     preds = predict_all_modes(ref_u, ref_f, n, True, bd)
-    satd = _satd(org_blk[:, None] - preds).astype(jnp.float32)
-    rd = satd + lam_sqrt * jnp.asarray(_MODE_BITS)[None]
+    dist = (_satd4 if n == 4 else _satd)(org_blk[:, None] - preds)
+    rd = dist.astype(jnp.float32) \
+        + lam_sqrt * jnp.asarray(_MODE_BITS)[None]
     _, idx = jax.lax.top_k(-rd, k)
     return idx.astype(jnp.int32)                       # (P, k)
 
@@ -129,12 +139,16 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                            lam_sqrt, k)
 
     cand8 = rmd(org_y, st8["g8"], 8, K8)               # (P, K8)
+    cand4 = rmd(org_y, st8["g4l"], 4, 1)[:, 0]         # (P4,)
+    org4l = _blockify(org_y, 4)
+    gw4 = w // 4
 
     state = dict(
         rec_y=jnp.zeros(h * w, jnp.int32),
         rec_u=jnp.zeros(h * w // 4, jnp.int32),
         rec_v=jnp.zeros(h * w // 4, jnp.int32),
         imode=jnp.zeros(P, jnp.int32),
+        imode4=jnp.zeros((P, 4), jnp.int32),
         cusz=jnp.zeros(P, jnp.int32),
         cbfy=jnp.zeros(P, jnp.int32),
         levs=jnp.zeros((P, 96), jnp.int32),

@@ -183,7 +183,8 @@ def _intra_scan_sel(m):
 
 
 def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
-          is_luma=True, dw=None, sdh: bool = False, scan_sel=None):
+          is_luma=True, dw=None, sdh: bool = False, scan_sel=None,
+          use_dst: bool = False):
     """transform -> quant -> RDOQ-lite -> dequant -> inverse -> clip;
     returns (lev, rec, sse, bits).
 
@@ -195,7 +196,7 @@ def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
     SSE (chroma callers pass lam = lambda/dw per RDOQ_CHROMA_LAMBDA)."""
     n = 1 << log2
     resi = org - pred
-    coef = forward_transform(resi, n, bd)
+    coef = forward_transform(resi, n, bd, use_dst=use_dst)
     if lam is not None:
         from hmtpu.ops.rdoq import rdoq_tb
         lev = rdoq_tb(coef, qp, log2, bd, lam, cbflat, is_luma,
@@ -203,7 +204,7 @@ def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
     else:
         lev = quantize_t(coef, qp, log2, bd, False)
     deq = dequantize_t(lev, qp, log2, bd)
-    r = inverse_transform(deq, n, bd)
+    r = inverse_transform(deq, n, bd, use_dst=use_dst)
     rec = jnp.clip(pred + r, 0, (1 << bd) - 1)
     sse = jnp.sum((org - rec) ** 2, axis=(-1, -2)).astype(jnp.float32)
     if dw is not None:

@@ -27,6 +27,11 @@ SLOW_FIRST = [
     "test_e2e_intra.py", "test_main10.py", "test_rdoq.py",
 ]
 
+# Files whose tests each get their OWN process: XLA:CPU reliably
+# aborts mid-compile after several whole-frame compiles accumulate in
+# one process (the round-1 "full suite segfaults" family).
+PER_TEST = {"test_main10.py", "test_bframes.py", "test_inter_oracle.py"}
+
 
 def all_files() -> list[str]:
     names = sorted(p.name for p in HERE.glob("test_*.py"))
@@ -34,29 +39,55 @@ def all_files() -> list[str]:
     return head + [n for n in names if n not in head]
 
 
-def run_one(name: str) -> tuple[str, int, float, str]:
+def _env():
     sys.path.insert(0, str(REPO))
     from hmtpu.utils.cachedir import jax_cache_dir
     env = dict(os.environ)
     env.setdefault("JAX_PLATFORMS", "cpu")
     env.setdefault("JAX_COMPILATION_CACHE_DIR", jax_cache_dir())
-    t0 = time.time()
-    res = subprocess.run(
-        [sys.executable, "-m", "pytest", f"tests/{name}", "-q",
+    return env
+
+
+def _pytest(target: str, env) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "pytest", target, "-q",
          "--no-header", "-p", "no:cacheprovider"],
         cwd=REPO, env=env, capture_output=True, text=True,
         timeout=3600)
-    dt = time.time() - t0
+
+
+def _summary(res) -> str:
     tail = (res.stdout or "").strip().splitlines()
-    summary = ""
     for line in reversed(tail):
         if re.search(r"\d+ (passed|failed|error|skipped)", line):
-            summary = line.strip("= ")
-            break
-    if not summary:
-        summary = (tail[-1] if tail else res.stderr.strip()
-                   .splitlines()[-1:] or ["?"])[0] if tail else "?"
-    return name, res.returncode, dt, summary
+            return line.strip("= ")
+    return (tail[-1] if tail
+            else (res.stderr.strip().splitlines() or ["?"])[-1])
+
+
+def run_one(name: str) -> tuple[str, int, float, str]:
+    env = _env()
+    t0 = time.time()
+    if name in PER_TEST:
+        # one process per test id
+        col = subprocess.run(
+            [sys.executable, "-m", "pytest", f"tests/{name}",
+             "--collect-only", "-q", "--no-header",
+             "-p", "no:cacheprovider"],
+            cwd=REPO, env=env, capture_output=True, text=True,
+            timeout=600)
+        ids = [l.strip() for l in col.stdout.splitlines()
+               if "::" in l]
+        rc, parts = 0, []
+        for tid in ids:
+            r = _pytest(tid, env)
+            if r.returncode not in (0, 5):
+                rc = r.returncode
+            parts.append(_summary(r))
+        return (name, rc, time.time() - t0,
+                "; ".join(p.split(" in ")[0] for p in parts))
+    res = _pytest(f"tests/{name}", env)
+    return name, res.returncode, time.time() - t0, _summary(res)
 
 
 def main() -> int:

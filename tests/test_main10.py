@@ -42,23 +42,28 @@ def test_main10_profile_signalled():
     assert enc.sps.bit_depth_luma == 10
 
 
-def test_main10_intree_ai_ra():
+# NB: one GOP type per test — XLA:CPU aborts mid-compile when too many
+# whole-frame programs compile in a single process (tests/run_suite.py
+# gives each of these its own process).
+
+@pytest.mark.parametrize("gop", ["ai", "ra"])
+def test_main10_intree(gop):
     frames = _frames10(96, 96, 9)
-    for gop in ("ai", "ra"):
-        enc = Encoder(EncoderConfig(width=96, height=96, qp=30, gop=gop,
-                                    subpel="dctif", bit_depth=10))
-        pics = Decoder().decode_annexb(enc.encode_sequence(frames))
-        assert all(p.hash_ok for p in pics), gop
+    enc = Encoder(EncoderConfig(width=96, height=96, qp=30, gop=gop,
+                                subpel="dctif", bit_depth=10))
+    pics = Decoder().decode_annexb(enc.encode_sequence(frames))
+    assert all(p.hash_ok for p in pics), gop
 
 
 @pytest.mark.skipif(not have_decoder(), reason="HM oracle not built")
-def test_main10_hm_oracle(tmp_path):
+@pytest.mark.parametrize("gop,qp", [("ai", 22), ("ldp", 30),
+                                    ("ra", 37)])
+def test_main10_hm_oracle(tmp_path, gop, qp):
     frames = _frames10(96, 96, 9)
-    for gop, qp in (("ai", 22), ("ldp", 30), ("ra", 37)):
-        enc = Encoder(EncoderConfig(width=96, height=96, qp=qp, gop=gop,
-                                    subpel="nn" if gop == "ldp"
-                                    else "dctif", bit_depth=10))
-        p = tmp_path / f"m10_{gop}.hevc"
-        p.write_bytes(enc.encode_sequence(frames))
-        log = decode(str(p), str(tmp_path / "rec.yuv"))
-        assert log.count("(OK)") == len(frames), f"{gop}:\n{log}"
+    enc = Encoder(EncoderConfig(width=96, height=96, qp=qp, gop=gop,
+                                subpel="nn" if gop == "ldp"
+                                else "dctif", bit_depth=10))
+    p = tmp_path / f"m10_{gop}.hevc"
+    p.write_bytes(enc.encode_sequence(frames))
+    log = decode(str(p), str(tmp_path / "rec.yuv"))
+    assert log.count("(OK)") == len(frames), f"{gop}:\n{log}"
