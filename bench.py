@@ -47,26 +47,23 @@ def main():
     mean_psnr = sum(r.psnr_y for r in enc.results) / len(enc.results)
     bitrate = sum(r.bits for r in enc.results) / frames_n * 50 / 1000.0
 
-    # ---- BD-rate sweep vs the 20-frame HM anchors
-    bd = None
-    try:
-        from hmtpu.utils.bdrate import bd_rate
+    # ---- BD-rate sweep vs the 20-frame HM anchors.  A sweep failure
+    # is a bench failure (it used to be silently swallowed to null).
+    from hmtpu.utils.bdrate import bd_rate
 
-        anchors = json.load(open(os.path.join(
-            os.path.dirname(__file__), "tools",
-            "anchors_20f.json")))["ldp"]
-        ours_r, ours_p, ar, ap = [], [], [], []
-        for q in (22, 27, 32, 37):
-            e, _ = run(bd_frames, q)
-            n = len(e.results)
-            ours_r.append(sum(r.bits for r in e.results)
-                          / n * 50 / 1000.0)
-            ours_p.append(sum(r.psnr_y for r in e.results) / n)
-            ar.append(anchors[str(q)]["kbps"])
-            ap.append(anchors[str(q)]["psnr_y"])
-        bd = bd_rate(ar, ap, ours_r, ours_p)
-    except Exception:
-        bd = None
+    anchors = json.load(open(os.path.join(
+        os.path.dirname(__file__), "tools",
+        "anchors_20f.json")))["ldp"]
+    ours_r, ours_p, ar, ap = [], [], [], []
+    for q in (22, 27, 32, 37):
+        e, _ = run(bd_frames, q)
+        n = len(e.results)
+        ours_r.append(sum(r.bits for r in e.results)
+                      / n * 50 / 1000.0)
+        ours_p.append(sum(r.psnr_y for r in e.results) / n)
+        ar.append(anchors[str(q)]["kbps"])
+        ap.append(anchors[str(q)]["psnr_y"])
+    bd = bd_rate(ar, ap, ours_r, ours_p)
 
     print(json.dumps({
         "metric": f"encode_fps_ldp_nnfme_416x240_qp{qp}",

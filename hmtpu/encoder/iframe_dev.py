@@ -139,16 +139,12 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                            lam_sqrt, k)
 
     cand8 = rmd(org_y, st8["g8"], 8, K8)               # (P, K8)
-    cand4 = rmd(org_y, st8["g4l"], 4, 1)[:, 0]         # (P4,)
-    org4l = _blockify(org_y, 4)
-    gw4 = w // 4
 
     state = dict(
         rec_y=jnp.zeros(h * w, jnp.int32),
         rec_u=jnp.zeros(h * w // 4, jnp.int32),
         rec_v=jnp.zeros(h * w // 4, jnp.int32),
         imode=jnp.zeros(P, jnp.int32),
-        imode4=jnp.zeros((P, 4), jnp.int32),
         cusz=jnp.zeros(P, jnp.int32),
         cbfy=jnp.zeros(P, jnp.int32),
         levs=jnp.zeros((P, 96), jnp.int32),
