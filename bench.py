@@ -29,9 +29,9 @@ def main():
                     v.astype(np.int32))
               for y, u, v in synth_clip(416, 240, frames_n)]
 
-    def run(n, q):
+    def run(n, q, subpel="nn"):
         enc = Encoder(EncoderConfig(width=416, height=240, qp=q,
-                                    gop="ldp", subpel="nn"))
+                                    gop="ldp", subpel=subpel))
         t0 = time.time()
         enc.encode_sequence(frames[:n])
         return enc, time.time() - t0
@@ -54,16 +54,24 @@ def main():
     anchors = json.load(open(os.path.join(
         os.path.dirname(__file__), "tools",
         "anchors_20f.json")))["ldp"]
-    ours_r, ours_p, ar, ap = [], [], [], []
-    for q in (22, 27, 32, 37):
-        e, _ = run(bd_frames, q)
-        n = len(e.results)
-        ours_r.append(sum(r.bits for r in e.results)
-                      / n * 50 / 1000.0)
-        ours_p.append(sum(r.psnr_y for r in e.results) / n)
-        ar.append(anchors[str(q)]["kbps"])
-        ap.append(anchors[str(q)]["psnr_y"])
-    bd = bd_rate(ar, ap, ours_r, ours_p)
+    ar = [anchors[str(q)]["kbps"] for q in (22, 27, 32, 37)]
+    ap = [anchors[str(q)]["psnr_y"] for q in (22, 27, 32, 37)]
+
+    def sweep(subpel):
+        """4-QP BD-rate of one sub-pel strategy vs the HM anchors
+        (the NN-FME A/B the reference never published)."""
+        ours_r, ours_p = [], []
+        for q in (22, 27, 32, 37):
+            e, _ = run(bd_frames, q, subpel)
+            n = len(e.results)
+            ours_r.append(sum(r.bits for r in e.results)
+                          / n * 50 / 1000.0)
+            ours_p.append(sum(r.psnr_y for r in e.results) / n)
+        return bd_rate(ar, ap, ours_r, ours_p)
+
+    bd = sweep("nn")
+    bd_dctif = sweep("dctif")
+    bd_int = sweep("none")
 
     print(json.dumps({
         "metric": f"encode_fps_ldp_nnfme_416x240_qp{qp}",
@@ -71,6 +79,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / hm["fps"], 4),
         "bd_rate_y_pct": None if bd is None else round(bd, 1),
+        "bd_rate_y_pct_dctif": round(bd_dctif, 1),
+        "bd_rate_y_pct_integer": round(bd_int, 1),
         "psnr_y": round(mean_psnr, 3),
         "bitrate_kbps": round(bitrate, 1),
         "hm_fps": hm["fps"],

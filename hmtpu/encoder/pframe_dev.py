@@ -184,7 +184,7 @@ def _intra_scan_sel(m):
 
 def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
           is_luma=True, dw=None, sdh: bool = False, scan_sel=None,
-          use_dst: bool = False):
+          use_dst: bool = False, rdoq: bool = True):
     """transform -> quant -> RDOQ-lite -> dequant -> inverse -> clip;
     returns (lev, rec, sse, bits).
 
@@ -200,7 +200,7 @@ def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
     if lam is not None:
         from hmtpu.ops.rdoq import rdoq_tb
         lev = rdoq_tb(coef, qp, log2, bd, lam, cbflat, is_luma,
-                      sdh=sdh, scan_sel=scan_sel)
+                      sdh=sdh, scan_sel=scan_sel, trellis=rdoq)
     else:
         lev = quantize_t(coef, qp, log2, bd, False)
     deq = dequantize_t(lev, qp, log2, bd)
@@ -227,7 +227,8 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                    qp_factor=0.57, levels: int = 1,
                    tmvp: bool = False, log2_ctu: int = 6,
                    sdh: bool = False, num_ref_l1: int = 0,
-                   l0map: tuple = None, l1map: tuple = None):
+                   l0map: tuple = None, l1map: tuple = None,
+                   rdoq: bool = True):
     """B-slice mode (num_ref_l1 > 0): refs_* are the deduped union of
     both reference lists, l0map/l1map are static union indices per
     list, mv_lx/mv16[3]/mv32[3] carry the per-block AMVP list choice,
@@ -239,6 +240,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     P = bw * bh
     is_b = num_ref_l1 > 0
     Ru = refs_y.shape[0]
+    code = partial(_code, rdoq=rdoq)
     if is_b:
         l0m = jnp.asarray(l0map, jnp.int32)
         l1m = jnp.asarray(l1map, jnp.int32)
@@ -286,12 +288,12 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                                    mvxf, mvyf, 4, 4, bd)
     pred_av = mc_chroma_batch_refs(refs_v, rsu, bx_all * 4, by_all * 4,
                                    mvxf, mvyf, 4, 4, bd)
-    lev_ay, rec_ay, d_ay, b_ay = _code(org_blk, pred_a, qp, 3, bd, lam,
+    lev_ay, rec_ay, d_ay, b_ay = code(org_blk, pred_a, qp, 3, bd, lam,
                                        cbflat, True, sdh=sdh)
-    lev_au, rec_au, d_au, b_au = _code(orgu_blk, pred_au, qpc, 2, bd,
+    lev_au, rec_au, d_au, b_au = code(orgu_blk, pred_au, qpc, 2, bd,
                                        lam_c, cbflat, False, wchroma,
                                        sdh=sdh)
-    lev_av, rec_av, d_av, b_av = _code(orgv_blk, pred_av, qpc, 2, bd,
+    lev_av, rec_av, d_av, b_av = code(orgv_blk, pred_av, qpc, 2, bd,
                                        lam_c, cbflat, False, wchroma,
                                        sdh=sdh)
     dist_a = d_ay + d_au + d_av
@@ -581,7 +583,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         # batch, all four chroma blocks in another
         isel = _intra_scan_sel(im)
         z_b = jnp.zeros_like(isel)
-        levY2, recY2, dY2, bY2 = _code(
+        levY2, recY2, dY2, bY2 = code(
             two(org), jnp.concatenate([pred_m, ipred]), qp, 3, bd, lam,
             cbflat, True, sdh=sdh,
             scan_sel=jnp.concatenate([z_b, isel]))
@@ -591,7 +593,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         b_my, b_iy = bY2[:B], bY2[B:]
         orgC4 = jnp.concatenate([orgu, orgv, orgu, orgv])
         predC4 = jnp.concatenate([pred_mu, pred_mv_, cpu, cpv])
-        levC4, recC4, dC4, bC4 = _code(
+        levC4, recC4, dC4, bC4 = code(
             orgC4, predC4, qpc, 2, bd, lam_c, cbflat, False, wchroma,
             sdh=sdh,
             scan_sel=jnp.concatenate([z_b, z_b, isel, isel]))
@@ -757,13 +759,13 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                                     gy_all * 8, m16x, m16y, 8, 8, bd)
     pred16av = mc_chroma_batch_refs(refs_v, r16u, gx_all * 8,
                                     gy_all * 8, m16x, m16y, 8, 8, bd)
-    lev16ay, rec16ay, d16ay, b16ay = _code(org16_blk, pred16a, qp, 4,
+    lev16ay, rec16ay, d16ay, b16ay = code(org16_blk, pred16a, qp, 4,
                                            bd, lam, cbflat, True,
                                            sdh=sdh)
-    lev16au, rec16au, d16au, b16au = _code(org16u, pred16au, qpc, 3,
+    lev16au, rec16au, d16au, b16au = code(org16u, pred16au, qpc, 3,
                                            bd, lam_c, cbflat, False,
                                            wchroma, sdh=sdh)
-    lev16av, rec16av, d16av, b16av = _code(org16v, pred16av, qpc, 3,
+    lev16av, rec16av, d16av, b16av = code(org16v, pred16av, qpc, 3,
                                            bd, lam_c, cbflat, False,
                                            wchroma, sdh=sdh)
     dist_a16 = d16ay + d16au + d16av
@@ -842,9 +844,9 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
             + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
             ).astype(jnp.float32)
-        lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 4, bd, lam,
+        lev_my, rec_my, d_my, b_my = code(org, pred_m, qp, 4, bd, lam,
                                            cbflat, True, sdh=sdh)
-        levC2, recC2, dC2, bC2 = _code(
+        levC2, recC2, dC2, bC2 = code(
             jnp.concatenate([orgu, orgv]),
             jnp.concatenate([pred_mu, pred_mv_]), qpc, 3, bd, lam_c,
             cbflat, False, wchroma, sdh=sdh)
@@ -1026,13 +1028,13 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                                     qy_all * 16, m32x, m32y, 16, 16, bd)
     pred32av = mc_chroma_batch_refs(refs_v, r32u, qx_all * 16,
                                     qy_all * 16, m32x, m32y, 16, 16, bd)
-    lev32ay, rec32ay, d32ay, b32ay = _code(org32_blk, pred32a, qp, 5,
+    lev32ay, rec32ay, d32ay, b32ay = code(org32_blk, pred32a, qp, 5,
                                            bd, lam, cbflat, True,
                                            sdh=sdh)
-    lev32au, rec32au, d32au, b32au = _code(org32u, pred32au, qpc, 4,
+    lev32au, rec32au, d32au, b32au = code(org32u, pred32au, qpc, 4,
                                            bd, lam_c, cbflat, False,
                                            wchroma, sdh=sdh)
-    lev32av, rec32av, d32av, b32av = _code(org32v, pred32av, qpc, 4,
+    lev32av, rec32av, d32av, b32av = code(org32v, pred32av, qpc, 4,
                                            bd, lam_c, cbflat, False,
                                            wchroma, sdh=sdh)
     dist_a32 = d32ay + d32au + d32av
@@ -1109,9 +1111,9 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
             + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
             ).astype(jnp.float32)
-        lev_my, rec_my, d_my, b_my = _code(org, pred_m, qp, 5, bd, lam,
+        lev_my, rec_my, d_my, b_my = code(org, pred_m, qp, 5, bd, lam,
                                            cbflat, True, sdh=sdh)
-        levC2, recC2, dC2, bC2 = _code(
+        levC2, recC2, dC2, bC2 = code(
             jnp.concatenate([orgu, orgv]),
             jnp.concatenate([pred_mu, pred_mv_]), qpc, 4, bd, lam_c,
             cbflat, False, wchroma, sdh=sdh)
@@ -1247,7 +1249,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 
 _FPP_STATICS = ("w", "h", "num_ref", "max_merge", "bd", "srange",
                 "subpel", "deblock", "sao", "ctu", "cb_off", "cr_off",
-                "tmvp", "sdh", "num_ref_l1", "l0map", "l1map")
+                "tmvp", "sdh", "num_ref_l1", "l0map", "l1map", "rdoq")
 
 
 def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
@@ -1262,7 +1264,8 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                      ctu: int = 64, cb_off: int = 0, cr_off: int = 0,
                      qp_factor=0.57, tmvp: bool = False,
                      sdh: bool = False, num_ref_l1: int = 0,
-                     l0map: tuple = None, l1map: tuple = None):
+                     l0map: tuple = None, l1map: tuple = None,
+                     rdoq: bool = True):
     """ME + sub-pel + wavefront decision + in-loop filters in ONE
     dispatch, with compact output dtypes (spec coefficient range is
     int16; recon fits the bit depth) to minimise the device->host
@@ -1432,7 +1435,7 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                         levels=levels, tmvp=tmvp,
                         log2_ctu=ctu.bit_length() - 1, sdh=sdh,
                         num_ref_l1=num_ref_l1, l0map=l0map,
-                        l1map=l1map)
+                        l1map=l1map, rdoq=rdoq)
 
     # ---- in-loop filters, still on device (8.7.2 deblock, 8.7.3 SAO)
     if deblock or sao:
@@ -1509,10 +1512,11 @@ class PFrameDeviceEncoder(PFrameEncoder):
     contract, decision pass on device (entropy pass inherited)."""
 
     def __init__(self, *a, qp_factor: float = 0.57, tmvp: bool = True,
-                 ctx_states=None, **kw):
+                 ctx_states=None, rdoq: bool = True, **kw):
         super().__init__(*a, **kw)
         self.qp_factor = qp_factor
         self.tmvp = tmvp
+        self.rdoq = rdoq
         # context states pricing the decision pass (harvested from a
         # previous frame's real entropy coding, or None -> slice init)
         self.ctx_states = ctx_states
@@ -1591,7 +1595,8 @@ class PFrameDeviceEncoder(PFrameEncoder):
             ctu=sps.ctu_size, cb_off=self.pps.cb_qp_offset,
             cr_off=self.pps.cr_qp_offset, qp_factor=self.qp_factor,
             tmvp=use_tmvp, sdh=bool(self.pps.sign_data_hiding),
-            num_ref_l1=num_ref_l1, l0map=l0map, l1map=l1map)
+            num_ref_l1=num_ref_l1, l0map=l0map, l1map=l1map,
+            rdoq=self.rdoq)
         # this frame's motion on the 8x8 grid, kept on device as the
         # NEXT frame's collocated field (the 16x16 compression is the
         # reader's index rounding); L0 motion (col pic convention)

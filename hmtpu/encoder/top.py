@@ -45,6 +45,9 @@ class EncoderConfig:
     num_refs: int = 1
     # fractional-pel strategy: "nn" (NN-FME), "dctif" (HM-style), "none"
     subpel: str = "dctif"
+    # RDOQ trellis in the device quantiser (TComTrQuant RDOQ flag);
+    # False = plain deadzone quantisation (+ SDH parity stage)
+    rdoq: bool = True
     # device wavefront decision pass for P slices (encoder/pframe_dev.py)
     wavefront: bool = True
     nn_weights_dir: str | None = None
@@ -314,6 +317,7 @@ class Encoder:
                                  nn_params=self.nn_params,
                                  search_range=cfg.search_range,
                                  qp_factor=qpf, tmvp=cfg.tmvp,
+                                 rdoq=cfg.rdoq,
                                  ctx_states=self._ctx_harvest.get(
                                      gpos_key))
         pe._gpos_key = gpos_key
@@ -474,7 +478,7 @@ class Encoder:
                     self.sps, self.pps, subpel=cfg.subpel,
                     nn_params=self.nn_params,
                     search_range=cfg.search_range, qp_factor=ra_fac,
-                    tmvp=False)
+                    tmvp=False, rdoq=cfg.rdoq)
             else:
                 pe = PFrameEncoder(self.sps, self.pps,
                                    subpel=cfg.subpel,

@@ -41,7 +41,8 @@ _C1FLAG = 8
 
 
 def rdoq_tb(coef, qp, log2: int, bd: int, lam, cbflat, is_luma: bool,
-            scan_idx: int = 0, sdh: bool = False, scan_sel=None):
+            scan_idx: int = 0, sdh: bool = False, scan_sel=None,
+            trellis: bool = True):
     """coef: (..., n, n) int32 transform coefficients; returns levels
     (..., n, n) int32.  qp/lam may be traced scalars.
 
@@ -51,7 +52,12 @@ def rdoq_tb(coef, qp, log2: int, bd: int, lam, cbflat, is_luma: bool,
     the true scan — CG membership is the same 4x4 sub-blocks for all
     three scans, so rate estimation on `scan_idx` stays a valid
     approximation while first/last-significant ranks must follow the
-    coding scan for the decoder's sign inference to match."""
+    coding scan for the decoder's sign inference to match.
+
+    trellis=False skips the RD level search (stages 1-3 + exact-rate
+    guard) and emits plain deadzone quantisation — the RDOQ=0 config
+    path (TComTrQuant::xQuant non-RDOQ branch) — while still running
+    the SDH parity stage so sign hiding stays decodable."""
     t = _tb_tables(log2, scan_idx, is_luma)
     npos, ncg = t["npos"], t["ncg"]
     lead = coef.shape[:-2]
@@ -78,6 +84,65 @@ def rdoq_tb(coef, qp, log2: int, bd: int, lam, cbflat, is_luma: bool,
     def dist(l):
         d = af - l.astype(jnp.float32) * inv
         return d * d * cscale
+
+    inv_scan = np.empty(npos, np.int64)
+    inv_scan[np.asarray(t["scans"])] = np.arange(npos)
+    inv_scan = jnp.asarray(inv_scan)
+    size = 1 << log2
+
+    def to_raster(l):
+        s = (l.reshape(lead + (npos,))
+             * jnp.where(sgn.reshape(lead + (npos,)) < 0, -1, 1))
+        return jnp.take(s, inv_scan, axis=-1).reshape(
+            lead + (size, size)).astype(jnp.int32)
+
+    def sdh_stage(lev):
+        """Sign data hiding parity (xQuant SDH branch): cheapest ±1
+        adjustment whenever the hidden-sign parity is violated."""
+        if scan_sel is None:
+            ranks = jnp.arange(16)
+        else:
+            from hmtpu.common.scan import _SCANS
+            base = _SCANS[scan_idx](4, 4)
+            ptab = np.empty((3, 16), np.int32)
+            for s in range(3):
+                rk = {p: i for i, p in enumerate(_SCANS[s](4, 4))}
+                ptab[s] = [rk[p] for p in base]
+            # within-CG rank under the coding scan of the coefficient
+            # at static-scan rank j; broadcast over CGs
+            ranks = jnp.asarray(ptab)[scan_sel][..., None, :]
+        nz = lev != 0
+        maxp = jnp.max(jnp.where(nz, ranks, -1), axis=-1)
+        minp = jnp.min(jnp.where(nz, ranks, 99), axis=-1)
+        hide = (maxp - minp) > 3
+        first_mask = nz & (ranks == minp[..., None])
+        first_neg = jnp.sum(
+            jnp.where(first_mask, (sgn < 0).astype(jnp.int32), 0),
+            axis=-1)
+        asum = jnp.sum(lev, axis=-1)
+        bad = hide & ((asum & 1) != first_neg)
+        d_now = dist(lev)
+        d_inc = dist(lev + 1) - d_now
+        d_dec = jnp.where(lev > 1, dist(lev - 1) - d_now, jnp.inf)
+        in_span = (ranks >= minp[..., None]) \
+            & (ranks <= maxp[..., None])
+        d_inc = jnp.where(in_span & (lev < COEFF_MAX), d_inc, jnp.inf)
+        d_dec = jnp.where(in_span, d_dec, jnp.inf)
+        dd = jnp.minimum(d_inc, d_dec)
+        pick = jnp.argmin(dd, axis=-1)
+        use_inc = jnp.take_along_axis(
+            d_inc, pick[..., None], -1)[..., 0] <= jnp.take_along_axis(
+            d_dec, pick[..., None], -1)[..., 0]
+        delta = jnp.where(use_inc, 1, -1)
+        onehot = jax.nn.one_hot(pick, 16, dtype=jnp.int32)
+        return lev + onehot * (delta * bad.astype(jnp.int32))[..., None]
+
+    add_dz = jnp.int32(85) << (qbits - 9)
+    fb = jnp.minimum((a * scale + add_dz) >> qbits,
+                     COEFF_MAX).astype(jnp.int32)
+    if not trellis:
+        lev = sdh_stage(fb) if sdh else fb
+        return to_raster(lev).reshape(coef.shape)
 
     scg = maxabs > 0
     cg_sig = jnp.any(scg, axis=-1)
@@ -211,67 +276,15 @@ def rdoq_tb(coef, qp, log2: int, bd: int, lam, cbflat, is_luma: bool,
     # Re-price the RDOQ result and the plain deadzone quantisation with
     # the exact tb_bits estimator and keep the per-block winner, so
     # RDOQ is never worse than not running it.
-    inv_scan = np.empty(npos, np.int64)
-    inv_scan[np.asarray(t["scans"])] = np.arange(npos)
-    inv_scan = jnp.asarray(inv_scan)
-    size = 1 << log2
-
-    def to_raster(l):
-        s = (l.reshape(lead + (npos,))
-             * jnp.where(sgn.reshape(lead + (npos,)) < 0, -1, 1))
-        return jnp.take(s, inv_scan, axis=-1).reshape(
-            lead + (size, size)).astype(jnp.int32)
-
     def exact_rd(l):
         d = jnp.sum(dist(l), axis=(-1, -2))
         b = tb_bits(to_raster(l), cbflat, log2, is_luma, scan_idx)
         nz = jnp.any(l != 0, axis=(-1, -2))
         return d + lamf * (b + nz.astype(jnp.float32))
 
-    add_dz = jnp.int32(85) << (qbits - 9)
-    fb = jnp.minimum((a * scale + add_dz) >> qbits,
-                     COEFF_MAX).astype(jnp.int32)
     use_fb = exact_rd(fb) < exact_rd(lev)
     lev = jnp.where(use_fb[..., None, None], fb, lev)
 
-    # ---- sign data hiding parity (xQuant SDH branch)
     if sdh:
-        if scan_sel is None:
-            ranks = jnp.arange(16)
-        else:
-            from hmtpu.common.scan import _SCANS
-            base = _SCANS[scan_idx](4, 4)
-            ptab = np.empty((3, 16), np.int32)
-            for s in range(3):
-                rk = {p: i for i, p in enumerate(_SCANS[s](4, 4))}
-                ptab[s] = [rk[p] for p in base]
-            # within-CG rank under the coding scan of the coefficient
-            # at static-scan rank j; broadcast over CGs
-            ranks = jnp.asarray(ptab)[scan_sel][..., None, :]
-        nz = lev != 0
-        maxp = jnp.max(jnp.where(nz, ranks, -1), axis=-1)
-        minp = jnp.min(jnp.where(nz, ranks, 99), axis=-1)
-        hide = (maxp - minp) > 3
-        first_mask = nz & (ranks == minp[..., None])
-        first_neg = jnp.sum(
-            jnp.where(first_mask, (sgn < 0).astype(jnp.int32), 0),
-            axis=-1)
-        asum = jnp.sum(lev, axis=-1)
-        bad = hide & ((asum & 1) != first_neg)
-        d_now = dist(lev)
-        d_inc = dist(lev + 1) - d_now
-        d_dec = jnp.where(lev > 1, dist(lev - 1) - d_now, jnp.inf)
-        in_span = (ranks >= minp[..., None]) \
-            & (ranks <= maxp[..., None])
-        d_inc = jnp.where(in_span & (lev < COEFF_MAX), d_inc, jnp.inf)
-        d_dec = jnp.where(in_span, d_dec, jnp.inf)
-        dd = jnp.minimum(d_inc, d_dec)
-        pick = jnp.argmin(dd, axis=-1)
-        use_inc = jnp.take_along_axis(
-            d_inc, pick[..., None], -1)[..., 0] <= jnp.take_along_axis(
-            d_dec, pick[..., None], -1)[..., 0]
-        delta = jnp.where(use_inc, 1, -1)
-        onehot = jax.nn.one_hot(pick, 16, dtype=jnp.int32)
-        lev = lev + onehot * (delta * bad.astype(jnp.int32))[..., None]
-
+        lev = sdh_stage(lev)
     return to_raster(lev).reshape(coef.shape)
