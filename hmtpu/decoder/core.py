@@ -162,6 +162,7 @@ class Decoder:
         rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
         rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
         modes = np.full((h // 8, w // 8), -1, dtype=np.int32)
+        modes4 = np.full((h // 4, w // 4), -1, dtype=np.int32)
         skip_map = np.zeros((h // 8, w // 8), dtype=np.int32)
         depth_map = np.zeros((h // 8, w // 8), dtype=np.int32)
         cbf_map = np.zeros((h // 8, w // 8), dtype=bool)
@@ -185,23 +186,92 @@ class Decoder:
         ctu = sps.ctu_size
         sdh = pps.sign_data_hiding
 
+        def mpm_at(px, py):
+            qx, qy = px // 4, py // 4
+            lm = modes4[qy, qx - 1] if qx > 0 else -1
+            am = modes4[qy - 1, qx] \
+                if (qy > 0 and (py % ctu) != 0) else -1
+            return mpm_list(lm if lm >= 0 else DC_IDX,
+                            am if am >= 0 else DC_IDX)
+
+        def read_mode(mpm_flag, mpms):
+            if mpm_flag:
+                if dec.decode_bin_ep() == 0:
+                    return mpms[0]
+                return mpms[1 + dec.decode_bin_ep()]
+            return decode_rem_mode(dec.decode_bins_ep(5), mpms)
+
+        def decode_intra_nxn(x0, y0):
+            """part NxN: four 4x4 luma PUs + one 4x4 chroma TB pair
+            (7.3.8.5 syntax order: all prev flags, then idx/rem per
+            PU; chroma residual with the last sub-TU)."""
+            bxi, byi = x0 // 8, y0 // 8
+            offs = ((0, 0), (4, 0), (0, 4), (4, 4))
+            flags = [dec.decode_bin(ctx, OFF["INTRA_PRED_MODE"])
+                     for _ in range(4)]
+            ms = []
+            for f, (dx, dy) in zip(flags, offs):
+                mp = mpm_at(x0 + dx, y0 + dy)
+                m = read_mode(f, mp)
+                modes4[(y0 + dy) // 4, (x0 + dx) // 4] = m
+                ms.append(m)
+            modes[byi, bxi] = ms[0]
+            chroma_dm = dec.decode_bin(ctx, OFF["CHROMA_PRED_MODE"])
+            assert chroma_dm == 0, "only DM chroma in envelope yet"
+            cbf_cb = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"])
+            cbf_cr = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"])
+            any_y = False
+            for p, (dx, dy) in enumerate(offs):
+                px, py = x0 + dx, y0 + dy
+                cbf = dec.decode_bin(ctx, OFF["QT_CBF_LUMA"] + 0)
+                any_y = any_y or bool(cbf)
+                avail = ref_availability(px, py, 4, w, h,
+                                         sps.log2_ctu_size)
+                raw = gather_ref_line(rec_y, px, py, 4)
+                line = substitute_unavailable(raw, avail, bd)
+                pred = predict_mode_np(line, line, 4, ms[p], True, bd)
+                if cbf:
+                    scan = intra_scan_idx(ms[p], 2, True)
+                    lev = decode_residual(dec, ctx, 2, True, scan, sdh)
+                    deq = dequantize_np(lev, qp, 2, bd)
+                    resi = inverse_np(deq[None], bd, use_dst=True)[0]
+                else:
+                    resi = 0
+                rec_y[py:py + 4, px:px + 4] = np.clip(pred + resi, 0,
+                                                      maxv)
+                if p == 3:
+                    cx, cy = x0 // 2, y0 // 2
+                    for cbfc, plane in ((cbf_cb, rec_u),
+                                        (cbf_cr, rec_v)):
+                        avail_c = ref_availability(
+                            cx, cy, 4, w // 2, h // 2,
+                            sps.log2_ctu_size - 1)
+                        raw_c = gather_ref_line(plane, cx, cy, 4)
+                        ref_c = substitute_unavailable(raw_c, avail_c,
+                                                       bd)
+                        pred_c = predict_mode_np(ref_c, ref_c, 4,
+                                                 ms[0], False, bd)
+                        if cbfc:
+                            scan = intra_scan_idx(ms[0], 2, False)
+                            lev = decode_residual(dec, ctx, 2, False,
+                                                  scan, sdh)
+                            deq = dequantize_np(lev, qpc, 2, bd)
+                            resi_c = inverse_np(deq[None], bd)[0]
+                        else:
+                            resi_c = 0
+                        plane[cy:cy + 4, cx:cx + 4] = np.clip(
+                            pred_c + resi_c, 0, maxv)
+            cbf_map[byi, bxi] = any_y
+
         def decode_intra_pu(x0, y0, size, log2):
             bxi, byi = x0 // 8, y0 // 8
             mpm_flag = dec.decode_bin(ctx, OFF["INTRA_PRED_MODE"])
-            left_mode = modes[byi, bxi - 1] if bxi > 0 else -1
-            above_mode = modes[byi - 1, bxi] \
-                if (byi > 0 and (y0 % ctu) != 0) else -1
-            mpms = mpm_list(left_mode if left_mode >= 0 else DC_IDX,
-                            above_mode if above_mode >= 0 else DC_IDX)
-            if mpm_flag:
-                if dec.decode_bin_ep() == 0:
-                    mode = mpms[0]
-                else:
-                    mode = mpms[1 + dec.decode_bin_ep()]
-            else:
-                mode = decode_rem_mode(dec.decode_bins_ep(5), mpms)
+            mpms = mpm_at(x0, y0)
+            mode = read_mode(mpm_flag, mpms)
             nb = size // 8
             modes[byi:byi + nb, bxi:bxi + nb] = mode
+            nq = size // 4
+            modes4[y0 // 4:y0 // 4 + nq, x0 // 4:x0 // 4 + nq] = mode
             chroma_dm = dec.decode_bin(ctx, OFF["CHROMA_PRED_MODE"])
             assert chroma_dm == 0, "only DM chroma in envelope yet"
 
@@ -330,7 +400,9 @@ class Decoder:
             if intra:
                 if log2 == sps.log2_min_cb_size:
                     part2n = dec.decode_bin(ctx, OFF["PART_SIZE"])
-                    assert part2n == 1, "NxN partition not in envelope yet"
+                    if not part2n:
+                        decode_intra_nxn(x0, y0)
+                        return
                 decode_intra_pu(x0, y0, size, log2)
                 return
 

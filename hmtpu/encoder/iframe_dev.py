@@ -63,6 +63,7 @@ def _i_static(w: int, h: int, log2_ctu: int):
     sched = block_schedule(w, h, log2_ctu)
     out = dict(
         lv_blk=sched["lv_blk"],
+        nb_ok=sched["nb_ok"].reshape(-1, 5),
         g8=list(static_ref_gather(w, h, log2_ctu, 8)),
         g4=list(static_ref_gather(w // 2, h // 2, log2_ctu - 1, 4)),
         g4l=list(static_ref_gather(w, h, log2_ctu, 4)),
@@ -139,12 +140,19 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                            lam_sqrt, k)
 
     cand8 = rmd(org_y, st8["g8"], 8, K8)               # (P, K8)
+    # NxN 4x4 PU candidates: open-loop top-1 mode per 4x4
+    # (TEncCu.cpp:644-650 intra NxN at max depth)
+    cand4 = rmd(org_y, st8["g4l"], 4, 1)[:, 0]         # (P4,)
+    org4l = _blockify(org_y, 4)
+    gw4 = w // 4
 
     state = dict(
         rec_y=jnp.zeros(h * w, jnp.int32),
         rec_u=jnp.zeros(h * w // 4, jnp.int32),
         rec_v=jnp.zeros(h * w // 4, jnp.int32),
         imode=jnp.zeros(P, jnp.int32),
+        imode4=jnp.zeros((P, 4), jnp.int32),
+        part=jnp.zeros(P, jnp.int32),
         cusz=jnp.zeros(P, jnp.int32),
         cbfy=jnp.zeros(P, jnp.int32),
         levs=jnp.zeros((P, 96), jnp.int32),
@@ -226,6 +234,123 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
         pick = ki * B + jnp.arange(B)
         return ki, pick, jnp.min(cost, axis=1)
 
+    def sub_line(vals, avail):
+        """8.4.4.2.2 substitution: entry 0 <- first available forward,
+        then forward fill; all-unavailable -> mid."""
+        first = jnp.argmax(avail, axis=1)
+        v0 = jnp.take_along_axis(vals, first[:, None], 1)[:, 0]
+        v0 = jnp.where(jnp.any(avail, axis=1), v0, mid)
+        out = [jnp.where(avail[:, 0], vals[:, 0], v0)]
+        for e in range(1, vals.shape[1]):
+            out.append(jnp.where(avail[:, e], vals[:, e], out[-1]))
+        return jnp.stack(out, axis=1)
+
+    def nxn_trial(st, b, bxi, byi, lm, am, orgu, orgv):
+        """Intra NxN (four 4x4 luma PUs, TEncCu.cpp:644-650): exact
+        sequential reconstruction of the 4 sub-PUs against the
+        committed state, assembled from the CU's committed 33-sample
+        reference line + internal sub-recons."""
+        from hmtpu.encoder.pframe_dev import _intra_scan_sel
+        from hmtpu.ops.ratebits import part_size_nxn_bits
+        B = b.shape[0]
+        sub_f = ((byi * 2)[:, None]
+                 + jnp.asarray([0, 0, 1, 1])[None]) * gw4 \
+            + (bxi * 2)[:, None] + jnp.asarray([0, 1, 0, 1])[None]
+        m4 = cand4[sub_f]                              # (B, 4) z-order
+        o4 = org4l[sub_f]                              # (B, 4, 4, 4)
+        subl, nonel = st8["g8"]
+        iref8 = jnp.where(nonel[b, None], mid, st["rec_y"][subl[b]])
+        nbo = st8["nb_ok"][b]
+        aL, aA, aAR = nbo[:, 0], nbo[:, 1], nbo[:, 2]
+        aBL, aC = nbo[:, 3], nbo[:, 4]
+        r4 = lambda f: jnp.repeat(f[:, None], 4, 1)
+        T = jnp.ones((B, 4), bool)
+        F = jnp.zeros((B, 4), bool)
+        z4 = jnp.zeros((B, 4), jnp.int32)
+
+        def pu(vals, avail, mode, org):
+            line = sub_line(vals, avail)
+            pred = predict_one_mode(line, line, mode, 4, True, bd)
+            lev, rec, d, bb = _code(
+                org, pred, qp, 2, bd, lam, cbflat, True, sdh=sdh,
+                scan_sel=_intra_scan_sel(mode), use_dst=True)
+            return lev, rec, d, bb
+
+        # PU0 (x, y): all references external (iref8[8:25])
+        lev0, rec0, d0, bb0 = pu(
+            iref8[:, 8:25],
+            jnp.concatenate([r4(aL), r4(aL), aC[:, None], r4(aA),
+                             r4(aA)], axis=1), m4[:, 0], o4[:, 0])
+        # PU1 (x+4, y): lower-left internal-unavailable, left = PU0's
+        # right column, corner/top external
+        lev1, rec1, d1, bb1 = pu(
+            jnp.concatenate([z4, rec0[:, ::-1, 3], iref8[:, 20:21],
+                             iref8[:, 21:29]], axis=1),
+            jnp.concatenate([F, T, aA[:, None], r4(aA), r4(aAR)],
+                            axis=1), m4[:, 1], o4[:, 1])
+        # PU2 (x, y+4): left external (lower then upper), top = PU0 +
+        # PU1 bottom rows
+        lev2, rec2, d2, bb2 = pu(
+            jnp.concatenate([iref8[:, 4:8], iref8[:, 8:12],
+                             iref8[:, 12:13], rec0[:, 3, :],
+                             rec1[:, 3, :]], axis=1),
+            jnp.concatenate([r4(aBL), r4(aL), aL[:, None], T, T],
+                            axis=1), m4[:, 2], o4[:, 2])
+        # PU3 (x+4, y+4): below-left/top-right unavailable, left =
+        # PU2's right column, corner = PU0[3,3], top = PU1 bottom row
+        lev3, rec3, d3, bb3 = pu(
+            jnp.concatenate([z4, rec2[:, ::-1, 3],
+                             rec0[:, 3, 3][:, None], rec1[:, 3, :],
+                             z4], axis=1),
+            jnp.concatenate([F, T, jnp.ones((B, 1), bool), T, F],
+                            axis=1), m4[:, 3], o4[:, 3])
+
+        # chroma: one 4x4 TB pair, DM mode = PU0's luma mode
+        subc, nonec = st8["g4"]
+        irefu = jnp.where(nonec[b, None], mid, st["rec_u"][subc[b]])
+        irefv = jnp.where(nonec[b, None], mid, st["rec_v"][subc[b]])
+        c2 = predict_one_mode(jnp.concatenate([irefu, irefv]),
+                              jnp.concatenate([irefu, irefv]),
+                              jnp.concatenate([m4[:, 0], m4[:, 0]]),
+                              4, False, bd)
+        selc = _intra_scan_sel(m4[:, 0])
+        levC, recC, dC, bC = _code(
+            jnp.concatenate([orgu, orgv]), c2, qpc, 2, bd, lam_c,
+            cbflat, False, wchroma, sdh=sdh,
+            scan_sel=jnp.concatenate([selc, selc]))
+        levCu, levCv = levC[:B], levC[B:]
+        recCu, recCv = recC[:B], recC[B:]
+
+        # rate: part NxN + 4x(mode + cbf + residual) + chroma; MPM
+        # pricing per PU with internal neighbour modes (approximation
+        # for the decision only — the writer derives the exact lists)
+        mb = intra_mode_mpm_bits(cbflat, m4[:, 0], lm, am) \
+            + intra_mode_mpm_bits(cbflat, m4[:, 1], m4[:, 0], am) \
+            + intra_mode_mpm_bits(cbflat, m4[:, 2], lm, m4[:, 0]) \
+            + intra_mode_mpm_bits(cbflat, m4[:, 3], m4[:, 2],
+                                  m4[:, 1])
+        nz = [jnp.any(l.reshape(B, 16) != 0, 1)
+              for l in (lev0, lev1, lev2, lev3)]
+        b_cbf = sum(cbf_luma_bits(cbflat, z, trafo_depth_is0=False)
+                    for z in nz) \
+            + cbf_chroma_bits(cbflat,
+                              jnp.any(levCu.reshape(B, 16) != 0, 1)) \
+            + cbf_chroma_bits(cbflat,
+                              jnp.any(levCv.reshape(B, 16) != 0, 1))
+        cost = (d0 + d1 + d2 + d3 + dC[:B] + dC[B:]) + lam * (
+            mb + part_size_nxn_bits(cbflat) + chroma_dm_bits(cbflat)
+            + b_cbf + bb0 + bb1 + bb2 + bb3 + bC[:B] + bC[B:])
+        # assemble the 8x8 products (quadrant placement)
+        top = jnp.concatenate([rec0, rec1], axis=2)
+        bot = jnp.concatenate([rec2, rec3], axis=2)
+        rec8 = jnp.concatenate([top, bot], axis=1)
+        ltop = jnp.concatenate([lev0, lev1], axis=2)
+        lbot = jnp.concatenate([lev2, lev3], axis=2)
+        lev8 = jnp.concatenate([ltop, lbot], axis=1)
+        cbf_any = (nz[0] | nz[1] | nz[2] | nz[3]).astype(jnp.int32)
+        return (cost, m4, rec8, recCu, recCv, lev8, levCu, levCv,
+                cbf_any)
+
     def cell_step(st, blk, valid):
         b = jnp.where(valid, blk, 0)
         byi, bxi = b // bw, b % bw
@@ -248,6 +373,29 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
             [levY[pick].reshape(B, 64), levU[pick].reshape(B, 16),
              levV[pick].reshape(B, 16)], axis=1)
         wmode = jnp.take_along_axis(modes, ki[:, None], 1)[:, 0]
+        cbfy8 = jnp.any(levY[pick].reshape(B, 64) != 0,
+                        axis=1).astype(jnp.int32)
+
+        # ---- NxN trial against the 2Nx2N winner
+        (cost_n, m4, rec8n, recCun, recCvn, lev8n, levCun, levCvn,
+         cbf_n) = nxn_trial(st, b, bxi, byi, lm, am, org4u[b],
+                            org4v[b])
+        use_n = cost_n < cost
+        cost = jnp.minimum(cost, cost_n)
+        w3 = lambda a, bn: jnp.where(use_n[:, None, None], bn, a)
+        out_y = w3(out_y, rec8n)
+        out_u = w3(out_u, recCun)
+        out_v = w3(out_v, recCvn)
+        o_lev = jnp.where(
+            use_n[:, None],
+            jnp.concatenate([lev8n.reshape(B, 64),
+                             levCun.reshape(B, 16),
+                             levCvn.reshape(B, 16)], axis=1), o_lev)
+        wmode = jnp.where(use_n, m4[:, 0], wmode)
+        cbfy8 = jnp.where(use_n, cbf_n, cbfy8)
+        part_o = use_n.astype(jnp.int32)
+        imode4_o = jnp.where(use_n[:, None], m4,
+                             jnp.repeat(wmode[:, None], 4, 1))
 
         drop = jnp.where(valid, b, P)
         yy = (y0[:, None] + jnp.arange(8)[None, :])
@@ -263,10 +411,10 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
             rec_u=st["rec_u"].at[fl_c].set(out_u),
             rec_v=st["rec_v"].at[fl_c].set(out_v),
             imode=st["imode"].at[drop].set(wmode),
+            imode4=st["imode4"].at[drop].set(imode4_o),
+            part=st["part"].at[drop].set(part_o),
             cusz=st["cusz"].at[drop].set(0),
-            cbfy=st["cbfy"].at[drop].set(
-                jnp.any(levY[pick].reshape(B, 64) != 0,
-                        axis=1).astype(jnp.int32)),
+            cbfy=st["cbfy"].at[drop].set(cbfy8),
             levs=st["levs"].at[drop].set(o_lev),
         )
         return st, cost
@@ -338,6 +486,9 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
             rec_u=st["rec_u"].at[fl_c].set(recU[pick]),
             rec_v=st["rec_v"].at[fl_c].set(recV[pick]),
             imode=st["imode"].at[drop4].set(wmode[:, None]),
+            imode4=st["imode4"].at[drop4].set(
+                jnp.repeat(wmode[:, None], 4, 1)[:, None, :]),
+            part=st["part"].at[drop4].set(0),
             cusz=st["cusz"].at[drop4].set(1),
             cbfy=st["cbfy"].at[drop4].set(
                 jnp.any(levY[pick].reshape(B, 256) != 0,
@@ -414,6 +565,9 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
             rec_u=st["rec_u"].at[fl_c].set(recU[pick]),
             rec_v=st["rec_v"].at[fl_c].set(recV[pick]),
             imode=st["imode"].at[drop16].set(wmode[:, None]),
+            imode4=st["imode4"].at[drop16].set(
+                jnp.repeat(wmode[:, None], 4, 1)[:, None, :]),
+            part=st["part"].at[drop16].set(0),
             cusz=st["cusz"].at[drop16].set(2),
             cbfy=st["cbfy"].at[drop16].set(
                 jnp.any(levY[pick].reshape(B, 1024) != 0,
@@ -479,7 +633,8 @@ def iframe_full_pass(org_y, org_u, org_v, qp, qpc, cbflat,
         st["rec_v"] = rec_v.reshape(-1)
     rec_t = jnp.uint8 if bd == 8 else jnp.uint16
     small = dict(rec_y=rec_t, rec_u=rec_t, rec_v=rec_t,
-                 imode=jnp.int8, cusz=jnp.int8, cbfy=jnp.int8,
+                 imode=jnp.int8, imode4=jnp.int8, part=jnp.int8,
+                 cusz=jnp.int8, cbfy=jnp.int8,
                  levs=jnp.int16, sao=jnp.int8)
     return {k: v.astype(small[k]) for k, v in st.items()}
 
@@ -496,6 +651,10 @@ def unpack_iframe_state(st, w: int, h: int, log2_ctu: int):
     IntraFrameEncoder envelope (z-order cell packing as pframe_dev)."""
     bw, bh = w // 8, h // 8
     imode = np.asarray(st["imode"]).reshape(bh, bw)
+    part = np.asarray(st["part"]).reshape(bh, bw) \
+        if "part" in st else np.zeros((bh, bw), np.int32)
+    imode4 = np.asarray(st["imode4"]).reshape(bh, bw, 4) \
+        if "imode4" in st else None
     cusz = np.asarray(st["cusz"]).reshape(bh, bw)
     levs = np.asarray(st["levs"]).reshape(bh, bw, 96)
     depth8 = np.full((bh, bw), log2_ctu - 3, np.int32)
@@ -512,9 +671,12 @@ def unpack_iframe_state(st, w: int, h: int, log2_ctu: int):
             mode = int(imode[byi, bxi])
             if sz == 0:
                 l = levs[byi, bxi]
+                m4 = tuple(int(x) for x in imode4[byi, bxi]) \
+                    if (imode4 is not None and part[byi, bxi]) else None
                 decisions[(bxi * 8, byi * 8)] = LeafDecision(
                     mode, 3, l[:64].reshape(8, 8),
-                    l[64:80].reshape(4, 4), l[80:96].reshape(4, 4))
+                    l[64:80].reshape(4, 4), l[80:96].reshape(4, 4),
+                    modes4=m4)
             elif sz == 1:
                 l2 = levs[byi:byi + 2, bxi:bxi + 2].reshape(4, 96)
                 flat = np.concatenate([l2[0], l2[1], l2[2], l2[3]])

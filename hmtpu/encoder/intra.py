@@ -182,29 +182,51 @@ class IntraFrameEncoder:
         n_ctu_y = sps.pic_height_in_ctus
         ctu = sps.ctu_size
 
-        def encode_cu(x0, y0, log2):
-            bxi, byi = x0 // 8, y0 // 8
-            if log2 == sps.log2_min_cb_size:
-                enc.encode_bin(OFF["PART_SIZE"], 1)  # 2Nx2N
-            mode = int(mode8[byi, bxi])
-            left_mode = mode8[byi, bxi - 1] if bxi > 0 else -1
-            above_mode = mode8[byi - 1, bxi] \
-                if (byi > 0 and (y0 % ctu) != 0) else -1
-            mpms = mpm_list(left_mode if left_mode >= 0 else DC_IDX,
-                            above_mode if above_mode >= 0 else DC_IDX)
+        # PU-granular (4x4) mode map for MPM derivation — built in
+        # decode order; equals replicated mode8 while no NxN CU exists
+        mode4 = np.full((h // 4, w // 4), -1, np.int32)
+
+        def mpm_at(px, py):
+            """8.4.2 candidate list for the PU at (px, py) from the
+            4x4-granular neighbour modes."""
+            qx, qy = px // 4, py // 4
+            lm = mode4[qy, qx - 1] if qx > 0 else -1
+            am = mode4[qy - 1, qx] \
+                if (qy > 0 and (py % ctu) != 0) else -1
+            return mpm_list(lm if lm >= 0 else DC_IDX,
+                            am if am >= 0 else DC_IDX)
+
+        def mode_syntax(enc_flags_only, mode, mpms):
+            if enc_flags_only:
+                enc.encode_bin(OFF["INTRA_PRED_MODE"],
+                               1 if mode in mpms else 0)
+                return
             if mode in mpms:
-                enc.encode_bin(OFF["INTRA_PRED_MODE"], 1)
                 idx = mpms.index(mode)
                 enc.encode_bin_ep(0 if idx == 0 else 1)
                 if idx:
                     enc.encode_bin_ep(idx - 1)
             else:
-                enc.encode_bin(OFF["INTRA_PRED_MODE"], 0)
                 enc.encode_bins_ep(encode_rem_mode(mode, mpms), 5)
+
+        def encode_cu(x0, y0, log2):
+            bxi, byi = x0 // 8, y0 // 8
+            d = decisions[(x0, y0)]
+            nxn = getattr(d, "modes4", None) is not None
+            if log2 == sps.log2_min_cb_size:
+                enc.encode_bin(OFF["PART_SIZE"], 0 if nxn else 1)
+            if nxn:
+                encode_cu_nxn(x0, y0, d)
+                return
+            mode = int(mode8[byi, bxi])
+            mpms = mpm_at(x0, y0)
+            mode_syntax(True, mode, mpms)
+            mode_syntax(False, mode, mpms)
+            nq = (1 << log2) // 4
+            mode4[y0 // 4:y0 // 4 + nq, x0 // 4:x0 // 4 + nq] = mode
             # intra_chroma_pred_mode = DM
             enc.encode_bin(OFF["CHROMA_PRED_MODE"], 0)
 
-            d = decisions[(x0, y0)]
             cbf_y = bool(d.lev_y.any())
             cbf_cb = bool(d.lev_cb.any())
             cbf_cr = bool(d.lev_cr.any())
@@ -222,6 +244,44 @@ class IntraFrameEncoder:
             if cbf_cr:
                 enc.residual(d.lev_cr, clog2, False,
                              intra_scan_idx(mode, clog2, False), sdh)
+
+        def encode_cu_nxn(x0, y0, d):
+            """part NxN: four 4x4 luma PUs (7.4.9.5 pcm/intra syntax
+            order: all prev_intra flags, then per-PU mpm_idx/rem), TU
+            split implied, chroma coded with the last sub-TU."""
+            ms = [int(m) for m in d.modes4]
+            offs = ((0, 0), (4, 0), (0, 4), (4, 4))   # z-order (dx,dy)
+            # derive the four MPM lists in PU decode order, updating
+            # the mode map as the decoder will
+            mpms_l = []
+            for m, (dx, dy) in zip(ms, offs):
+                mpms_l.append(mpm_at(x0 + dx, y0 + dy))
+                mode4[(y0 + dy) // 4, (x0 + dx) // 4] = m
+            for m, mp in zip(ms, mpms_l):
+                mode_syntax(True, m, mp)
+            for m, mp in zip(ms, mpms_l):
+                mode_syntax(False, m, mp)
+            enc.encode_bin(OFF["CHROMA_PRED_MODE"], 0)
+            cbf_cb = bool(d.lev_cb.any())
+            cbf_cr = bool(d.lev_cr.any())
+            enc.encode_bin(OFF["QT_CBF_CHROMA"] + 0, int(cbf_cb))
+            enc.encode_bin(OFF["QT_CBF_CHROMA"] + 0, int(cbf_cr))
+            for p, (dx, dy) in enumerate(offs):
+                sub = d.lev_y[dy:dy + 4, dx:dx + 4]
+                cbf = bool(sub.any())
+                enc.encode_bin(OFF["QT_CBF_LUMA"] + 0, int(cbf))
+                if cbf:
+                    enc.residual(sub, 2, True,
+                                 intra_scan_idx(ms[p], 2, True), sdh)
+                if p == 3:
+                    if cbf_cb:
+                        enc.residual(d.lev_cb, 2, False,
+                                     intra_scan_idx(ms[0], 2, False),
+                                     sdh)
+                    if cbf_cr:
+                        enc.residual(d.lev_cr, 2, False,
+                                     intra_scan_idx(ms[0], 2, False),
+                                     sdh)
 
         def split_ctx_inc(x0, y0, depth):
             inc = 0

@@ -45,12 +45,17 @@ SIZES = (8, 16, 32)
 
 @dataclass
 class LeafDecision:
-    """One chosen intra CU (leaf of the coding quadtree)."""
+    """One chosen intra CU (leaf of the coding quadtree).
+
+    modes4: for an 8x8 CU with part NxN, the four 4x4 PU luma modes
+    in z-order (lev_y then holds the four 4x4 TBs in their quadrant
+    positions); None = part 2Nx2N."""
     mode: int
     log2: int
     lev_y: np.ndarray
     lev_cb: np.ndarray
     lev_cr: np.ndarray
+    modes4: tuple | None = None
 
 
 # ---------------------------------------------------------------------------

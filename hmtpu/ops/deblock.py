@@ -377,14 +377,20 @@ def _chroma_edges_dev(pl, bs2, qp_c: int, bd: int, tc_off: int):
     import jax.numpy as jnp
 
     h, w = pl.shape
-    ne = w // 8 - 1
+    # interior 8-grid edges: edge at x needs q1 at x+1 <= w-1, so the
+    # last edge can sit past w//8*8-8 when w is not a multiple of 8
+    # (4:2:0 chroma planes are only multiples of 4)
+    ne = max((w - 2) // 8, 0)
     ns = h // 4
     on = bs2[:, :ne, None]
     q_idx = jnp.clip(qp_c + 2 + (tc_off << 1), 0, 53)
     tc = jnp.asarray(TC_TABLE)[q_idx] << (bd - 8)
     maxv = (1 << bd) - 1
 
-    seg0 = pl[:, 6:6 + ne * 8].reshape(ns, 4, ne, 8).transpose(0, 2, 1, 3)
+    pad = max(6 + ne * 8 - w, 0)
+    plp = jnp.pad(pl, ((0, 0), (0, pad)), mode="edge") if pad else pl
+    seg0 = plp[:, 6:6 + ne * 8].reshape(ns, 4, ne, 8) \
+        .transpose(0, 2, 1, 3)
     seg = seg0.astype(jnp.int32)
     p1, p0, q0, q1 = (seg[..., i] for i in range(4))
     delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
@@ -392,7 +398,8 @@ def _chroma_edges_dev(pl, bs2, qp_c: int, bd: int, tc_off: int):
     o_q0 = jnp.where(on, jnp.clip(q0 - delta, 0, maxv), q0)
     out = seg.at[..., 1].set(o_p0).at[..., 2].set(o_q0)
     mid = out.transpose(0, 2, 1, 3).reshape(ns * 4, ne * 8)
-    return jnp.concatenate([pl[:, :6], mid, pl[:, 6 + ne * 8:]], axis=1)
+    return jnp.concatenate([plp[:, :6], mid, plp[:, 6 + ne * 8:]],
+                           axis=1)[:, :w]
 
 
 def _motion_bs_dev(jnp, pmx, pmy, pr, qmx, qmy, qr):

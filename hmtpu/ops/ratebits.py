@@ -327,6 +327,11 @@ def part_size_2nx2n_bits(cbflat):
     return cbflat[2 * OFF["PART_SIZE"] + 1]
 
 
+def part_size_nxn_bits(cbflat):
+    """part_mode = NxN at the minimum CU size (bin 0 on the same ctx)."""
+    return cbflat[2 * OFF["PART_SIZE"] + 0]
+
+
 def mvp_idx_bits(cbflat, idx):
     return _gc(cbflat, OFF["MVP_IDX"], idx)
 
