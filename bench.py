@@ -18,6 +18,18 @@ def main():
     frames_n = int(os.environ.get("HMTPU_BENCH_FRAMES", "30"))
     qp = int(os.environ.get("HMTPU_BENCH_QP", "22"))
     bd_frames = int(os.environ.get("HMTPU_BENCH_BD_FRAMES", "20"))
+    decision = os.environ.get("HMTPU_BENCH_DECISION", "jacobi")
+
+    import jax
+
+    # persistent XLA compile cache: the pass compiles one variant per
+    # (subpel, active-ref-count); cold ~8 min each on the chip,
+    # cached runs start in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("HMTPU_JAX_CACHE",
+                                     "/root/jax_cache_bench"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      5.0)
 
     import numpy as np
 
@@ -31,7 +43,8 @@ def main():
 
     def run(n, q, subpel="nn"):
         enc = Encoder(EncoderConfig(width=416, height=240, qp=q,
-                                    gop="ldp", subpel=subpel))
+                                    gop="ldp", subpel=subpel,
+                                    decision=decision))
         t0 = time.time()
         enc.encode_sequence(frames[:n])
         return enc, time.time() - t0

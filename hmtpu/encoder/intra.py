@@ -145,7 +145,8 @@ class IntraFrameEncoder:
             w=w, h=h, bd=self.bd, sis=sps.strong_intra_smoothing,
             log2_ctu=sps.log2_ctu_size, deblock=deblock, sao=sao,
             ctu=sps.ctu_size, cb_off=self.pps.cb_qp_offset,
-            cr_off=self.pps.cr_qp_offset, qp_factor=lam_factor,
+            cr_off=self.pps.cr_qp_offset,
+            qp_factor=jnp.float32(lam_factor),
             sdh=bool(self.pps.sign_data_hiding))
         st = {k: np.asarray(v).astype(np.int32)
               for k, v in jax.device_get(st).items()}

@@ -1249,7 +1249,8 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 
 _FPP_STATICS = ("w", "h", "num_ref", "max_merge", "bd", "srange",
                 "subpel", "deblock", "sao", "ctu", "cb_off", "cr_off",
-                "tmvp", "sdh", "num_ref_l1", "l0map", "l1map", "rdoq")
+                "tmvp", "sdh", "num_ref_l1", "l0map", "l1map", "rdoq",
+                "decision")
 
 
 def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
@@ -1265,7 +1266,7 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                      qp_factor=0.57, tmvp: bool = False,
                      sdh: bool = False, num_ref_l1: int = 0,
                      l0map: tuple = None, l1map: tuple = None,
-                     rdoq: bool = True):
+                     rdoq: bool = True, decision: str = "scan"):
     """ME + sub-pel + wavefront decision + in-loop filters in ONE
     dispatch, with compact output dtypes (spec coefficient range is
     int16; recon fits the bit depth) to minimise the device->host
@@ -1421,21 +1422,36 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
             else (mv32q_x, mv32q_y, r32)
 
     levels = 3 if three_level else (2 if two_level else 1)
-    st = wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
-                        mvq_x, mvq_y, rsel, lv_blk, nb_ok, nb_flat,
-                        sub_y, none_y, sub_c, none_c, ref_pocs, cur_poc,
-                        mv16=mv16, sched16=sched16, mv32=mv32,
-                        sched32=sched32, qp=qp,
-                        qpc=qpc, col=col, col_poc=col_poc,
-                        cbflat=cbflat,
-                        mv_lx=lxsel if is_b else None,
-                        ref_pocs_l1=ref_pocs_l1,
-                        w=w, h=h, num_ref=num_ref, max_merge=max_merge,
-                        bd=bd, qp_factor=qp_factor,
-                        levels=levels, tmvp=tmvp,
-                        log2_ctu=ctu.bit_length() - 1, sdh=sdh,
-                        num_ref_l1=num_ref_l1, l0map=l0map,
-                        l1map=l1map, rdoq=rdoq)
+    if decision == "jacobi" and not is_b and three_level:
+        from hmtpu.encoder.pframe_jacobi import wavefront_pass_jacobi
+        st = wavefront_pass_jacobi(
+            org_y, org_u, org_v, refs_y, refs_u, refs_v,
+            mvq_x, mvq_y, rsel, nb_ok, nb_flat,
+            sub_y, none_y, sub_c, none_c, ref_pocs, cur_poc,
+            mv16, sched16, mv32, sched32, qp=qp, qpc=qpc,
+            col=col, col_poc=col_poc, cbflat=cbflat,
+            w=w, h=h, num_ref=num_ref, max_merge=max_merge, bd=bd,
+            qp_factor=qp_factor, tmvp=tmvp,
+            log2_ctu=ctu.bit_length() - 1, sdh=sdh, rdoq=rdoq)
+    else:
+        st = wavefront_pass(org_y, org_u, org_v, refs_y, refs_u,
+                            refs_v,
+                            mvq_x, mvq_y, rsel, lv_blk, nb_ok, nb_flat,
+                            sub_y, none_y, sub_c, none_c, ref_pocs,
+                            cur_poc,
+                            mv16=mv16, sched16=sched16, mv32=mv32,
+                            sched32=sched32, qp=qp,
+                            qpc=qpc, col=col, col_poc=col_poc,
+                            cbflat=cbflat,
+                            mv_lx=lxsel if is_b else None,
+                            ref_pocs_l1=ref_pocs_l1,
+                            w=w, h=h, num_ref=num_ref,
+                            max_merge=max_merge,
+                            bd=bd, qp_factor=qp_factor,
+                            levels=levels, tmvp=tmvp,
+                            log2_ctu=ctu.bit_length() - 1, sdh=sdh,
+                            num_ref_l1=num_ref_l1, l0map=l0map,
+                            l1map=l1map, rdoq=rdoq)
 
     # ---- in-loop filters, still on device (8.7.2 deblock, 8.7.3 SAO)
     if deblock or sao:
@@ -1512,11 +1528,13 @@ class PFrameDeviceEncoder(PFrameEncoder):
     contract, decision pass on device (entropy pass inherited)."""
 
     def __init__(self, *a, qp_factor: float = 0.57, tmvp: bool = True,
-                 ctx_states=None, rdoq: bool = True, **kw):
+                 ctx_states=None, rdoq: bool = True,
+                 decision: str = "scan", **kw):
         super().__init__(*a, **kw)
         self.qp_factor = qp_factor
         self.tmvp = tmvp
         self.rdoq = rdoq
+        self.decision = decision
         # context states pricing the decision pass (harvested from a
         # previous frame's real entropy coding, or None -> slice init)
         self.ctx_states = ctx_states
@@ -1593,10 +1611,13 @@ class PFrameDeviceEncoder(PFrameEncoder):
             bd=bd, srange=self.search_range,
             subpel=self.subpel, deblock=deblock_on, sao=sao_on,
             ctu=sps.ctu_size, cb_off=self.pps.cb_qp_offset,
-            cr_off=self.pps.cr_qp_offset, qp_factor=self.qp_factor,
+            # traced (device scalar): distinct per-GOP-position lambda
+            # factors must not fan out into separate compiled variants
+            cr_off=self.pps.cr_qp_offset,
+            qp_factor=jnp.float32(self.qp_factor),
             tmvp=use_tmvp, sdh=bool(self.pps.sign_data_hiding),
             num_ref_l1=num_ref_l1, l0map=l0map, l1map=l1map,
-            rdoq=self.rdoq)
+            rdoq=self.rdoq, decision=self.decision)
         # this frame's motion on the 8x8 grid, kept on device as the
         # NEXT frame's collocated field (the 16x16 compression is the
         # reader's index rounding); L0 motion (col pic convention)

@@ -48,6 +48,10 @@ class EncoderConfig:
     # RDOQ trellis in the device quantiser (TComTrQuant RDOQ flag);
     # False = plain deadzone quantisation (+ SDH parity stage)
     rdoq: bool = True
+    # P-slice decision engine: "scan" = exact z-scan wavefront,
+    # "jacobi" = batched iteration + exact syntax repair
+    # (encoder/pframe_jacobi.py)
+    decision: str = "scan"
     # device wavefront decision pass for P slices (encoder/pframe_dev.py)
     wavefront: bool = True
     nn_weights_dir: str | None = None
@@ -317,7 +321,7 @@ class Encoder:
                                  nn_params=self.nn_params,
                                  search_range=cfg.search_range,
                                  qp_factor=qpf, tmvp=cfg.tmvp,
-                                 rdoq=cfg.rdoq,
+                                 rdoq=cfg.rdoq, decision=cfg.decision,
                                  ctx_states=self._ctx_harvest.get(
                                      gpos_key))
         pe._gpos_key = gpos_key
