@@ -1257,7 +1257,7 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                      lv_blk, nb_ok, nb_flat, sub_y, none_y, sub_c,
                      none_c, sched16, sched32, ref_pocs, cur_poc,
                      qp=32, qpc=32, col=None, col_poc=0, cbflat=None,
-                     ref_pocs_l1=None,
+                     ref_pocs_l1=None, n_active=None,
                      *, w: int, h: int,
                      num_ref: int, max_merge: int,
                      bd: int, srange: int, subpel: str,
@@ -1277,11 +1277,18 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     integer-ME stage searches every reference of both lists, keeping
     the best (list, ref, MV) triple per block for the AMVP candidate
     (TEncSearch::predInterSearch's per-list loop; bi candidates enter
-    through the merge list)."""
+    through the merge list).
+
+    P slices pad the L0 reference stack to a FIXED num_ref (the DPB
+    ramp otherwise mints one compiled variant per active-ref count);
+    `n_active` is the traced real count — padded refs are masked out
+    of ME selection, so decisions never reference them."""
     from hmtpu.search.me import frac_refine_batch, integer_me
 
     bw, bh = w // 8, h // 8
     is_b = num_ref_l1 > 0
+    if n_active is None:
+        n_active = jnp.int32(num_ref)
     lam_sqrt = jnp.sqrt(jnp.float32(qp_factor)
                         * jnp.power(2.0, (qp - 12) / 3.0)
                         .astype(jnp.float32))
@@ -1307,8 +1314,12 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
             refbits = 0.0 if nr == 1 else float(1 + min(r, nr - 2))
             mv_all.append(jnp.stack([mx, my]))
             sten_all.append(sten)
-            cost_all.append(sad.astype(jnp.float32)
-                            + lam_sqrt * refbits)
+            cost = sad.astype(jnp.float32) + lam_sqrt * refbits
+            if lx == 0:
+                # padded (inactive) L0 refs never win
+                cost = cost + jnp.where(jnp.int32(r) < n_active,
+                                        0.0, BIG)
+            cost_all.append(cost)
             meta.append((lx, r))
         sel = jnp.argmin(jnp.stack(cost_all), axis=0).astype(jnp.int32)
         mvsel = jnp.take_along_axis(jnp.stack(mv_all),
@@ -1529,12 +1540,15 @@ class PFrameDeviceEncoder(PFrameEncoder):
 
     def __init__(self, *a, qp_factor: float = 0.57, tmvp: bool = True,
                  ctx_states=None, rdoq: bool = True,
-                 decision: str = "scan", **kw):
+                 decision: str = "scan", pad_refs: int = 0, **kw):
         super().__init__(*a, **kw)
         self.qp_factor = qp_factor
         self.tmvp = tmvp
         self.rdoq = rdoq
         self.decision = decision
+        # pad the P-slice L0 stack to this many refs (0 = no padding)
+        # so the DPB ramp reuses one compiled variant
+        self.pad_refs = pad_refs
         # context states pricing the decision pass (harvested from a
         # previous frame's real entropy coding, or None -> slice init)
         self.ctx_states = ctx_states
@@ -1574,10 +1588,15 @@ class PFrameDeviceEncoder(PFrameEncoder):
             num_ref_l1 = len(ref_pocs_l1)
             pocs_l1 = jnp.asarray(ref_pocs_l1, jnp.int32)
         else:
-            union_refs = refs
+            union_refs = list(refs)
             l0map = l1map = None
             num_ref_l1 = 0
             pocs_l1 = None
+        n_active = len(refs)
+        ref_pocs = list(ref_pocs)
+        if not is_b and self.pad_refs > n_active:
+            union_refs += [union_refs[-1]] * (self.pad_refs - n_active)
+            ref_pocs += [ref_pocs[-1]] * (self.pad_refs - n_active)
         refs_y = jnp.stack([plane(r, 0, r.y) for r in union_refs])
         refs_u = jnp.stack([plane(r, 1, r.u) for r in union_refs])
         refs_v = jnp.stack([plane(r, 2, r.v) for r in union_refs])
@@ -1590,8 +1609,19 @@ class PFrameDeviceEncoder(PFrameEncoder):
         # pic — all-intra, so the candidate never exists anyway.
         col_in = getattr(refs[0], "dev_col", None) \
             if self.tmvp and sh.temporal_mvp and not is_b else None
-        use_tmvp = col_in is not None
-        col_arrays, col_poc = col_in if use_tmvp else (None, 0)
+        use_tmvp = self.tmvp and sh.temporal_mvp and not is_b
+        if col_in is not None:
+            col_arrays, col_poc = col_in
+        elif use_tmvp:
+            # IDR collocated picture (all-intra): synthesize an empty
+            # motion field so the first P frame shares the tmvp=True
+            # compiled variant — the candidate never fires (ok=False),
+            # identical to HM's unavailable-col derivation
+            bw0, bh0 = w // 8, h // 8
+            z = jnp.zeros((bh0, bw0), jnp.int32)
+            col_arrays, col_poc = (z, z, z.astype(bool), z), 0
+        else:
+            col_arrays, col_poc = None, 0
         from hmtpu.entropy.contexts import make_contexts
         from hmtpu.entropy.fracbits import ctx_bits_table
         ctx0 = self.ctx_states if self.ctx_states is not None \
@@ -1607,7 +1637,10 @@ class PFrameDeviceEncoder(PFrameEncoder):
             jnp.asarray(ref_pocs, jnp.int32), jnp.int32(poc),
             jnp.int32(qp), jnp.int32(qpc),
             col_arrays, jnp.int32(col_poc), cbflat, pocs_l1,
-            w=w, h=h, num_ref=len(refs), max_merge=sh.max_num_merge_cand,
+            jnp.int32(n_active),
+            w=w, h=h,
+            num_ref=len(refs) if is_b else len(union_refs),
+            max_merge=sh.max_num_merge_cand,
             bd=bd, srange=self.search_range,
             subpel=self.subpel, deblock=deblock_on, sao=sao_on,
             ctu=sps.ctu_size, cb_off=self.pps.cb_qp_offset,

@@ -322,6 +322,7 @@ class Encoder:
                                  search_range=cfg.search_range,
                                  qp_factor=qpf, tmvp=cfg.tmvp,
                                  rdoq=cfg.rdoq, decision=cfg.decision,
+                                 pad_refs=cfg.num_refs,
                                  ctx_states=self._ctx_harvest.get(
                                      gpos_key))
         pe._gpos_key = gpos_key
