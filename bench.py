@@ -4,7 +4,11 @@ throughput vs the measured HM-16.9 baseline (BASELINE_MEASURED.json),
 and run the 4-QP BD-rate sweep against the 20-frame HM anchors
 (tools/anchors_20f.json, SURVEY §6 protocol).
 
-Prints exactly one JSON line:
+Prints the headline JSON line IMMEDIATELY after the timed run (so a
+timeout during the sweeps still leaves a parseable result), then the
+same schema re-printed with the BD-rate fields filled once the sweeps
+finish — a parser taking either the first or the last JSON line gets
+fps + vs_baseline either way:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
    "bd_rate_y_pct": N, ...}
 """
@@ -19,12 +23,13 @@ def main():
     qp = int(os.environ.get("HMTPU_BENCH_QP", "22"))
     bd_frames = int(os.environ.get("HMTPU_BENCH_BD_FRAMES", "20"))
     decision = os.environ.get("HMTPU_BENCH_DECISION", "jacobi")
+    run_sweeps = os.environ.get("HMTPU_BENCH_SWEEPS", "1") != "0"
 
     import jax
 
-    # persistent XLA compile cache: the pass compiles one variant per
-    # (subpel, active-ref-count); cold ~8 min each on the chip,
-    # cached runs start in seconds
+    # persistent XLA compile cache: one P variant per sub-pel strategy
+    # (the ref stack is padded so the DPB ramp reuses it); cold ~8 min
+    # each on the chip, cached runs start in seconds
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("HMTPU_JAX_CACHE",
                                      "/root/jax_cache_bench"))
@@ -49,7 +54,7 @@ def main():
         enc.encode_sequence(frames[:n])
         return enc, time.time() - t0
 
-    run(min(6, frames_n), qp)             # warmup: compile all variants
+    run(3, qp)                 # warmup: compile I + the single P variant
     enc, dt = run(frames_n, qp)
     fps = frames_n / dt
 
@@ -59,6 +64,26 @@ def main():
 
     mean_psnr = sum(r.psnr_y for r in enc.results) / len(enc.results)
     bitrate = sum(r.bits for r in enc.results) / frames_n * 50 / 1000.0
+
+    result = {
+        "metric": f"encode_fps_ldp_nnfme_416x240_qp{qp}",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / hm["fps"], 4),
+        "decision": decision,
+        "bd_rate_y_pct": None,
+        "bd_rate_y_pct_dctif": None,
+        "bd_rate_y_pct_integer": None,
+        "psnr_y": round(mean_psnr, 3),
+        "bitrate_kbps": round(bitrate, 1),
+        "hm_fps": hm["fps"],
+        "hm_bitrate_kbps": hm["bitrate_kbps"],
+        "hm_psnr_y": hm["psnr_y"],
+    }
+    # headline first — a sweep timeout must not erase the fps number
+    print(json.dumps(result), flush=True)
+    if not run_sweeps:
+        return
 
     # ---- BD-rate sweep vs the 20-frame HM anchors.  A sweep failure
     # is a bench failure (it used to be silently swallowed to null).
@@ -83,23 +108,12 @@ def main():
         return bd_rate(ar, ap, ours_r, ours_p)
 
     bd = sweep("nn")
-    bd_dctif = sweep("dctif")
-    bd_int = sweep("none")
-
-    print(json.dumps({
-        "metric": f"encode_fps_ldp_nnfme_416x240_qp{qp}",
-        "value": round(fps, 4),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / hm["fps"], 4),
-        "bd_rate_y_pct": None if bd is None else round(bd, 1),
-        "bd_rate_y_pct_dctif": round(bd_dctif, 1),
-        "bd_rate_y_pct_integer": round(bd_int, 1),
-        "psnr_y": round(mean_psnr, 3),
-        "bitrate_kbps": round(bitrate, 1),
-        "hm_fps": hm["fps"],
-        "hm_bitrate_kbps": hm["bitrate_kbps"],
-        "hm_psnr_y": hm["psnr_y"],
-    }))
+    result["bd_rate_y_pct"] = None if bd is None else round(bd, 1)
+    print(json.dumps(result), flush=True)
+    result["bd_rate_y_pct_dctif"] = round(sweep("dctif"), 1)
+    print(json.dumps(result), flush=True)
+    result["bd_rate_y_pct_integer"] = round(sweep("none"), 1)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
