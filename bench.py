@@ -22,7 +22,9 @@ def main():
     frames_n = int(os.environ.get("HMTPU_BENCH_FRAMES", "30"))
     qp = int(os.environ.get("HMTPU_BENCH_QP", "22"))
     bd_frames = int(os.environ.get("HMTPU_BENCH_BD_FRAMES", "20"))
-    decision = os.environ.get("HMTPU_BENCH_DECISION", "jacobi")
+    # scan = BD flagship (+74% vs HM anchors, chip-measured r4);
+    # jacobi = speed engine (2.08 vs 1.42 fps, +92%) — HMTPU_BENCH_DECISION
+    decision = os.environ.get("HMTPU_BENCH_DECISION", "scan")
     run_sweeps = os.environ.get("HMTPU_BENCH_SWEEPS", "1") != "0"
 
     import jax

@@ -35,6 +35,8 @@ def main(argv=None) -> int:
         subpel=app.subpel, search_range=min(app.search_range, 64),
         max_num_merge_cand=app.max_num_merge_cand,
         sign_data_hiding=app.sign_hiding,
+        rdoq=app.rdoq, tmvp=app.tmvp, decision=app.decision,
+        target_kbps=app.target_kbps, frame_rate=app.frame_rate,
         nn_weights_dir=app.nn_weights_dir or None))
 
     rd = YuvReader(app.input_file, app.width, app.height,

@@ -93,6 +93,12 @@ class AppConfig:
     sign_hiding: bool = False
     subpel: str = "dctif"
     nn_weights_dir: str = ""
+    rdoq: bool = True
+    tmvp: bool = True
+    transform_skip: bool = False
+    rate_control: bool = False
+    target_kbps: float = 0.0
+    decision: str = "scan"
     ignored: list = field(default_factory=list)
 
 
@@ -106,15 +112,15 @@ _ACCEPTED_KEYS = {
     "QuadtreeTUMaxDepthInter", "QuadtreeTUMaxDepthIntra",
     "DecodingRefreshType", "FastSearch", "BipredSearchRange",
     "HadamardME", "FEN", "FDM", "MaxDeltaQP", "MaxCuDQPDepth",
-    "DeltaQpRD", "RDOQ", "RDOQTS", "TransformSkip", "TransformSkipFast",
+    "DeltaQpRD", "RDOQTS", "TransformSkipFast",
     "SliceChromaQPOffsetPeriodicity", "SliceCbQpOffsetIntraOrPeriodic",
     "SliceCrQpOffsetIntraOrPeriodic", "LoopFilterOffsetInPPS",
     "LoopFilterBetaOffset_div2", "LoopFilterTcOffset_div2",
     "DeblockingFilterMetric", "InputChromaFormat", "ConformanceWindowMode",
-    "PCMEnabledFlag", "EnableTemporalMvp", "TemporalLevel0IndexSEIEnabled",
+    "PCMEnabledFlag", "TemporalLevel0IndexSEIEnabled",
     "SEIDecodedPictureHash", "CUTransquantBypassFlagForce",
     "TransquantBypassEnableFlag", "WaveFrontSynchro", "ScalingList",
-    "AdaptiveQP", "RateControl", "TargetBitrate", "LCULevelRateControl",
+    "AdaptiveQP", "LCULevelRateControl",
     "RCLCUSeparateModel", "InitialQP", "RCForceIntraQP", "Frame1",
     "Frame2", "Frame3", "Frame4", "Frame5", "Frame6", "Frame7", "Frame8",
 }
@@ -153,6 +159,17 @@ def resolve(opts: dict[str, str]) -> AppConfig:
         opts.get("LoopFilterDisable", "0").lower(), False)
     cfg.subpel = opts.get("SubPel", cfg.subpel).lower()
     cfg.nn_weights_dir = opts.get("NNWeightsDir", "")
+    cfg.rdoq = _BOOLISH.get(opts.get("RDOQ", "1").lower(), True)
+    cfg.tmvp = _BOOLISH.get(opts.get("EnableTemporalMvp", "1").lower(),
+                            True)
+    cfg.transform_skip = _BOOLISH.get(
+        opts.get("TransformSkip", "0").lower(), False)
+    cfg.rate_control = _BOOLISH.get(
+        opts.get("RateControl", "0").lower(), False)
+    if cfg.rate_control:
+        # HM TargetBitrate is in bps (TAppEncCfg.cpp RateControl group)
+        cfg.target_kbps = float(opts.get("TargetBitrate", "0")) / 1000.0
+    cfg.decision = opts.get("DecisionEngine", cfg.decision).lower()
 
     # GOP structure: intra period 1 => all intra; B rows => random
     # access; otherwise low-delay P (the reference BASELINE configs)
@@ -176,6 +193,8 @@ def resolve(opts: dict[str, str]) -> AppConfig:
         "InputBitDepth", "InternalBitDepth", "QP", "IntraPeriod",
         "GOPSize", "SearchRange", "MaxNumMergeCand", "SignHideFlag",
         "SAO", "LoopFilterDisable", "SubPel", "NNWeightsDir",
+        "RDOQ", "EnableTemporalMvp", "TransformSkip", "RateControl",
+        "TargetBitrate", "DecisionEngine",
     }
     for k in opts:
         if k not in handled and k not in _ACCEPTED_KEYS \

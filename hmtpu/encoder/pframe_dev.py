@@ -483,11 +483,14 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         M = max_merge
         rep = lambda a: jnp.repeat(a, M)
         two = lambda a: jnp.concatenate([a, a])
+        bits_mi_row = merge_idx_bits(cbflat, jnp.arange(M), max_merge)
         if is_b:
             cands = merge_b_nxn(nbv, nbp, x0, y0, 8)
             sse_l = jnp.sum((org[:, None] - cands[-1]) ** 2,
                             axis=(-1, -2))
-            mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+            mi = jnp.argmin(sse_l.astype(jnp.float32)
+                            + lam * bits_mi_row[None],
+                            axis=1).astype(jnp.int32)
             (w_dir, w_mvx, w_mvy, w_ref, w_mvx1, w_mvy1, w_ref1,
              pred_m, pred_mu, pred_mv_) = merge_b_winner(
                 cands, mi, x0, y0, 8)
@@ -498,14 +501,16 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                                                  num_ref, max_merge,
                                                  **tkw)
 
-            # luma SSE screening over all candidates
+            # luma SSE + merge_idx rate screening over all candidates
             pred_l = mc_luma_batch_refs(
                 refs_y, crf.reshape(-1), rep(x0), rep(y0),
                 cmx.reshape(-1), cmy.reshape(-1), 8, 8,
                 bd).reshape(B, M, 8, 8)
             sse_l = jnp.sum((org[:, None] - pred_l) ** 2,
                             axis=(-1, -2))
-            mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)  # (B,)
+            mi = jnp.argmin(sse_l.astype(jnp.float32)
+                            + lam * bits_mi_row[None],
+                            axis=1).astype(jnp.int32)  # (B,)
             w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
             w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
             w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
@@ -808,11 +813,14 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         M = max_merge
         rep = lambda a: jnp.repeat(a, M)
         two = lambda a: jnp.concatenate([a, a])
+        bits_mi_row = merge_idx_bits(cbflat, jnp.arange(M), max_merge)
         if is_b:
             cands = merge_b_nxn(nbv, nbp, x0, y0, 16)
             sse_l = jnp.sum((org[:, None] - cands[-1]) ** 2,
                             axis=(-1, -2))
-            mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+            mi = jnp.argmin(sse_l.astype(jnp.float32)
+                            + lam * bits_mi_row[None],
+                            axis=1).astype(jnp.int32)
             (w_dir, w_mvx, w_mvy, w_ref, w_mvx1, w_mvy1, w_ref1,
              pred_m, pred_mu, pred_mv_) = merge_b_winner(
                 cands, mi, x0, y0, 16)
@@ -828,7 +836,9 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                 .reshape(B, M, 16, 16)
             sse_l = jnp.sum((org[:, None] - pred_l) ** 2,
                             axis=(-1, -2))
-            mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+            mi = jnp.argmin(sse_l.astype(jnp.float32)
+                            + lam * bits_mi_row[None],
+                            axis=1).astype(jnp.int32)
             w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
             w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
             w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
@@ -1075,11 +1085,14 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         M = max_merge
         rep = lambda a: jnp.repeat(a, M)
         two = lambda a: jnp.concatenate([a, a])
+        bits_mi_row = merge_idx_bits(cbflat, jnp.arange(M), max_merge)
         if is_b:
             cands = merge_b_nxn(nbv, nbp, x0, y0, 32)
             sse_l = jnp.sum((org[:, None] - cands[-1]) ** 2,
                             axis=(-1, -2))
-            mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+            mi = jnp.argmin(sse_l.astype(jnp.float32)
+                            + lam * bits_mi_row[None],
+                            axis=1).astype(jnp.int32)
             (w_dir, w_mvx, w_mvy, w_ref, w_mvx1, w_mvy1, w_ref1,
              pred_m, pred_mu, pred_mv_) = merge_b_winner(
                 cands, mi, x0, y0, 32)
@@ -1095,7 +1108,9 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                 .reshape(B, M, 32, 32)
             sse_l = jnp.sum((org[:, None] - pred_l) ** 2,
                             axis=(-1, -2))
-            mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+            mi = jnp.argmin(sse_l.astype(jnp.float32)
+                            + lam * bits_mi_row[None],
+                            axis=1).astype(jnp.int32)
             w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
             w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
             w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
@@ -1283,12 +1298,30 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     ramp otherwise mints one compiled variant per active-ref count);
     `n_active` is the traced real count — padded refs are masked out
     of ME selection, so decisions never reference them."""
-    from hmtpu.search.me import frac_refine_batch, integer_me
+    from hmtpu.search.me import frac_refine_batch, integer_me, \
+        satd_batch
 
     bw, bh = w // 8, h // 8
     is_b = num_ref_l1 > 0
     if n_active is None:
         n_active = jnp.int32(num_ref)
+
+    def nn_gate(refs_p, uidx, xs, ys, org_blocks, int_x, int_y,
+                nn_qx, nn_qy, n):
+        """RD gate for the NN sub-pel MV (the reference overrides the
+        fractional MV unconditionally, TEncSearch.cpp:4586-4590, which
+        loses whenever the 49-class argmax misses; HM's own
+        xPatternRefinement always keeps the best-cost point incl. the
+        integer centre, TEncSearch.cpp:1591).  Keep the NN offset only
+        when its SATD beats the integer MV's."""
+        pred_nn = mc_luma_batch_refs(refs_p, uidx, xs, ys, nn_qx,
+                                     nn_qy, n, n, bd)
+        pred_i = mc_luma_batch_refs(refs_p, uidx, xs, ys, int_x * 4,
+                                    int_y * 4, n, n, bd)
+        better = satd_batch(org_blocks, pred_nn, n) \
+            < satd_batch(org_blocks, pred_i, n)
+        return (jnp.where(better, nn_qx, int_x * 4),
+                jnp.where(better, nn_qy, int_y * 4))
     lam_sqrt = jnp.sqrt(jnp.float32(qp_factor)
                         * jnp.power(2.0, (qp - 12) / 3.0)
                         .astype(jnp.float32))
@@ -1358,8 +1391,14 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
         st9 = stencil.reshape(-1, 9).astype(jnp.float32)
         sizes = jnp.full((bw * bh,), 8, jnp.int32)
         _, offs = predict_offsets(nn, st9, sizes, sizes)
-        mvq_x = (mvx.reshape(-1) * 4 + offs[:, 0]).reshape(bh, bw)
-        mvq_y = (mvy.reshape(-1) * 4 + offs[:, 1]).reshape(bh, bw)
+        ys0, xs0 = jnp.mgrid[0:bh, 0:bw] * 8
+        gx, gy = nn_gate(
+            refs_y, union_idx(rsel, lxsel).reshape(-1),
+            xs0.reshape(-1), ys0.reshape(-1), _blockify(org_y, 8),
+            mvx.reshape(-1), mvy.reshape(-1),
+            mvx.reshape(-1) * 4 + offs[:, 0],
+            mvy.reshape(-1) * 4 + offs[:, 1], 8)
+        mvq_x, mvq_y = gx.reshape(bh, bw), gy.reshape(bh, bw)
     elif subpel == "dctif":
         ys0, xs0 = jnp.mgrid[0:bh, 0:bw] * 8
         qx, qy = frac_refine_batch(
@@ -1380,10 +1419,16 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
             st9 = s16.reshape(-1, 9).astype(jnp.float32)
             sizes16 = jnp.full(((bh // 2) * (bw // 2),), 16, jnp.int32)
             _, offs16 = predict_offsets(nn, st9, sizes16, sizes16)
-            mv16q_x = (m16x_i.reshape(-1) * 4
-                       + offs16[:, 0]).reshape(bh // 2, bw // 2)
-            mv16q_y = (m16y_i.reshape(-1) * 4
-                       + offs16[:, 1]).reshape(bh // 2, bw // 2)
+            ys0, xs0 = jnp.mgrid[0:bh // 2, 0:bw // 2] * 16
+            gx, gy = nn_gate(
+                refs_y, union_idx(r16, lx16).reshape(-1),
+                xs0.reshape(-1), ys0.reshape(-1),
+                _blockify(org_y, 16),
+                m16x_i.reshape(-1), m16y_i.reshape(-1),
+                m16x_i.reshape(-1) * 4 + offs16[:, 0],
+                m16y_i.reshape(-1) * 4 + offs16[:, 1], 16)
+            mv16q_x = gx.reshape(bh // 2, bw // 2)
+            mv16q_y = gy.reshape(bh // 2, bw // 2)
         elif subpel == "dctif":
             ys0, xs0 = jnp.mgrid[0:bh // 2, 0:bw // 2] * 16
             qx, qy = frac_refine_batch(
@@ -1414,10 +1459,15 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
             st9 = s32.reshape(-1, 9).astype(jnp.float32)
             sizes32 = jnp.full((qh * qw,), 32, jnp.int32)
             _, offs32 = predict_offsets(nn, st9, sizes32, sizes32)
-            mv32q_x = (m32x_i.reshape(-1) * 4
-                       + offs32[:, 0]).reshape(qh, qw)
-            mv32q_y = (m32y_i.reshape(-1) * 4
-                       + offs32[:, 1]).reshape(qh, qw)
+            ys0, xs0 = jnp.mgrid[0:qh, 0:qw] * 32
+            gx, gy = nn_gate(
+                refs_p, union_idx(r32, lx32).reshape(-1),
+                xs0.reshape(-1), ys0.reshape(-1), _blockify(orgp, 32),
+                m32x_i.reshape(-1), m32y_i.reshape(-1),
+                m32x_i.reshape(-1) * 4 + offs32[:, 0],
+                m32y_i.reshape(-1) * 4 + offs32[:, 1], 32)
+            mv32q_x = gx.reshape(qh, qw)
+            mv32q_y = gy.reshape(qh, qw)
         elif subpel == "dctif":
             ys0, xs0 = jnp.mgrid[0:qh, 0:qw] * 32
             qx, qy = frac_refine_batch(
@@ -1522,7 +1572,7 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     rec_t = jnp.uint8 if bd == 8 else jnp.uint16
     small = dict(rec_y=rec_t, rec_u=rec_t, rec_v=rec_t,
                  blk=jnp.int16, levs=jnp.int16, imode=jnp.int8,
-                 sao=jnp.int8)
+                 sao=jnp.int8, dbg_repairs=jnp.int32)
     dev_planes = (st["rec_y"].reshape(h, w),
                   st["rec_u"].reshape(h // 2, w // 2),
                   st["rec_v"].reshape(h // 2, w // 2))

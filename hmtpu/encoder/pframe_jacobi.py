@@ -90,7 +90,8 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                           max_merge: int, bd: int = 8,
                           qp_factor=0.57, tmvp: bool = False,
                           log2_ctu: int = 6, sdh: bool = False,
-                          rdoq: bool = True):
+                          rdoq: bool = True, lite_rounds: int = 2,
+                          full_rounds: int = 1):
     """P-slice (uni-pred) three-level decision, batched.  Same output
     contract as pframe_dev.wavefront_pass(levels=3)."""
     from hmtpu.encoder.intra_rdo import _MODE_BITS, _satd
@@ -231,21 +232,21 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         8: dict(n=8, Pn=P, x0=x0_8, y0=y0_8, nbc=nb_flat, nbo=nb_ok,
                 traw=t_raw(8), amx=mvxf, amy=mvyf, aref=rself,
                 org=org_blk, orgu=orgu_blk, orgv=orgv_blk,
-                l2y=3, l2c=2, pred_a=pred_a8),
+                l2y=3, l2c=2, pred_a=pred_a8, cov=bidx[:, None]),
         16: dict(n=16, Pn=P16, x0=gx_all * 16, y0=gy_all * 16,
                  nbc=nb16_cell, nbo=nb16_ok, traw=t_raw(16),
                  amx=m16x, amy=m16y, aref=r16, org=org16_blk,
                  orgu=org16u, orgv=org16v, l2y=4, l2c=3,
-                 pred_a=pred_a16),
+                 pred_a=pred_a16, cov=cells16),
         32: dict(n=32, Pn=P32, x0=qx_all * 32, y0=qy_all * 32,
                  nbc=nb32_cell, nbo=nb32_ok, traw=t_raw(32, gwo=qw,
                                                         gho=qh),
                  amx=m32x, amy=m32y, aref=r32, org=org32_blk,
                  orgu=org32u, orgv=org32v, l2y=5, l2c=4,
-                 pred_a=pred_a32),
+                 pred_a=pred_a32, cov=cells8_32),
     }
 
-    def merge_from_field(F, L):
+    def merge_from_field(F, L, stick_bits=4.0):
         """Merge candidate list + SSE-screened winner for every CU of
         a level, lists derived from field F."""
         nbp = F[L["nbc"]]                               # (Pn, 5, 14)
@@ -260,7 +261,26 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             .reshape(Pn, M, n, n)
         sse_l = jnp.sum((L["org"][:, None] - pred_l) ** 2,
                         axis=(-1, -2))
-        mi = jnp.argmin(sse_l, axis=1).astype(jnp.int32)
+        # rate-aware screening: higher merge indices cost extra bins
+        # (TEncCu tries candidates by full RD incl. merge_idx bits;
+        # pure-SSE argmin overpays at high QP)
+        bits_mi = merge_idx_bits(cbflat, jnp.arange(M), max_merge)
+        # hysteresis: a candidate equal to this CU's committed motion
+        # in F gets a small bonus, so near-ties don't flip the motion
+        # field between rounds — every flip shifts the neighbours'
+        # final lists away from the lists decisions were made with,
+        # and each vanished candidate costs an AMVP syntax repair
+        # (the dominant high-QP bit leak of the two-round scheme)
+        corner = (L["y0"] // 8) * bw + (L["x0"] // 8)
+        cur = F[corner]
+        stick = (cur[:, K_DIR] > 0)[:, None] \
+            & (cmx == cur[:, K_MVX][:, None]) \
+            & (cmy == cur[:, K_MVY][:, None]) \
+            & (crf == cur[:, K_REF][:, None])
+        mi = jnp.argmin(sse_l.astype(jnp.float32)
+                        + lam * bits_mi[None]
+                        - lam * stick_bits * stick, axis=1) \
+            .astype(jnp.int32)
         g1 = lambda a: jnp.take_along_axis(a, mi[:, None], 1)[:, 0]
         w_mvx, w_mvy, w_ref = g1(cmx), g1(cmy), g1(crf)
         pred_m = jnp.take_along_axis(
@@ -338,7 +358,7 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         sp1_32 = lam * split_flag_bits(cbflat, z32 + 1, inc32)
         return sp0_16, sp1_16, sp0_32, sp1_32
 
-    def hierarchy(d8, d16, d32, F):
+    def hierarchy(d8, d16, d32, F, hyst=True):
         sp0_16, sp1_16, sp0_32, sp1_32 = split_prices(F, d16, d32)
         sum8 = d8["cost"][cells16].sum(axis=1)
         cost16f = d16["cost"] + sp0_16
@@ -400,19 +420,21 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     z = jnp.zeros((P,), jnp.int32)
     F0 = jnp.stack([z + 2, z, z, z, z, z + 1, mvxf, mvyf, rself,
                     z, z, z, z, z], axis=1)
-    l8 = decide_lite(F0, levels[8], 0)
-    l16 = decide_lite(F0, levels[16], 1)
-    l32 = decide_lite(F0, levels[32], 2)
-    l32["cost"] = jnp.where(full32, l32["cost"], BIG)
-    u16_l, u32_l = hierarchy(l8, l16, l32, F0)
-    F1 = commit_field(l8, l16, l32, u16_l, u32_l)
+    F1 = F0
+    for rnd in range(lite_rounds):
+        l8 = decide_lite(F1, levels[8], 0)
+        l16 = decide_lite(F1, levels[16], 1)
+        l32 = decide_lite(F1, levels[32], 2)
+        l32["cost"] = jnp.where(full32, l32["cost"], BIG)
+        u16_l, u32_l = hierarchy(l8, l16, l32, F1)
+        F1 = commit_field(l8, l16, l32, u16_l, u32_l)
 
     # ================= FULL round from F1 ===========================
-    def decide_full(F, L, with_intra):
+    def decide_full(F, L, with_intra, pen_bits=4.0):
         n, Pn = L["n"], L["Pn"]
         szc = {8: 0, 16: 1, 32: 2}[n]
         (nbv, nbp, mi, w_mvx, w_mvy, w_ref, pred_m) = \
-            merge_from_field(F, L)
+            merge_from_field(F, L, stick_bits=pen_bits)
         pred_mu, pred_mv_ = merge_chroma(L, w_mvx, w_mvy, w_ref)
         pa_y, pa_u, pa_v = L["pred_a"]
         org, orgu, orgv = L["org"], L["orgu"], L["orgv"]
@@ -471,15 +493,27 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         cbf_a = (jnp.any(lev_ay.reshape(Pn, npx) != 0, 1),
                  jnp.any(lev_au.reshape(Pn, ncb) != 0, 1),
                  jnp.any(lev_av.reshape(Pn, ncb) != 0, 1))
-        cost_skip = msse3 + lam * (b_skip1 + b_mi)
+        # motion-divergence penalty (same rationale as the merge
+        # hysteresis): options that would CHANGE this CU's committed
+        # motion destabilise the neighbours' final lists; every
+        # vanished candidate costs an AMVP syntax repair (~19 bits)
+        cur = F[corner]
+        same_m = (cur[:, K_DIR] > 0) & (w_mvx == cur[:, K_MVX]) \
+            & (w_mvy == cur[:, K_MVY]) & (w_ref == cur[:, K_REF])
+        same_a = (cur[:, K_DIR] > 0) & (L["amx"] == cur[:, K_MVX]) \
+            & (L["amy"] == cur[:, K_MVY]) \
+            & (L["aref"] == cur[:, K_REF])
+        pen_m = lam * pen_bits * (1.0 - same_m)
+        pen_a = lam * pen_bits * (1.0 - same_a)
+        cost_skip = msse3 + lam * (b_skip1 + b_mi) + pen_m
         cost_merge = d_my + d_mu + d_mv + lam * (
             b_merge_hdr + cbf_bits_inter(*cbf_m)
-            + b_my + b_mu + b_mv)
+            + b_my + b_mu + b_mv) + pen_m
         cost_amvp = d_ay + d_au + d_av + lam * (
             b_amvp_hdr
             + _root_cbf_bits(cbflat, cbf_a[0], cbf_a[1], cbf_a[2],
                              cbf_bits_inter)
-            + b_ay + b_au + b_av)
+            + b_ay + b_au + b_av) + pen_a
         costs = [cost_skip, cost_merge, cost_amvp]
 
         if with_intra:
@@ -592,12 +626,25 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                 lev_inter=picki(jnp.zeros_like(pk_m), pk_m, pk_a))
         return d
 
-    d8 = decide_full(F1, levels[8], True)
-    d16 = decide_full(F1, levels[16], False)
-    d32 = decide_full(F1, levels[32], False)
-    d32["cost"] = jnp.where(full32, d32["cost"], BIG)
-    use16, use32 = hierarchy(d8, d16, d32, F1)
-    F = commit_field(d8, d16, d32, use16, use32)
+    # full rounds: the first decides from the lite field; each further
+    # round re-decides from the previous FULL field — same economics
+    # both sides, so motion reaches a near-fixpoint and the final
+    # lists match the lists decisions were made with (few repairs)
+    # divergence penalty per round: the last round's penalty reflects
+    # the true downstream cost of rewriting motion — each consumer of
+    # a changed MV repairs to AMVP (~19 bits); earlier rounds stay
+    # loose so the field can actually move toward the RD optimum
+    F = F1
+    for fr in range(full_rounds):
+        pen = 16.0 if fr == full_rounds - 1 and full_rounds > 1 \
+            else 4.0
+        d8 = decide_full(F, levels[8], True, pen_bits=pen)
+        d16 = decide_full(F, levels[16], False, pen_bits=pen)
+        d32 = decide_full(F, levels[32], False, pen_bits=pen)
+        d32["cost"] = jnp.where(full32, d32["cost"], BIG)
+        use16, use32 = hierarchy(d8, d16, d32, F)
+        F = commit_field(d8, d16, d32, use16, use32)
+    F1 = F                     # hysteresis base for diagnostics below
 
     # ---- intra consistency: keep only intra blocks none of whose
     # reference-sample neighbours are themselves kept intra; others
@@ -677,15 +724,21 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             .at[:, K_MVPI].set(jnp.where(is_amvp, mvpi,
                                          cur[:, K_MVPI]))
         apply = lanes_mask & (kind < 3)
+        n_rep = jnp.sum((apply & was_merge & ~found).astype(jnp.int32))
         return F.at[jnp.where(apply[:, None], scat_cells, P)].set(
-            rep_blk[:, None, :])
+            rep_blk[:, None, :]), n_rep
 
-    F = repair_level(F, levels[8], F[:, K_SZ] == 0, bidx[:, None])
-    F = repair_level(F, levels[16], F[cells16[:, 0], K_SZ] == 1,
-                     cells16)
+    flips = jnp.sum((((F[:, K_MVX] != F1[:, K_MVX])
+                      | (F[:, K_MVY] != F1[:, K_MVY])
+                      | (F[:, K_REF] != F1[:, K_REF]))
+                     & (F[:, K_KIND] < 3)).astype(jnp.int32))
+    F, r8 = repair_level(F, levels[8], F[:, K_SZ] == 0, bidx[:, None])
+    F, r16 = repair_level(F, levels[16], F[cells16[:, 0], K_SZ] == 1,
+                          cells16)
     c8_32 = jnp.where(cells8_32 < 0, 0, cells8_32)
-    F = repair_level(F, levels[32],
-                     full32 & (F[c8_32[:, 0], K_SZ] == 2), c8_32)
+    F, r32 = repair_level(F, levels[32],
+                          full32 & (F[c8_32[:, 0], K_SZ] == 2), c8_32)
+    dbg_repairs = jnp.stack([r8, r16, r32, flips])
 
     # ---- exact intra recompute for the kept blocks from the final
     # inter reconstruction (their reference neighbours are all inter)
@@ -728,4 +781,4 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         F[:, K_CBFY]))
 
     return dict(rec_y=rec_y, rec_u=rec_u, rec_v=rec_v, blk=F,
-                levs=levs, imode=imode)
+                levs=levs, imode=imode, dbg_repairs=dbg_repairs)

@@ -35,6 +35,21 @@ def test_cli_cascade_and_override():
     assert cfg.qp == 22 and cfg.width == 64
 
 
+def test_real_toggles_are_wired():
+    """HM keys with a real EncoderConfig knob must not be silently
+    swallowed (RDOQ off in a cfg used to still encode with RDOQ on)."""
+    cfg = resolve({"RDOQ": "0", "EnableTemporalMvp": "0",
+                   "RateControl": "1", "TargetBitrate": "400000",
+                   "DecisionEngine": "jacobi"})
+    assert cfg.rdoq is False
+    assert cfg.tmvp is False
+    assert cfg.rate_control is True and cfg.target_kbps == 400.0
+    assert cfg.decision == "jacobi"
+    assert not cfg.ignored
+    d = resolve({})
+    assert d.rdoq is True and d.tmvp is True and d.target_kbps == 0.0
+
+
 def test_apps_end_to_end(tmp_path):
     from hmtpu.apps import decoder_app, encoder_app
 

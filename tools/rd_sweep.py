@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def encode_qp(frames_np, qp, subpel, w, h):
+def encode_qp(frames_np, qp, subpel, w, h, decision="scan",
+              srange=16):
     import numpy as np
 
     from hmtpu.encoder.top import Encoder, EncoderConfig
@@ -25,7 +26,8 @@ def encode_qp(frames_np, qp, subpel, w, h):
     frames = [Frame(y.astype(np.int32), u.astype(np.int32),
                     v.astype(np.int32), 8) for y, u, v in frames_np]
     enc = Encoder(EncoderConfig(width=w, height=h, qp=qp, gop="ldp",
-                                subpel=subpel, search_range=64))
+                                subpel=subpel, search_range=srange,
+                                decision=decision))
     t0 = time.time()
     bs = enc.encode_sequence(frames)
     dt = time.time() - t0
@@ -43,6 +45,10 @@ def main():
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--qps", default="22,27,32,37")
     ap.add_argument("--subpel", default="nn")
+    ap.add_argument("--decision", default="scan",
+                    choices=("scan", "jacobi"))
+    ap.add_argument("--srange", type=int, default=16,
+                    help="search range (16 = bench parity)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--decode-check", action="store_true",
                     help="run the HM oracle decoder on each stream")
@@ -69,7 +75,8 @@ def main():
     ours_r, ours_p = [], []
     anch_r, anch_p = [], []
     for qp in qps:
-        r = encode_qp(frames_np, qp, args.subpel, w, h)
+        r = encode_qp(frames_np, qp, args.subpel, w, h,
+                      decision=args.decision, srange=args.srange)
         a = anchors[str(qp)]
         print(f"QP{qp}: ours {r['kbps']:8.2f} kbps  Y {r['psnr_y']:.4f}"
               f"  (HM {a['kbps']:8.2f} / {a['psnr_y']:.4f})"
