@@ -146,6 +146,9 @@ class Encoder:
             # hierarchical GOP-8: up to 4 retained refs + reordering
             self.sps.max_dec_pic_buffering = 6
             self.sps.max_num_reorder_pics = 4
+        elif cfg.gop == "ldp":
+            # HM LDP RPS keeps GOP anchors + startup recents (up to 7)
+            self.sps.max_dec_pic_buffering = 8
         if cfg.bit_depth == 10:
             # Main10 profile signalling (A.3.3)
             self.sps.ptl.general_profile_idc = 2
@@ -212,6 +215,36 @@ class Encoder:
             return True
         ip = self.cfg.intra_period
         return ip > 0 and poc % ip == 0
+
+    # HM low-delay-P GOP4 reference rows (encoder_lowdelay_P_main.cfg
+    # Frame1..4 deltaRPS columns): each P frame references the previous
+    # picture plus the low-QP GOP anchors — materially better
+    # references than the 4 most recent pictures
+    LDP_RPS_ROWS = ((-1, -5, -9, -13), (-1, -2, -6, -10),
+                    (-1, -3, -7, -11), (-1, -4, -8, -12))
+
+    def _ldp_lists(self, rel_poc: int, avail: set):
+        """HM-parity L0 + the RPS retention set for a low-delay-P
+        picture: the GOP-position row's deltas, missing entries filled
+        with the most recent available pictures (TEncTop::xInitRPS
+        startup RPSs), list in descending POC.  Verified line-by-line
+        against the reference encoder's per-POC [L0 ...] log."""
+        row = self.LDP_RPS_ROWS[(rel_poc - 1) % 4]
+        want = [rel_poc + d for d in row if rel_poc + d >= 0]
+        l0 = [p for p in want if p in avail]
+        for p in sorted(avail, reverse=True):
+            if len(l0) >= min(4, self.cfg.num_refs):
+                break
+            if p not in l0:
+                l0.append(p)
+        l0 = sorted(l0, reverse=True)[:min(4, self.cfg.num_refs)]
+        keep = set(l0)
+        for q in avail:
+            if q % 4 == 0 and q >= rel_poc - 12:
+                keep.add(q)            # anchors reachable by later rows
+            if rel_poc <= 12 and q >= rel_poc - 2:
+                keep.add(q)            # startup fills
+        return l0, keep
 
     # hierarchical GOP-8 random-access structure in coding order:
     # (display offset within GOP, referenced display offsets)
@@ -296,10 +329,12 @@ class Encoder:
         t0 = time.time()
         cfg = self.cfg
         rel_poc = poc - self._last_idr
-        n_ref = min(cfg.num_refs, len(self.dpb))
-        refs = [f for _, f in self.dpb[-n_ref:]][::-1]
-        ref_pocs = [p for p, _ in self.dpb[-n_ref:]][::-1]
-        negs = [(rel_poc - p, True) for p in ref_pocs]
+        dpb_map = dict(self.dpb)
+        ref_pocs, keep = self._ldp_lists(rel_poc, set(dpb_map))
+        refs = [dpb_map[p] for p in ref_pocs]
+        n_ref = len(ref_pocs)
+        rps = sorted(keep, key=lambda p: rel_poc - p)
+        negs = [(rel_poc - p, p in set(ref_pocs)) for p in rps]
         qp, qpf = cfg.qp, 0.57
         gop_size = max(len(cfg.gop_qp_offsets), 1)
         if cfg.gop_qp_offsets:
@@ -331,8 +366,8 @@ class Encoder:
         ph.dev = ctx["dev"]
         ph.dev_col = ctx["col_out"]
         self.dpb.append((rel_poc, ph))
-        if len(self.dpb) > max(cfg.num_refs, 1):
-            self.dpb = self.dpb[-max(cfg.num_refs, 1):]
+        self.dpb = [(p, f) for p, f in self.dpb
+                    if p in keep or p == rel_poc]
         return dict(pe=pe, ctx=ctx, sh=sh, frame=frame, poc=poc,
                     ph=ph, t0=t0)
 
