@@ -272,8 +272,64 @@ class Encoder:
             sched.append((poc, (poc - 1,)))
         return sched
 
+    # -- checkpoint / resume (SURVEY §5: resumable long encodes; the
+    # reference has none — its only state is the DPB ring,
+    # TEncTop.cpp:475 — so a resume there means re-encoding) ---------------
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize the inter-frame state after encode_sequence
+        returned (pipeline flushed): DPB recon + collocated motion,
+        harvested CABAC states, rate-control model, POC counters.
+        The bitstream itself is append-only per access unit, so the
+        caller just concatenates the bytes from each segment."""
+        import pickle
+
+        dpb = [(p, dict(y=f.y, u=f.u, v=f.v, bd=f.bit_depth,
+                        col_np=getattr(f, "col_np", None)))
+               for p, f in self.dpb]
+        state = dict(
+            version=1, poc_base=getattr(self, "_poc_base", 0),
+            last_idr=self._last_idr,
+            dpb=dpb, ctx=self._ctx_harvest, rc=self.rc,
+            results=self.results)
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore state saved by save_checkpoint; the next
+        encode_sequence call continues the sequence (pass the frames
+        AFTER the checkpoint point)."""
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self._poc_base = state["poc_base"]
+        self._last_idr = state["last_idr"]
+        self._ctx_harvest = state["ctx"]
+        self.rc = state["rc"]
+        self.results = state["results"]
+        self.dpb = []
+        for p, d in state["dpb"]:
+            fr = Frame(d["y"], d["u"], d["v"], d["bd"])
+            if d["col_np"] is not None:
+                fr.col_np = d["col_np"]
+                # device collocated field for TMVP: the decoder's col
+                # picture has this motion, so the device derivation
+                # must see it too (an empty field would de-sync the
+                # coded merge indices from the decoder's list)
+                import jax.numpy as jnp
+                c = d["col_np"]
+                fr.dev_col = ((jnp.asarray(c["mvx"], jnp.int32),
+                               jnp.asarray(c["mvy"], jnp.int32),
+                               jnp.asarray(c["ok"]),
+                               jnp.asarray(c["refpoc"], jnp.int32)),
+                              int(c["poc"]))
+            self.dpb.append((p, fr))
+
     def encode_sequence(self, frames: list[Frame]) -> bytes:
         out = bytearray()
+        poc0 = getattr(self, "_poc_base", 0)
+        if poc0 and self.cfg.gop == "ra":
+            raise ValueError("checkpoint resume supports ai/ldp GOPs")
         if self.cfg.gop != "ra":
             if self.cfg.target_kbps > 0 and self.rc is None:
                 from hmtpu.encoder.ratectrl import RateControl
@@ -285,7 +341,8 @@ class Encoder:
             # N's decision tensors and runs entropy/hash.  Rate control
             # needs causal bit feedback, so it finishes before launch.
             pending = None
-            for poc, frame in enumerate(frames):
+            for i, frame in enumerate(frames):
+                poc = poc0 + i
                 if self.rc is not None and pending is not None:
                     out.extend(write_annexb(self._finish_p(pending)))
                     pending = None
@@ -302,6 +359,7 @@ class Encoder:
                     pending = launched
             if pending is not None:
                 out.extend(write_annexb(self._finish_p(pending)))
+            self._poc_base = poc0 + len(frames)
             return bytes(out)
 
         sched = self._ra_schedule(len(frames))

@@ -1,0 +1,60 @@
+"""Checkpoint/resume (SURVEY §5): a long encode split at a GOP
+boundary must produce the same access units as the straight run —
+all inter-frame state (DPB recon, collocated motion, harvested CABAC
+states, POC counters) round-trips through the checkpoint file."""
+import numpy as np
+
+from hmtpu.decoder.core import Decoder
+from hmtpu.encoder.top import Encoder, EncoderConfig
+from hmtpu.io.yuv import Frame
+from tools.gen_test_yuv import synth_clip
+
+W, H = 96, 64
+
+
+def _frames(n):
+    return [Frame(y.astype(np.int32), u.astype(np.int32),
+                  v.astype(np.int32))
+            for y, u, v in synth_clip(W, H, n)]
+
+
+def _cfg():
+    return EncoderConfig(width=W, height=H, qp=32, gop="ldp",
+                         subpel="none")
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    frames = _frames(12)
+    straight = Encoder(_cfg()).encode_sequence(frames)
+
+    enc = Encoder(_cfg())
+    seg1 = enc.encode_sequence(frames[:8])
+    ck = tmp_path / "enc.ckpt"
+    enc.save_checkpoint(str(ck))
+
+    enc2 = Encoder(_cfg())
+    enc2.load_checkpoint(str(ck))
+    seg2 = enc2.encode_sequence(frames[8:])
+
+    assert seg1 + seg2 == straight
+    pics = Decoder().decode_annexb(seg1 + seg2)
+    assert len(pics) == 12
+
+
+def test_checkpoint_keeps_results_and_rc(tmp_path):
+    frames = _frames(6)
+    cfg = _cfg()
+    cfg.target_kbps = 200.0
+    enc = Encoder(cfg)
+    enc.encode_sequence(frames[:4])
+    ck = tmp_path / "rc.ckpt"
+    enc.save_checkpoint(str(ck))
+
+    cfg2 = _cfg()
+    cfg2.target_kbps = 200.0
+    enc2 = Encoder(cfg2)
+    enc2.load_checkpoint(str(ck))
+    assert len(enc2.results) == 4
+    assert enc2.rc is not None and enc2.rc.frames_done == enc.rc.frames_done
+    enc2.encode_sequence(frames[4:])
+    assert len(enc2.results) == 6
