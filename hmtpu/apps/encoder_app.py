@@ -36,6 +36,7 @@ def main(argv=None) -> int:
         max_num_merge_cand=app.max_num_merge_cand,
         sign_data_hiding=app.sign_hiding,
         rdoq=app.rdoq, tmvp=app.tmvp, decision=app.decision,
+        transform_skip=app.transform_skip,
         target_kbps=app.target_kbps, frame_rate=app.frame_rate,
         nn_weights_dir=app.nn_weights_dir or None))
 

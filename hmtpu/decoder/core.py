@@ -158,6 +158,22 @@ class Decoder:
                 refs_l1 = [by_poc[p] for p in ref_pocs_l1]
                 assert len(refs_l1) == sh.num_ref_idx_l1 > 0
 
+        ts_on = bool(pps.transform_skip_enabled)
+
+        def read_ts(is_luma, log2):
+            """transform_skip_flag for 4x4 TBs (7.3.8.11)."""
+            if ts_on and log2 == 2:
+                return dec.decode_bin(
+                    ctx, OFF["TRANSFORMSKIP_FLAG"]
+                    + (0 if is_luma else 1))
+            return 0
+
+        def inv_tb(deq, tsf, use_dst=False):
+            from hmtpu.ops.transform import transform_skip_inv
+            if tsf:
+                return transform_skip_inv(deq, deq.shape[-1], bd)
+            return inverse_np(deq[None], bd, use_dst=use_dst)[0]
+
         rec_y = np.zeros((h, w), dtype=np.int32)
         rec_u = np.zeros((h // 2, w // 2), dtype=np.int32)
         rec_v = np.zeros((h // 2, w // 2), dtype=np.int32)
@@ -231,10 +247,11 @@ class Decoder:
                 line = substitute_unavailable(raw, avail, bd)
                 pred = predict_mode_np(line, line, 4, ms[p], True, bd)
                 if cbf:
+                    tsf = read_ts(True, 2)
                     scan = intra_scan_idx(ms[p], 2, True)
                     lev = decode_residual(dec, ctx, 2, True, scan, sdh)
                     deq = dequantize_np(lev, qp, 2, bd)
-                    resi = inverse_np(deq[None], bd, use_dst=True)[0]
+                    resi = inv_tb(deq, tsf, use_dst=True)
                 else:
                     resi = 0
                 rec_y[py:py + 4, px:px + 4] = np.clip(pred + resi, 0,
@@ -252,11 +269,12 @@ class Decoder:
                         pred_c = predict_mode_np(ref_c, ref_c, 4,
                                                  ms[0], False, bd)
                         if cbfc:
+                            tsf = read_ts(False, 2)
                             scan = intra_scan_idx(ms[0], 2, False)
                             lev = decode_residual(dec, ctx, 2, False,
                                                   scan, sdh)
                             deq = dequantize_np(lev, qpc, 2, bd)
-                            resi_c = inverse_np(deq[None], bd)[0]
+                            resi_c = inv_tb(deq, tsf)
                         else:
                             resi_c = 0
                         plane[cy:cy + 4, cx:cx + 4] = np.clip(
@@ -289,10 +307,11 @@ class Decoder:
             pred = predict_mode_np(ref_u_line, ref_f_line, n, mode, True,
                                    bd)
             if cbf_y:
+                tsf = read_ts(True, log2)
                 scan = intra_scan_idx(mode, log2, True)
                 lev = decode_residual(dec, ctx, log2, True, scan, sdh)
                 deq = dequantize_np(lev, qp, log2, bd)
-                resi = inverse_np(deq[None], bd, use_dst=(log2 == 2))[0]
+                resi = inv_tb(deq, tsf, use_dst=(log2 == 2))
             else:
                 resi = 0
             rec_y[y0:y0 + n, x0:x0 + n] = np.clip(pred + resi, 0, maxv)
@@ -305,10 +324,11 @@ class Decoder:
                 ref_c = substitute_unavailable(raw_c, avail_c, bd)
                 pred_c = predict_mode_np(ref_c, ref_c, cn, mode, False, bd)
                 if cbf:
+                    tsf = read_ts(False, clog2)
                     scan = intra_scan_idx(mode, clog2, False)
                     lev = decode_residual(dec, ctx, clog2, False, scan, sdh)
                     deq = dequantize_np(lev, qpc, clog2, bd)
-                    resi_c = inverse_np(deq[None], bd)[0]
+                    resi_c = inv_tb(deq, tsf)
                 else:
                     resi_c = 0
                 plane[cy:cy + cn, cx:cx + cn] = np.clip(pred_c + resi_c,
@@ -351,10 +371,11 @@ class Decoder:
             cx, cy = x0 // 2, y0 // 2
             for cbf, pc, plane in ((cbf_cb, pu, rec_u), (cbf_cr, pv, rec_v)):
                 if cbf:
+                    tsf = read_ts(False, log2 - 1)
                     lev = decode_residual(dec, ctx, log2 - 1, False, 0,
                                           sdh)
                     deq = dequantize_np(lev, qpc, log2 - 1, bd)
-                    rc = inverse_np(deq[None], bd)[0]
+                    rc = inv_tb(deq, tsf)
                 else:
                     rc = 0
                 plane[cy:cy + n // 2, cx:cx + n // 2] = \

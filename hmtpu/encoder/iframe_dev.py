@@ -114,8 +114,8 @@ def _topk_modes(org_blk, ref_u, ref_f, n, bd, lam_sqrt, k):
 def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                 *, w: int, h: int, bd: int = 8, sis: bool = False,
                 log2_ctu: int = 6, levels: int = 3,
-                qp_factor=0.57, sdh: bool = False):
-    from hmtpu.encoder.pframe_dev import _code
+                qp_factor=0.57, sdh: bool = False, ts: bool = False):
+    from hmtpu.encoder.pframe_dev import _code, _code_ts_sel
 
     st8 = jax.tree_util.tree_map(jnp.asarray, _i_static(w, h,
                                                          log2_ctu))
@@ -156,6 +156,7 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
         cusz=jnp.zeros(P, jnp.int32),
         cbfy=jnp.zeros(P, jnp.int32),
         levs=jnp.zeros((P, 96), jnp.int32),
+        tsf=jnp.zeros(P, jnp.int32),
     )
 
     def mpm_neighbours(st, b, bxi, byi, y0):
@@ -204,10 +205,18 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
         levY, recY, dY, bY = _code(repK(org), pred, qp, log2, bd, lam,
                                    cbflat, True, sdh=sdh,
                                    scan_sel=sel_y)
-        levC, recC, dC, bC = _code(
-            jnp.concatenate([repK(orgu), repK(orgv)]),
-            jnp.concatenate([cpu, cpv]), qpc, log2 - 1, bd, lam_c,
-            cbflat, False, wchroma, sdh=sdh, scan_sel=sel_c)
+        if ts and log2 == 3:
+            # 4x4 chroma TBs of an 8x8 CU: transform-skip trial
+            levC, recC, dC, bC, ts_c = _code_ts_sel(
+                jnp.concatenate([repK(orgu), repK(orgv)]),
+                jnp.concatenate([cpu, cpv]), qpc, bd, lam_c,
+                cbflat, False, wchroma, sdh=sdh, scan_sel=sel_c)
+        else:
+            levC, recC, dC, bC = _code(
+                jnp.concatenate([repK(orgu), repK(orgv)]),
+                jnp.concatenate([cpu, cpv]), qpc, log2 - 1, bd, lam_c,
+                cbflat, False, wchroma, sdh=sdh, scan_sel=sel_c)
+            ts_c = jnp.zeros((2 * B * K,), bool)
         levU, levV = levC[:B * K], levC[B * K:]
         recU, recV = recC[:B * K], recC[B * K:]
         dU, dV = dC[:B * K], dC[B * K:]
@@ -220,7 +229,8 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
             + cbf_luma_bits(
                 cbflat, jnp.any(levY.reshape(-1, n * n) != 0, 1))
         return (pred, levY, recY, dY, bY, levU, recU, dU, bU,
-                levV, recV, dV, bV, b_cbf)
+                levV, recV, dV, bV, b_cbf), \
+            (ts_c[:B * K], ts_c[B * K:])
 
     def pick_best(modes, parts, mode_bits, lam_):
         """argmin over the K candidates; returns flat pick indices
@@ -271,26 +281,30 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
         def pu(vals, avail, mode, org):
             line = sub_line(vals, avail)
             pred = predict_one_mode(line, line, mode, 4, True, bd)
+            if ts:
+                return _code_ts_sel(
+                    org, pred, qp, bd, lam, cbflat, True, sdh=sdh,
+                    scan_sel=_intra_scan_sel(mode), use_dst=True)
             lev, rec, d, bb = _code(
                 org, pred, qp, 2, bd, lam, cbflat, True, sdh=sdh,
                 scan_sel=_intra_scan_sel(mode), use_dst=True)
-            return lev, rec, d, bb
+            return lev, rec, d, bb, jnp.zeros((org.shape[0],), bool)
 
         # PU0 (x, y): all references external (iref8[8:25])
-        lev0, rec0, d0, bb0 = pu(
+        lev0, rec0, d0, bb0, tsl0 = pu(
             iref8[:, 8:25],
             jnp.concatenate([r4(aL), r4(aL), aC[:, None], r4(aA),
                              r4(aA)], axis=1), m4[:, 0], o4[:, 0])
         # PU1 (x+4, y): lower-left internal-unavailable, left = PU0's
         # right column, corner/top external
-        lev1, rec1, d1, bb1 = pu(
+        lev1, rec1, d1, bb1, tsl1 = pu(
             jnp.concatenate([z4, rec0[:, ::-1, 3], iref8[:, 20:21],
                              iref8[:, 21:29]], axis=1),
             jnp.concatenate([F, T, aA[:, None], r4(aA), r4(aAR)],
                             axis=1), m4[:, 1], o4[:, 1])
         # PU2 (x, y+4): left external (lower then upper), top = PU0 +
         # PU1 bottom rows
-        lev2, rec2, d2, bb2 = pu(
+        lev2, rec2, d2, bb2, tsl2 = pu(
             jnp.concatenate([iref8[:, 4:8], iref8[:, 8:12],
                              iref8[:, 12:13], rec0[:, 3, :],
                              rec1[:, 3, :]], axis=1),
@@ -298,7 +312,7 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                             axis=1), m4[:, 2], o4[:, 2])
         # PU3 (x+4, y+4): below-left/top-right unavailable, left =
         # PU2's right column, corner = PU0[3,3], top = PU1 bottom row
-        lev3, rec3, d3, bb3 = pu(
+        lev3, rec3, d3, bb3, tsl3 = pu(
             jnp.concatenate([z4, rec2[:, ::-1, 3],
                              rec0[:, 3, 3][:, None], rec1[:, 3, :],
                              z4], axis=1),
@@ -314,12 +328,24 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                               jnp.concatenate([m4[:, 0], m4[:, 0]]),
                               4, False, bd)
         selc = _intra_scan_sel(m4[:, 0])
-        levC, recC, dC, bC = _code(
-            jnp.concatenate([orgu, orgv]), c2, qpc, 2, bd, lam_c,
-            cbflat, False, wchroma, sdh=sdh,
-            scan_sel=jnp.concatenate([selc, selc]))
+        if ts:
+            levC, recC, dC, bC, tsc = _code_ts_sel(
+                jnp.concatenate([orgu, orgv]), c2, qpc, bd, lam_c,
+                cbflat, False, wchroma, sdh=sdh,
+                scan_sel=jnp.concatenate([selc, selc]))
+        else:
+            levC, recC, dC, bC = _code(
+                jnp.concatenate([orgu, orgv]), c2, qpc, 2, bd, lam_c,
+                cbflat, False, wchroma, sdh=sdh,
+                scan_sel=jnp.concatenate([selc, selc]))
+            tsc = jnp.zeros((2 * B,), bool)
         levCu, levCv = levC[:B], levC[B:]
         recCu, recCv = recC[:B], recC[B:]
+        tsf_n = (tsl0.astype(jnp.int32) | (tsl1.astype(jnp.int32) << 1)
+                 | (tsl2.astype(jnp.int32) << 2)
+                 | (tsl3.astype(jnp.int32) << 3)
+                 | (tsc[:B].astype(jnp.int32) << 4)
+                 | (tsc[B:].astype(jnp.int32) << 5))
 
         # rate: part NxN + 4x(mode + cbf + residual) + chroma; MPM
         # pricing per PU with internal neighbour modes (approximation
@@ -349,7 +375,7 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
         lev8 = jnp.concatenate([ltop, lbot], axis=1)
         cbf_any = (nz[0] | nz[1] | nz[2] | nz[3]).astype(jnp.int32)
         return (cost, m4, rec8, recCu, recCv, lev8, levCu, levCv,
-                cbf_any)
+                cbf_any, tsf_n)
 
     def cell_step(st, blk, valid):
         b = jnp.where(valid, blk, 0)
@@ -361,8 +387,9 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
         mb = intra_mode_mpm_bits(cbflat, modes, lm[:, None],
                                  am[:, None]) \
             + part_size_2nx2n_bits(cbflat) + chroma_dm_bits(cbflat)
-        parts = try_modes(st, b, modes, org8[b], org4u[b], org4v[b],
-                          st8["g8"], st8["g4"], 8, 3)
+        parts, (ts_u, ts_v) = try_modes(st, b, modes, org8[b],
+                                        org4u[b], org4v[b],
+                                        st8["g8"], st8["g4"], 8, 3)
         ki, pick, cost = pick_best(modes, parts, mb, lam)
         (_, levY, recY, _, _, levU, recU, _, _, levV, recV, _, _,
          _) = parts
@@ -376,10 +403,13 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
         cbfy8 = jnp.any(levY[pick].reshape(B, 64) != 0,
                         axis=1).astype(jnp.int32)
 
+        tsf2 = (ts_u[pick].astype(jnp.int32) << 4) \
+            | (ts_v[pick].astype(jnp.int32) << 5)
+
         # ---- NxN trial against the 2Nx2N winner
         (cost_n, m4, rec8n, recCun, recCvn, lev8n, levCun, levCvn,
-         cbf_n) = nxn_trial(st, b, bxi, byi, lm, am, org4u[b],
-                            org4v[b])
+         cbf_n, tsf_n) = nxn_trial(st, b, bxi, byi, lm, am, org4u[b],
+                                   org4v[b])
         use_n = cost_n < cost
         cost = jnp.minimum(cost, cost_n)
         w3 = lambda a, bn: jnp.where(use_n[:, None, None], bn, a)
@@ -396,6 +426,7 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
         part_o = use_n.astype(jnp.int32)
         imode4_o = jnp.where(use_n[:, None], m4,
                              jnp.repeat(wmode[:, None], 4, 1))
+        tsf_o = jnp.where(use_n, tsf_n, tsf2)
 
         drop = jnp.where(valid, b, P)
         yy = (y0[:, None] + jnp.arange(8)[None, :])
@@ -416,6 +447,7 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
             cusz=st["cusz"].at[drop].set(0),
             cbfy=st["cbfy"].at[drop].set(cbfy8),
             levs=st["levs"].at[drop].set(o_lev),
+            tsf=st["tsf"].at[drop].set(tsf_o),
         )
         return st, cost
 
@@ -454,8 +486,8 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
         lm, am = mpm_neighbours(st, corner, gxb * 2, gyb * 2, gyb * 16)
         mb = intra_mode_mpm_bits(cbflat, modes, lm[:, None],
                                  am[:, None]) + chroma_dm_bits(cbflat)
-        parts = try_modes(st, g, modes, org16[g], org8u[g], org8v[g],
-                          st8["g16"], st8["g8c"], 16, 4)
+        parts, _ = try_modes(st, g, modes, org16[g], org8u[g],
+                             org8v[g], st8["g16"], st8["g8c"], 16, 4)
         ki, pick, cost16 = pick_best(modes, parts, mb, lam)
         (_, levY, recY, _, _, levU, recU, _, _, levV, recV, _, _,
          _) = parts
@@ -494,6 +526,7 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                 jnp.any(levY[pick].reshape(B, 256) != 0,
                         axis=1).astype(jnp.int32)[:, None]),
             levs=st["levs"].at[drop4].set(pack),
+            tsf=st["tsf"].at[drop4].set(0),
         )
         return st, jnp.where(use16, cost16, cost8)
 
@@ -534,8 +567,9 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
         lm, am = mpm_neighbours(st, corner, qxb * 4, qyb * 4, qyb * 32)
         mb = intra_mode_mpm_bits(cbflat, modes, lm[:, None],
                                  am[:, None]) + chroma_dm_bits(cbflat)
-        parts = try_modes(st, g, modes, org32[g], org16u[g], org16v[g],
-                          st8["g32"], st8["g16c"], 32, 5)
+        parts, _ = try_modes(st, g, modes, org32[g], org16u[g],
+                             org16v[g], st8["g32"], st8["g16c"], 32,
+                             5)
         ki, pick, cost32 = pick_best(modes, parts, mb, lam)
         (_, levY, recY, _, _, levU, recU, _, _, levV, recV, _, _,
          _) = parts
@@ -573,6 +607,7 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                 jnp.any(levY[pick].reshape(B, 1024) != 0,
                         axis=1).astype(jnp.int32)[:, None]),
             levs=st["levs"].at[drop16].set(pack),
+            tsf=st["tsf"].at[drop16].set(0),
         )
         return st, None
 
@@ -581,7 +616,7 @@ def iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat,
 
 
 _IFP_STATICS = ("w", "h", "bd", "sis", "log2_ctu", "deblock", "sao",
-                "ctu", "cb_off", "cr_off", "sdh")
+                "ctu", "cb_off", "cr_off", "sdh", "ts")
 
 
 def iframe_full_pass(org_y, org_u, org_v, qp, qpc, cbflat,
@@ -589,12 +624,12 @@ def iframe_full_pass(org_y, org_u, org_v, qp, qpc, cbflat,
                      log2_ctu: int = 6, deblock: bool = True,
                      sao: bool = True, ctu: int = 64, cb_off: int = 0,
                      cr_off: int = 0, qp_factor=0.57,
-                     sdh: bool = False):
+                     sdh: bool = False, ts: bool = False):
     """Decision pass + in-loop filters in one dispatch (the I-frame
     twin of full_pframe_pass)."""
     st = iframe_pass(org_y, org_u, org_v, qp, qpc, cbflat, w=w, h=h,
                      bd=bd, sis=sis, log2_ctu=log2_ctu,
-                     qp_factor=qp_factor, sdh=sdh)
+                     qp_factor=qp_factor, sdh=sdh, ts=ts)
     bw, bh = w // 8, h // 8
     if deblock or sao:
         from hmtpu.ops.deblock import deblock_frame_dev
@@ -635,7 +670,7 @@ def iframe_full_pass(org_y, org_u, org_v, qp, qpc, cbflat,
     small = dict(rec_y=rec_t, rec_u=rec_t, rec_v=rec_t,
                  imode=jnp.int8, imode4=jnp.int8, part=jnp.int8,
                  cusz=jnp.int8, cbfy=jnp.int8,
-                 levs=jnp.int16, sao=jnp.int8)
+                 levs=jnp.int16, sao=jnp.int8, tsf=jnp.int8)
     return {k: v.astype(small[k]) for k, v in st.items()}
 
 
@@ -657,6 +692,8 @@ def unpack_iframe_state(st, w: int, h: int, log2_ctu: int):
         if "imode4" in st else None
     cusz = np.asarray(st["cusz"]).reshape(bh, bw)
     levs = np.asarray(st["levs"]).reshape(bh, bw, 96)
+    tsf = np.asarray(st["tsf"]).reshape(bh, bw) \
+        if "tsf" in st else None
     depth8 = np.full((bh, bw), log2_ctu - 3, np.int32)
     depth8[cusz == 1] = log2_ctu - 4
     depth8[cusz == 2] = log2_ctu - 5
@@ -673,10 +710,13 @@ def unpack_iframe_state(st, w: int, h: int, log2_ctu: int):
                 l = levs[byi, bxi]
                 m4 = tuple(int(x) for x in imode4[byi, bxi]) \
                     if (imode4 is not None and part[byi, bxi]) else None
+                tf = int(tsf[byi, bxi]) if tsf is not None else 0
                 decisions[(bxi * 8, byi * 8)] = LeafDecision(
                     mode, 3, l[:64].reshape(8, 8),
                     l[64:80].reshape(4, 4), l[80:96].reshape(4, 4),
-                    modes4=m4)
+                    modes4=m4,
+                    ts_y4=tuple((tf >> p) & 1 for p in range(4)),
+                    ts_cb=(tf >> 4) & 1, ts_cr=(tf >> 5) & 1)
             elif sz == 1:
                 l2 = levs[byi:byi + 2, bxi:bxi + 2].reshape(4, 96)
                 flat = np.concatenate([l2[0], l2[1], l2[2], l2[3]])

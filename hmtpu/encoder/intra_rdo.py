@@ -56,6 +56,12 @@ class LeafDecision:
     lev_cb: np.ndarray
     lev_cr: np.ndarray
     modes4: tuple | None = None
+    # transform_skip_flag per 4x4 TB (Main profile TS scope): four
+    # NxN luma PU flags in z-order + the 4x4 chroma TB pair of an
+    # 8x8 CU; all zero unless the PPS enables transform skip
+    ts_y4: tuple = (0, 0, 0, 0)
+    ts_cb: int = 0
+    ts_cr: int = 0
 
 
 # ---------------------------------------------------------------------------

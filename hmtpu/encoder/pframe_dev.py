@@ -184,7 +184,7 @@ def _intra_scan_sel(m):
 
 def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
           is_luma=True, dw=None, sdh: bool = False, scan_sel=None,
-          use_dst: bool = False, rdoq: bool = True):
+          use_dst: bool = False, rdoq: bool = True, ts: bool = False):
     """transform -> quant -> RDOQ-lite -> dequant -> inverse -> clip;
     returns (lev, rec, sse, bits).
 
@@ -193,10 +193,14 @@ def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
     context states; 0.0 for an all-zero TB (cbf priced at CU level).
     Quantisation is the full vectorised RDOQ (ops/rdoq.py) when lam is
     given; dw is HM's chroma distortion weight applied to the returned
-    SSE (chroma callers pass lam = lambda/dw per RDOQ_CHROMA_LAMBDA)."""
+    SSE (chroma callers pass lam = lambda/dw per RDOQ_CHROMA_LAMBDA).
+    ts=True codes the TB in transform-skip mode (4x4 only)."""
+    from hmtpu.ops.transform import transform_skip_fwd, \
+        transform_skip_inv
     n = 1 << log2
     resi = org - pred
-    coef = forward_transform(resi, n, bd, use_dst=use_dst)
+    coef = transform_skip_fwd(resi, n, bd) if ts \
+        else forward_transform(resi, n, bd, use_dst=use_dst)
     if lam is not None:
         from hmtpu.ops.rdoq import rdoq_tb
         lev = rdoq_tb(coef, qp, log2, bd, lam, cbflat, is_luma,
@@ -204,12 +208,41 @@ def _code(org, pred, qp, log2: int, bd: int, lam=None, cbflat=None,
     else:
         lev = quantize_t(coef, qp, log2, bd, False)
     deq = dequantize_t(lev, qp, log2, bd)
-    r = inverse_transform(deq, n, bd, use_dst=use_dst)
+    r = transform_skip_inv(deq, n, bd) if ts \
+        else inverse_transform(deq, n, bd, use_dst=use_dst)
     rec = jnp.clip(pred + r, 0, (1 << bd) - 1)
     sse = jnp.sum((org - rec) ** 2, axis=(-1, -2)).astype(jnp.float32)
     if dw is not None:
         sse = sse * dw          # HM chroma distortion weight
     return lev, rec, sse, tb_bits(lev, cbflat, log2, is_luma, 0, sdh)
+
+
+def _code_ts_sel(org, pred, qp, bd, lam, cbflat, is_luma, dw=None,
+                 sdh: bool = False, scan_sel=None,
+                 use_dst: bool = False, rdoq: bool = True):
+    """4x4 TB coded both ways (DCT/DST vs transform-skip), per-block
+    RD selection including the transform_skip_flag bit (the batched
+    form of TComTrQuant::transformNxN's TS trial + RDOQTS).  Returns
+    (lev, rec, sse, bits_incl_flag, use_ts)."""
+    from hmtpu.ops.ratebits import ts_flag_bits
+    l0, r0, d0, b0 = _code(org, pred, qp, 2, bd, lam, cbflat,
+                           is_luma, dw, sdh, scan_sel, use_dst, rdoq)
+    l1, r1, d1, b1 = _code(org, pred, qp, 2, bd, lam, cbflat,
+                           is_luma, dw, sdh, scan_sel, use_dst, rdoq,
+                           ts=True)
+    B = l0.shape[0]
+    nz0 = jnp.any(l0.reshape(B, 16) != 0, axis=1)
+    nz1 = jnp.any(l1.reshape(B, 16) != 0, axis=1)
+    f0 = ts_flag_bits(cbflat, jnp.zeros(B, jnp.int32), is_luma)
+    f1 = ts_flag_bits(cbflat, jnp.ones(B, jnp.int32), is_luma)
+    # the flag exists only when the TB is coded (cbf=1)
+    bits0 = b0 + jnp.where(nz0, f0, 0.0)
+    bits1 = b1 + jnp.where(nz1, f1, 0.0)
+    use_ts = nz1 & (d1 + lam * bits1 < d0 + lam * bits0)
+    pickb = lambda a, b_: jnp.where(
+        use_ts.reshape((-1,) + (1,) * (a.ndim - 1)), b_, a)
+    return (pickb(l0, l1), pickb(r0, r1), jnp.where(use_ts, d1, d0),
+            jnp.where(use_ts, bits1, bits0), use_ts)
 
 
 # NB: deliberately NOT @jax.jit — always traced inline by

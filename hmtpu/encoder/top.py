@@ -48,6 +48,10 @@ class EncoderConfig:
     # RDOQ trellis in the device quantiser (TComTrQuant RDOQ flag);
     # False = plain deadzone quantisation (+ SDH parity stage)
     rdoq: bool = True
+    # 4x4 transform skip (TComTrQuant.cpp:1460 TS branch + RDOQTS);
+    # currently effective on the all-intra path — the native P-slice
+    # walk does not speak the flag yet, so LDP/RA force it off
+    transform_skip: bool = False
     # P-slice decision engine: "scan" = exact z-scan wavefront,
     # "jacobi" = batched iteration + exact syntax repair
     # (encoder/pframe_jacobi.py)
@@ -154,7 +158,9 @@ class Encoder:
             self.sps.ptl.general_profile_idc = 2
             self.sps.ptl.general_profile_compatibility = 1 << 2
         self.pps = Pps(init_qp=cfg.qp, sign_data_hiding=cfg.sign_data_hiding,
-                       deblocking_filter_disabled=not cfg.deblock)
+                       deblocking_filter_disabled=not cfg.deblock,
+                       transform_skip_enabled=cfg.transform_skip
+                       and cfg.gop == "ai")
         self.vps = Vps(max_dec_pic_buffering=self.sps.max_dec_pic_buffering,
                        max_num_reorder_pics=self.sps.max_num_reorder_pics,
                        ptl=self.sps.ptl)

@@ -295,6 +295,12 @@ def _gc(cbflat, ctx: int, val):
     return cbflat[2 * ctx + val.astype(jnp.int32)]
 
 
+def ts_flag_bits(cbflat, val, is_luma: bool):
+    """transform_skip_flag (7.3.8.11; one ctx luma, one chroma)."""
+    return _gc(cbflat, OFF["TRANSFORMSKIP_FLAG"]
+               + (0 if is_luma else 1), val)
+
+
 def skip_flag_bits(cbflat, val, ctx_inc):
     """cu_skip_flag; ctx_inc = left_skip + above_skip (9.3.4.2.2)."""
     return _g(cbflat, OFF["SKIP_FLAG"] + ctx_inc, val)

@@ -73,6 +73,30 @@ def inverse_transform(coeff: jax.Array, size: int, bit_depth: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# transform skip (8.6.4.2 transform_skip_flag branch; encoder twin of
+# TComTrQuant xTransformSkip / xITransformSkip): the "transform" is a
+# pure shift to the coefficient scale, quant/dequant are unchanged.
+
+def ts_shift(size: int, bit_depth: int) -> int:
+    return MAX_TR_DYNAMIC_RANGE - bit_depth - (size.bit_length() - 1)
+
+
+def transform_skip_fwd(residual, size: int, bit_depth: int = 8):
+    """residual -> coefficient-scale values (Main profile: 4x4 only)."""
+    return residual << ts_shift(size, bit_depth)
+
+
+def transform_skip_inv(coeff, size: int, bit_depth: int = 8):
+    """dequantised coefficients -> residual: r = d << (5 + log2 nTbS)
+    (bit-depth independent, = 7 for the Main-profile 4x4 case), then
+    the common bdShift rounding stage (spec 8.6.4.2)."""
+    bd_shift = 20 - bit_depth
+    r = coeff << (5 + (size.bit_length() - 1))
+    out = (r + (1 << (bd_shift - 1))) >> bd_shift
+    return out.clip(COEFF_MIN, COEFF_MAX)
+
+
+# ---------------------------------------------------------------------------
 # scalar numpy reference (test oracle only)
 
 def forward_transform_ref(residual: np.ndarray, bit_depth: int = 8,
