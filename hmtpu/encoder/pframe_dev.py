@@ -2057,17 +2057,21 @@ class PFrameDeviceEncoder(PFrameEncoder):
             pack_sao_grid,
         )
 
+        from hmtpu.entropy import cabac as _cabac
+        nat = getattr(self, "_nat", None)
+        if _cabac.TRACE is not None:
+            nat = None          # symbol trace rides the Python walk
+
         if isinstance(sao, tuple) and len(sao) == 2 \
                 and sao[0] == "packed":
             from hmtpu import native
-            if not native.available():
+            if nat is None or not native.available():
                 from hmtpu.ops.sao import grid_from_packed
                 ny = self.sps.pic_height_in_ctus
                 nx = self.sps.pic_width_in_ctus
                 sao = (grid_from_packed(sao[1].reshape(ny, nx, 3, 7)),
                        True, True)
 
-        nat = getattr(self, "_nat", None)
         if nat is not None:
             sps = self.sps
             sao_packed, sl, sc = None, 0, 0

@@ -40,6 +40,11 @@ def init_state(init_value: int, qp: int) -> int:
     return ((pre - 64) << 1) | 1
 
 
+# symbol-level trace hook (utils/trace.py, the ENC_DEC_TRACE twin);
+# None = off, zero overhead beyond the branch
+TRACE = None
+
+
 class CabacEncoder:
     """Binary arithmetic encoder writing bytes into a BitWriter."""
 
@@ -59,6 +64,8 @@ class CabacEncoder:
 
     # -- core ---------------------------------------------------------------
     def encode_bin(self, ctx: np.ndarray, idx: int, bin_val: int) -> None:
+        if TRACE is not None:
+            TRACE.ctx_bin(idx, bin_val)
         state = int(ctx[idx])
         lps = int(_LPS_TABLE[state >> 1, (self.range >> 6) & 3])
         self.range -= lps
@@ -78,6 +85,8 @@ class CabacEncoder:
                 self._test_write()
 
     def encode_bin_ep(self, bin_val: int) -> None:
+        if TRACE is not None:
+            TRACE.ep(bin_val, 1)
         if self.range == 256:
             self.encode_aligned_bins_ep(bin_val, 1)
             return
@@ -88,6 +97,8 @@ class CabacEncoder:
         self._test_write()
 
     def encode_bins_ep(self, value: int, num_bins: int) -> None:
+        if TRACE is not None:
+            TRACE.ep(value, num_bins)
         if self.range == 256:
             self.encode_aligned_bins_ep(value, num_bins)
             return
@@ -118,6 +129,8 @@ class CabacEncoder:
             self._test_write()
 
     def encode_bin_trm(self, bin_val: int) -> None:
+        if TRACE is not None:
+            TRACE.trm(bin_val)
         self.range -= 2
         if bin_val:
             self.low += self.range
@@ -226,25 +239,35 @@ class CabacDecoder:
             if self.bits_needed >= 0:
                 self.value += self._read_byte() << self.bits_needed
                 self.bits_needed -= 8
+        if TRACE is not None:
+            TRACE.ctx_bin(idx, bin_val)
         return bin_val
 
     def decode_bin_ep(self) -> int:
         if self.range == 256:
-            return self.decode_aligned_bins_ep(1)
-        self.value += self.value
-        self.bits_needed += 1
-        if self.bits_needed >= 0:
-            self.bits_needed = -8
-            self.value += self._read_byte()
-        scaled = self.range << 7
-        if self.value >= scaled:
-            self.value -= scaled
-            return 1
-        return 0
+            out = self.decode_aligned_bins_ep(1)
+        else:
+            self.value += self.value
+            self.bits_needed += 1
+            if self.bits_needed >= 0:
+                self.bits_needed = -8
+                self.value += self._read_byte()
+            scaled = self.range << 7
+            if self.value >= scaled:
+                self.value -= scaled
+                out = 1
+            else:
+                out = 0
+        if TRACE is not None:
+            TRACE.ep(out, 1)
+        return out
 
     def decode_bins_ep(self, num_bins: int) -> int:
         if self.range == 256:
-            return self.decode_aligned_bins_ep(num_bins)
+            out = self.decode_aligned_bins_ep(num_bins)
+            if TRACE is not None:
+                TRACE.ep(out, num_bins)
+            return out
         value = 0
         while num_bins > 8:
             self.value = ((self.value << 8)
@@ -269,6 +292,8 @@ class CabacDecoder:
             if self.value >= scaled:
                 value += 1
                 self.value -= scaled
+        if TRACE is not None:
+            TRACE.ep(value, num_bins)
         return value
 
     def align(self) -> None:
@@ -297,6 +322,8 @@ class CabacDecoder:
         self.range -= 2
         scaled = self.range << 7
         if self.value >= scaled:
+            if TRACE is not None:
+                TRACE.trm(1)
             return 1
         if scaled < (256 << 7):
             self.range = scaled >> 6
@@ -305,4 +332,6 @@ class CabacDecoder:
             if self.bits_needed == 0:
                 self.bits_needed = -8
                 self.value += self._read_byte()
+        if TRACE is not None:
+            TRACE.trm(0)
         return 0

@@ -169,8 +169,11 @@ class NativeBackend:
 
 
 def make_backend(ctx: np.ndarray):
-    """Prefer the native engine; fall back to the Python reference."""
-    if native.available():
+    """Prefer the native engine; fall back to the Python reference.
+    The symbol trace (utils/trace.py) forces the Python backend — the
+    native bin engine does not speak the trace."""
+    from hmtpu.entropy import cabac as _cabac
+    if native.available() and _cabac.TRACE is None:
         return NativeBackend(ctx)
     return PyBackend(ctx)
 

@@ -209,6 +209,31 @@ def main():
     res["share_entropy_pct"] = round(
         100 * res["p_host_finish_s"]
         / max(dl + res["p_host_finish_s"], 1e-9), 1)
+
+    # MFU accounting for the two arithmetic-dominated kernels (ops
+    # counted analytically; peak from the device kind — v5e litepod
+    # chip ~394 TFLOP/s bf16, but these kernels run int32 on the
+    # VPU, so report against the int8-equivalent 2x MXU number AND
+    # the raw op count so the number is interpretable)
+    side = 2 * 16 + 1
+    me_ops = 3.0 * side * side * w * h * 4          # abs/sub/add x D x pix x refs
+    res["me8_gops"] = round(me_ops / 1e9, 2)
+    res["me8_gops_per_s"] = round(me_ops / 1e9 / res["me8_4ref_s"], 1)
+    # RDOQ-bearing residual coding: dominated by the 4-point/8-point
+    # butterflies as matmuls -> MACs = 2*N^3 per NxN stage, 2 stages,
+    # fwd+inv, ~3 candidate codings per block level in the pass
+    n_blk = (w // 8) * (h // 8)
+    tr_ops = n_blk * 3 * 2 * 2 * 2 * (8 ** 3)
+    res["transform_gops_frame"] = round(tr_ops / 1e9, 3)
+    dev_kind = jax.devices()[0].device_kind
+    res["device_kind"] = dev_kind
+    peak = 394e12 if "v5" in dev_kind.lower() else 0
+    if peak:
+        # achieved fraction of peak if every ME op were an MXU MAC —
+        # an upper-bound-style MFU; the honest conclusion is that the
+        # pass is latency/occupancy-bound, not FLOP-bound
+        res["mfu_me_pct"] = round(100 * me_ops
+                                  / (res["me8_4ref_s"] * peak), 3)
     print(json.dumps(res, indent=1))
 
 
