@@ -48,10 +48,10 @@ def main():
                     v.astype(np.int32))
               for y, u, v in synth_clip(416, 240, frames_n)]
 
-    def run(n, q, subpel="nn"):
+    def run(n, q, subpel="nn", dec=None):
         enc = Encoder(EncoderConfig(width=416, height=240, qp=q,
                                     gop="ldp", subpel=subpel,
-                                    decision=decision))
+                                    decision=dec or decision))
         t0 = time.time()
         enc.encode_sequence(frames[:n])
         return enc, time.time() - t0
@@ -111,6 +111,13 @@ def main():
 
     bd = sweep("nn")
     result["bd_rate_y_pct"] = None if bd is None else round(bd, 1)
+    print(json.dumps(result), flush=True)
+    # the speed engine's throughput on the same config (scan is the
+    # BD flagship; jacobi trades ~17 BD points for ~1.5x speed)
+    other = "jacobi" if decision == "scan" else "scan"
+    run(3, qp, dec=other)
+    _, dto = run(frames_n, qp, dec=other)
+    result[f"fps_{other}"] = round(frames_n / dto, 4)
     print(json.dumps(result), flush=True)
     result["bd_rate_y_pct_dctif"] = round(sweep("dctif"), 1)
     print(json.dumps(result), flush=True)
