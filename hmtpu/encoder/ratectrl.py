@@ -53,7 +53,13 @@ def lambda_to_qp(lam: float) -> int:
 
 @dataclass
 class RateControl:
-    """Picture-level R-lambda rate control for one encode."""
+    """GOP + picture-level R-lambda rate control for one encode.
+
+    GOP layer (TEncRCGOP::xEstGOPTargetBits): the sequence-level
+    surplus/deficit is spread over a smoothing window (HM's
+    g_RCSmoothWindowSize=40) rather than all remaining frames, the
+    GOP budget is then split over its pictures by the GOP-position
+    weights with causal re-balancing as pictures land."""
 
     target_kbps: float
     fps: float
@@ -62,11 +68,15 @@ class RateControl:
     total_frames: int
     gop_weights: tuple = LDP_GOP4_WEIGHTS
     intra_ratio: float = 4.0        # I pictures get ~4x the P budget
+    smooth_window: int = 40         # g_RCSmoothWindowSize
 
     bits_spent: int = 0
     frames_done: int = 0
     last_qp: int | None = None
     models: dict = field(default_factory=dict)
+    # current GOP state: remaining bit budget + unencoded positions
+    gop_bits_left: float = 0.0
+    gop_pos_left: list = field(default_factory=list)
 
     @property
     def pixels(self) -> int:
@@ -76,6 +86,16 @@ class RateControl:
         total = self.target_kbps * 1000.0 / self.fps * self.total_frames
         return total - self.bits_spent
 
+    def _gop_target(self, left_frames: int) -> float:
+        """TEncRCGOP::xEstGOPTargetBits: per-pic target with the
+        sequence deviation amortised over the smoothing window."""
+        avg = self.target_kbps * 1000.0 / self.fps
+        infl = min(self.smooth_window, left_frames)
+        per_pic = (self._budget_left() - avg * left_frames) / infl \
+            + avg
+        n = min(len(self.gop_weights), left_frames)
+        return max(per_pic * n, 200.0)
+
     def pick(self, is_intra: bool, gop_pos: int = 0):
         """Target bits, lambda and QP for the next picture."""
         left_frames = max(self.total_frames - self.frames_done, 1)
@@ -83,11 +103,19 @@ class RateControl:
         if is_intra:
             target = avg * self.intra_ratio
             key = "I"
+            self.gop_pos_left = []          # restart GOP state at IRAP
         else:
-            wsum = sum(self.gop_weights)
             wn = len(self.gop_weights)
-            target = avg * self.gop_weights[gop_pos % wn] * wn / wsum
-            key = f"P{gop_pos % wn}"
+            pos = gop_pos % wn
+            if pos == 0 or not self.gop_pos_left:
+                self.gop_bits_left = self._gop_target(left_frames)
+                self.gop_pos_left = list(range(wn))
+            wsum = sum(self.gop_weights[p] for p in self.gop_pos_left)
+            target = self.gop_bits_left \
+                * self.gop_weights[pos] / max(wsum, 1e-9)
+            if pos in self.gop_pos_left:
+                self.gop_pos_left.remove(pos)
+            key = f"P{pos}"
         target = max(target, 100.0)
         bpp = target / self.pixels
         m = self.models.setdefault(key, _Model())
@@ -105,3 +133,5 @@ class RateControl:
         self.models[key].update(lam, actual_bits / self.pixels)
         self.bits_spent += actual_bits
         self.frames_done += 1
+        if key != "I":
+            self.gop_bits_left -= actual_bits
