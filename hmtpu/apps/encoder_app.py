@@ -37,6 +37,7 @@ def main(argv=None) -> int:
         sign_data_hiding=app.sign_hiding,
         rdoq=app.rdoq, tmvp=app.tmvp, decision=app.decision,
         transform_skip=app.transform_skip,
+        sei_buffering_period=app.sei_buffering_period,
         target_kbps=app.target_kbps, frame_rate=app.frame_rate,
         nn_weights_dir=app.nn_weights_dir or None))
 

@@ -99,6 +99,7 @@ class AppConfig:
     rate_control: bool = False
     target_kbps: float = 0.0
     decision: str = "scan"
+    sei_buffering_period: bool = False
     ignored: list = field(default_factory=list)
 
 
@@ -170,6 +171,8 @@ def resolve(opts: dict[str, str]) -> AppConfig:
         # HM TargetBitrate is in bps (TAppEncCfg.cpp RateControl group)
         cfg.target_kbps = float(opts.get("TargetBitrate", "0")) / 1000.0
     cfg.decision = opts.get("DecisionEngine", cfg.decision).lower()
+    cfg.sei_buffering_period = _BOOLISH.get(
+        opts.get("SEIBufferingPeriod", "0").lower(), False)
 
     # GOP structure: intra period 1 => all intra; B rows => random
     # access; otherwise low-delay P (the reference BASELINE configs)
@@ -194,7 +197,7 @@ def resolve(opts: dict[str, str]) -> AppConfig:
         "GOPSize", "SearchRange", "MaxNumMergeCand", "SignHideFlag",
         "SAO", "LoopFilterDisable", "SubPel", "NNWeightsDir",
         "RDOQ", "EnableTemporalMvp", "TransformSkip", "RateControl",
-        "TargetBitrate", "DecisionEngine",
+        "TargetBitrate", "DecisionEngine", "SEIBufferingPeriod",
     }
     for k in opts:
         if k not in handled and k not in _ACCEPTED_KEYS \

@@ -55,6 +55,15 @@ class Sps:
     temporal_mvp_enabled: bool = False
     strong_intra_smoothing: bool = True
     ptl: ProfileTierLevel = field(default_factory=ProfileTierLevel)
+    # VUI timing + HRD (E.2.1/E.2.2; TComSlice.h TComVUI/TComHRD) —
+    # off by default like the BASELINE configs; enabled by the
+    # buffering-period SEI path
+    vui_timing_present: bool = False
+    hrd_present: bool = False
+    num_units_in_tick: int = 1
+    time_scale: int = 50
+    hrd_bit_rate: int = 1_000_000      # bps (rounded to 64-bit units)
+    hrd_cpb_size: int = 2_000_000      # bits (rounded to 16-bit units)
 
     @property
     def ctu_size(self) -> int:

@@ -77,6 +77,10 @@ class EncoderConfig:
     sei_active_parameter_sets: bool = False
     sei_recovery_point: bool = False
     sei_pic_timing: bool = False
+    # buffering-period SEI + the VUI/HRD signalling it requires
+    # (SEIEncoder initSEIBufferingPeriod; implies per-AU pic_timing
+    # with CPB/DPB clocks)
+    sei_buffering_period: bool = False
 
 
 @dataclass
@@ -153,6 +157,14 @@ class Encoder:
         elif cfg.gop == "ldp":
             # HM LDP RPS keeps GOP anchors + startup recents (up to 7)
             self.sps.max_dec_pic_buffering = 8
+        if cfg.sei_buffering_period:
+            self.sps.vui_timing_present = True
+            self.sps.hrd_present = True
+            self.sps.time_scale = int(cfg.frame_rate * 1000)
+            self.sps.num_units_in_tick = 1000
+            if cfg.target_kbps > 0:
+                self.sps.hrd_bit_rate = int(cfg.target_kbps * 1500)
+                self.sps.hrd_cpb_size = int(cfg.target_kbps * 2000)
         if cfg.bit_depth == 10:
             # Main10 profile signalling (A.3.3)
             self.sps.ptl.general_profile_idc = 2
@@ -486,7 +498,20 @@ class Encoder:
             msgs.append(sei.active_parameter_sets())
         if is_idr and cfg.sei_recovery_point:
             msgs.append(sei.recovery_point())
-        if cfg.sei_pic_timing:
+        if cfg.sei_buffering_period:
+            if is_idr:
+                init = min(self.sps.hrd_cpb_size * 90000
+                           // max(self.sps.hrd_bit_rate, 1), 0xFFFFFF)
+                msgs.append(sei.buffering_period(self.sps.sps_id,
+                                                 init))
+                self._au_since_bp = 0
+            # HRD signalled => pic_timing with CPB/DPB clocks per AU
+            n = getattr(self, "_au_since_bp", 0)
+            msgs.append(sei.pic_timing_hrd(
+                max(n - 1, 0) if not is_idr else 0,
+                self.sps.max_num_reorder_pics + 1))
+            self._au_since_bp = n + 1
+        elif cfg.sei_pic_timing:
             msgs.append(sei.pic_timing_frame_field())
         return [sei.prefix_sei_nal(msgs)] if msgs else []
 

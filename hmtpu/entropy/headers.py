@@ -69,6 +69,85 @@ def write_vps(vps: Vps) -> NalUnit:
 # --------------------------------------------------------------------------
 # SPS
 
+def _write_hrd(bw: BitWriter, sps: Sps) -> None:
+    """hrd_parameters(1, 0) (E.2.2): one NAL CPB, fixed picture rate."""
+    bw.write_flag(True)                          # nal_hrd_parameters
+    bw.write_flag(False)                         # vcl_hrd_parameters
+    bw.write_flag(False)                         # sub_pic_hrd_params
+    bw.write(0, 4)                               # bit_rate_scale
+    bw.write(0, 4)                               # cpb_size_scale
+    bw.write(23, 5)                              # initial_cpb_removal_delay_len-1
+    bw.write(23, 5)                              # au_cpb_removal_delay_len-1
+    bw.write(23, 5)                              # dpb_output_delay_len-1
+    # sub-layer 0
+    bw.write_flag(True)                          # fixed_pic_rate_general
+    bw.write_ue(0)                               # elemental_duration_in_tc-1
+    bw.write_ue(0)                               # cpb_cnt_minus1
+    # sub_layer_hrd_parameters(0), NAL, j = 0
+    bw.write_ue(max(sps.hrd_bit_rate // 64, 1) - 1)   # bit_rate_value-1
+    bw.write_ue(max(sps.hrd_cpb_size // 16, 1) - 1)   # cpb_size_value-1
+    bw.write_flag(False)                         # cbr_flag
+
+
+def _read_hrd(br: BitReader, sps: Sps) -> None:
+    nal = br.read_flag()
+    vcl = br.read_flag()
+    if nal or vcl:
+        sub_pic = br.read_flag()
+        assert not sub_pic, "sub_pic HRD not in envelope"
+        br.read(4), br.read(4)                   # scales
+        br.read(5), br.read(5), br.read(5)       # lengths
+    fixed_general = br.read_flag()
+    if not fixed_general:
+        fixed_within = br.read_flag()
+    else:
+        fixed_within = True
+    low_delay = False
+    if fixed_within:
+        br.read_ue()                             # elemental_duration
+    else:
+        low_delay = br.read_flag()
+    cpb_cnt = 0 if low_delay else br.read_ue()
+    for _ in range((cpb_cnt + 1) * (int(nal) + int(vcl))):
+        sps.hrd_bit_rate = (br.read_ue() + 1) * 64
+        sps.hrd_cpb_size = (br.read_ue() + 1) * 16
+        br.read_flag()                           # cbr
+
+
+def _write_vui(bw: BitWriter, sps: Sps) -> None:
+    """vui_parameters (E.2.1), timing + HRD only."""
+    bw.write_flag(False)                         # aspect_ratio_info
+    bw.write_flag(False)                         # overscan_info
+    bw.write_flag(False)                         # video_signal_type
+    bw.write_flag(False)                         # chroma_loc_info
+    bw.write_flag(False)                         # neutral_chroma
+    bw.write_flag(False)                         # field_seq
+    bw.write_flag(False)                         # frame_field_info
+    bw.write_flag(False)                         # default_display_window
+    bw.write_flag(True)                          # vui_timing_info
+    bw.write(sps.num_units_in_tick, 32)
+    bw.write(sps.time_scale, 32)
+    bw.write_flag(False)                         # poc_proportional
+    bw.write_flag(sps.hrd_present)
+    if sps.hrd_present:
+        _write_hrd(bw, sps)
+    bw.write_flag(False)                         # bitstream_restriction
+
+
+def _read_vui(br: BitReader, sps: Sps) -> None:
+    for _ in range(8):
+        assert not br.read_flag()                # the 8 absent groups
+    if br.read_flag():                           # vui_timing_info
+        sps.vui_timing_present = True
+        sps.num_units_in_tick = br.read(32)
+        sps.time_scale = br.read(32)
+        assert not br.read_flag()                # poc_proportional
+        sps.hrd_present = br.read_flag()
+        if sps.hrd_present:
+            _read_hrd(br, sps)
+    assert not br.read_flag()                    # bitstream_restriction
+
+
 def write_sps(sps: Sps) -> NalUnit:
     bw = BitWriter()
     bw.write(sps.vps_id, 4)
@@ -101,7 +180,9 @@ def write_sps(sps: Sps) -> NalUnit:
     bw.write_flag(sps.long_term_ref_pics_present)
     bw.write_flag(sps.temporal_mvp_enabled)
     bw.write_flag(sps.strong_intra_smoothing)
-    bw.write_flag(False)                         # vui_parameters_present
+    bw.write_flag(sps.vui_timing_present)        # vui_parameters_present
+    if sps.vui_timing_present:
+        _write_vui(bw, sps)
     bw.write_flag(False)                         # sps_extension_present
     bw.write_rbsp_trailing_bits()
     return NalUnit(NalUnitType.SPS_NUT, bw.get_bytes())
@@ -142,6 +223,8 @@ def parse_sps(rbsp: bytes) -> Sps:
     sps.long_term_ref_pics_present = bool(br.read_flag())
     sps.temporal_mvp_enabled = bool(br.read_flag())
     sps.strong_intra_smoothing = bool(br.read_flag())
+    if br.read_flag():                           # vui_parameters_present
+        _read_vui(br, sps)
     return sps
 
 

@@ -94,6 +94,32 @@ def pic_timing_frame_field(pic_struct: int = 0,
     return _sei_message(SEI_PIC_TIMING, bw)
 
 
+def buffering_period(sps_id: int, init_delay_90k: int) -> bytes:
+    """buffering_period (D.2.2; SEIEncoder initSEIBufferingPeriod):
+    one NAL CPB, 24-bit delay fields as signalled in hrd_parameters.
+    init_delay_90k = initial CPB removal delay in 90 kHz units
+    (typically cpb_size / bit_rate * 90000)."""
+    bw = BitWriter()
+    bw.write_ue(sps_id)
+    bw.write_flag(False)                     # irap_cpb_params_present
+    bw.write_flag(False)                     # concatenation_flag
+    bw.write(0, 24)                          # au_cpb_removal_delay_delta-1
+    bw.write(init_delay_90k & 0xFFFFFF, 24)  # initial_cpb_removal_delay
+    bw.write(0, 24)                          # initial_cpb_removal_offset
+    return _sei_message(SEI_BUFFERING_PERIOD, bw)
+
+
+def pic_timing_hrd(au_cpb_removal_delay_minus1: int,
+                   pic_dpb_output_delay: int) -> bytes:
+    """pic_timing in its CPB/DPB-clock form (D.2.3 with
+    CpbDpbDelaysPresentFlag=1, frame_field_info absent — matches the
+    VUI our HRD path signals)."""
+    bw = BitWriter()
+    bw.write(au_cpb_removal_delay_minus1 & 0xFFFFFF, 24)
+    bw.write(pic_dpb_output_delay & 0xFFFFFF, 24)
+    return _sei_message(SEI_PIC_TIMING, bw)
+
+
 def user_data_unregistered(text: bytes,
                            uuid_bytes: bytes | None = None) -> bytes:
     """user_data_unregistered (D.2.7)."""

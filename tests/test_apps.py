@@ -146,3 +146,32 @@ def test_sei_message_shapes():
     parsed = parse_sei_messages(nal.rbsp)
     assert [t for t, _ in parsed] == [129, 6, 1, 5]
     assert parsed[3][1][16:] == b"hmtpu"
+
+
+def test_hrd_buffering_period_stream(tmp_path):
+    """VUI/HRD + buffering-period + CPB/DPB pic_timing: stream decodes
+    (own + HM oracle when present), SPS VUI round-trips."""
+    import numpy as np
+
+    from hmtpu.decoder.core import Decoder
+    from hmtpu.encoder.top import Encoder, EncoderConfig
+    from hmtpu.io.yuv import Frame
+
+    frames = [Frame(y.astype(np.int32), u.astype(np.int32),
+                    v.astype(np.int32))
+              for y, u, v in synth_clip(96, 64, 4)]
+    enc = Encoder(EncoderConfig(width=96, height=64, qp=32, gop="ldp",
+                                subpel="none",
+                                sei_buffering_period=True,
+                                target_kbps=300.0))
+    bs = enc.encode_sequence(frames)
+    d = Decoder()
+    assert len(d.decode_annexb(bs)) == 4
+    assert d.sps.vui_timing_present and d.sps.hrd_present
+    assert d.sps.time_scale == 50000
+    from tests import oracle
+    if oracle.have_decoder():
+        p = tmp_path / "hrd.hevc"
+        p.write_bytes(bs)
+        out = oracle.decode(str(p), str(tmp_path / "r.yuv"))
+        assert out.count("(OK)") == 4
