@@ -74,12 +74,16 @@ def test_ra_e2e_intree():
 
 
 @pytest.mark.skipif(not have_decoder(), reason="HM oracle not built")
-def test_ra_e2e_hm_oracle(tmp_path):
+@pytest.mark.parametrize("qp,subpel", [(22, "nn"), (37, "dctif")])
+def test_ra_e2e_hm_oracle(tmp_path, qp, subpel):
+    # one (qp, subpel) arm per test id: each RA encode compiles ~5-6
+    # whole-frame variants (one per GOP-position ref-list shape) and
+    # two arms in one process trip the XLA:CPU multi-compile abort —
+    # run_suite's PER_TEST isolation gives each arm its own process
     frames = _frames(96, 96, 10)
-    for qp, subpel in ((22, "nn"), (37, "dctif")):
-        enc = Encoder(EncoderConfig(width=96, height=96, qp=qp, gop="ra",
-                                    subpel=subpel))
-        p = tmp_path / f"ra{qp}.hevc"
-        p.write_bytes(enc.encode_sequence(frames))
-        log = decode(str(p), str(tmp_path / "rec.yuv"))
-        assert log.count("(OK)") == len(frames), f"qp{qp}:\n{log}"
+    enc = Encoder(EncoderConfig(width=96, height=96, qp=qp, gop="ra",
+                                subpel=subpel))
+    p = tmp_path / f"ra{qp}.hevc"
+    p.write_bytes(enc.encode_sequence(frames))
+    log = decode(str(p), str(tmp_path / "rec.yuv"))
+    assert log.count("(OK)") == len(frames), f"qp{qp}:\n{log}"
