@@ -48,9 +48,16 @@ def main():
                     v.astype(np.int32))
               for y, u, v in synth_clip(416, 240, frames_n)]
 
+    # SearchRange 64 = the reference cfg's value
+    # (cfg/encoder_lowdelay_P_main.cfg); the HM anchors were measured
+    # with it, so the comparison runs with it too.  Overridable for
+    # A/Bs (HMTPU_BENCH_SRANGE=16 was the pre-r5 bench value).
+    srange = int(os.environ.get("HMTPU_BENCH_SRANGE", "64"))
+
     def run(n, q, subpel="nn", dec=None):
         enc = Encoder(EncoderConfig(width=416, height=240, qp=q,
                                     gop="ldp", subpel=subpel,
+                                    search_range=srange,
                                     decision=dec or decision))
         t0 = time.time()
         enc.encode_sequence(frames[:n])
@@ -73,6 +80,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / hm["fps"], 4),
         "decision": decision,
+        "search_range": srange,
         "bd_rate_y_pct": None,
         "bd_rate_y_pct_dctif": None,
         "bd_rate_y_pct_integer": None,

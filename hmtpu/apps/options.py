@@ -106,24 +106,44 @@ class AppConfig:
 _BOOLISH = {"0": False, "1": True, "false": False, "true": True}
 
 # keys that are recognised HM options outside the current envelope;
-# they are accepted (HM cfgs run unmodified) and reported once
+# they are accepted (HM cfgs run unmodified) and reported once.
+# Benign: descriptive, redundant with our defaults, or pure speed
+# knobs whose output-identity HM doesn't guarantee either.
 _ACCEPTED_KEYS = {
     "Profile", "Level", "Tier", "MaxCUWidth", "MaxCUHeight",
     "MaxPartitionDepth", "QuadtreeTULog2MaxSize", "QuadtreeTULog2MinSize",
-    "QuadtreeTUMaxDepthInter", "QuadtreeTUMaxDepthIntra",
     "DecodingRefreshType", "FastSearch", "BipredSearchRange",
-    "HadamardME", "FEN", "FDM", "MaxDeltaQP", "MaxCuDQPDepth",
-    "DeltaQpRD", "RDOQTS", "TransformSkipFast",
+    "HadamardME", "FEN", "FDM",
     "SliceChromaQPOffsetPeriodicity", "SliceCbQpOffsetIntraOrPeriodic",
     "SliceCrQpOffsetIntraOrPeriodic", "LoopFilterOffsetInPPS",
-    "LoopFilterBetaOffset_div2", "LoopFilterTcOffset_div2",
     "DeblockingFilterMetric", "InputChromaFormat", "ConformanceWindowMode",
     "PCMEnabledFlag", "TemporalLevel0IndexSEIEnabled",
-    "SEIDecodedPictureHash", "CUTransquantBypassFlagForce",
-    "TransquantBypassEnableFlag", "WaveFrontSynchro", "ScalingList",
-    "AdaptiveQP", "LCULevelRateControl",
+    "SEIDecodedPictureHash",
     "RCLCUSeparateModel", "InitialQP", "RCForceIntraQP", "Frame1",
     "Frame2", "Frame3", "Frame4", "Frame5", "Frame6", "Frame7", "Frame8",
+}
+
+# recognised keys that WOULD change the coded stream but have no knob
+# behind them yet: accepting one silently would make an HM cfg encode
+# something materially different, so each non-default value gets a
+# loud per-key warning (and still lands in cfg.ignored)
+_BEHAVIORAL_KEYS = {
+    # key: default value (warn only when the cfg deviates from it)
+    "QuadtreeTUMaxDepthInter": "1",
+    "QuadtreeTUMaxDepthIntra": "1",
+    "MaxDeltaQP": "0",
+    "MaxCuDQPDepth": "0",
+    "DeltaQpRD": "0",
+    "RDOQTS": None,
+    "TransformSkipFast": None,
+    "LoopFilterBetaOffset_div2": "0",
+    "LoopFilterTcOffset_div2": "0",
+    "CUTransquantBypassFlagForce": "0",
+    "TransquantBypassEnableFlag": "0",
+    "WaveFrontSynchro": "0",
+    "ScalingList": "0",
+    "AdaptiveQP": "0",
+    "LCULevelRateControl": None,
 }
 
 
@@ -200,9 +220,17 @@ def resolve(opts: dict[str, str]) -> AppConfig:
         "TargetBitrate", "DecisionEngine", "SEIBufferingPeriod",
     }
     for k in opts:
-        if k not in handled and k not in _ACCEPTED_KEYS \
-                and not (k.startswith("Frame") and k[5:].isdigit()):
-            print(f"Warning: unknown option {k}", file=sys.stderr)
-        elif k in _ACCEPTED_KEYS and k not in handled:
+        if k in handled or (k.startswith("Frame") and k[5:].isdigit()):
+            continue
+        if k in _BEHAVIORAL_KEYS:
+            default = _BEHAVIORAL_KEYS[k]
+            if default is None or opts[k].strip() != default:
+                print(f"Warning: option {k}={opts[k]} is recognised "
+                      f"but NOT implemented — the encode will differ "
+                      f"from HM's for this config", file=sys.stderr)
             cfg.ignored.append(k)
+        elif k in _ACCEPTED_KEYS:
+            cfg.ignored.append(k)
+        else:
+            print(f"Warning: unknown option {k}", file=sys.stderr)
     return cfg

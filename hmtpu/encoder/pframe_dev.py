@@ -261,7 +261,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                    tmvp: bool = False, log2_ctu: int = 6,
                    sdh: bool = False, num_ref_l1: int = 0,
                    l0map: tuple = None, l1map: tuple = None,
-                   rdoq: bool = True):
+                   rdoq: bool = True, n_active=None):
     """B-slice mode (num_ref_l1 > 0): refs_* are the deduped union of
     both reference lists, l0map/l1map are static union indices per
     list, mv_lx/mv16[3]/mv32[3] carry the per-block AMVP list choice,
@@ -342,10 +342,6 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                                                              cr_nz)
         return b + jnp.where(cb_nz | cr_nz,
                              cbf_luma_bits(cbflat, y_nz), 0.0)
-
-    def mvd_mvp_ref_bits(mvdx, mvdy, mvpi, aref):
-        b = mvd_bits(cbflat, mvdx, mvdy) + mvp_idx_bits(cbflat, mvpi)
-        return b + ref_idx_bits(cbflat, aref, num_ref)
 
     # ---- phase 1b: open-loop intra mode per block (org-pixel refs)
     oref = jnp.where(none_y[:, None], mid, org_y.reshape(-1)[sub_y])
@@ -497,6 +493,124 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             + inter_dir_bits(cbflat, 1 + lxb, depth)
         return mvpi, mvdx, mvdy, bits_mvd, b_refa
 
+    bits_mi_row_g = merge_idx_bits(cbflat, jnp.arange(max_merge),
+                                   max_merge)
+
+    def p_merge_all_rd(org, orgu, orgv, x0, y0, n: int, log2y: int,
+                       cmx, cmy, crf, b_skip1, b_inter,
+                       extra_y=None, extra_c=None, sel_y=None,
+                       sel_c=None):
+        """Full residual RD over EVERY merge candidate — the batched
+        inversion of HM's per-candidate merge loop
+        (TEncCu::xCheckRDCostMerge2Nx2N, TEncCu.cpp:1157): each
+        candidate's luma+chroma prediction is coded through
+        transform/quant/RDOQ and priced with its true cbf + TB bits,
+        and the skip (no-residual) hypothesis is priced per candidate
+        too; two argmins replace HM's loop.  The pre-r5 screening
+        priced candidates by prediction SSE only — the winner by SSE
+        is often not the winner by coded RD, which is a piece of the
+        resid_y gap vs HM.  extra_*: additional TBs fused into the
+        same _code batches (the 8x8 level rides its intra TBs here),
+        returned coded after the merge lanes."""
+        B = org.shape[0]
+        M = max_merge
+        nc = n // 2
+        rep = lambda a: jnp.repeat(a, M)
+        two = lambda a: jnp.concatenate([a, a])
+        crf_f = crf.reshape(-1)
+        pred_l = mc_luma_batch_refs(
+            refs_y, crf_f, rep(x0), rep(y0), cmx.reshape(-1),
+            cmy.reshape(-1), n, n, bd).reshape(B, M, n, n)
+        pc = mc_chroma_batch_refs(
+            refs_c, jnp.concatenate([crf_f, crf_f + Ru]),
+            two(rep(x0 // 2)), two(rep(y0 // 2)),
+            two(cmx.reshape(-1)), two(cmy.reshape(-1)), nc, nc, bd)
+        BM = B * M
+        pred_cb = pc[:BM].reshape(B, M, nc, nc)
+        pred_cr = pc[BM:].reshape(B, M, nc, nc)
+
+        tile = lambda a: jnp.broadcast_to(
+            a[:, None], (B, M) + a.shape[1:]) \
+            .reshape((BM,) + a.shape[1:])
+        orgs_y = tile(org)
+        preds_y = pred_l.reshape(BM, n, n)
+        sely = None
+        if extra_y is not None:
+            orgs_y = jnp.concatenate([orgs_y, org])
+            preds_y = jnp.concatenate([preds_y, extra_y])
+            sely = jnp.concatenate([jnp.zeros((BM,), jnp.int32),
+                                    sel_y])
+        levY, recY, dY, bY = code(orgs_y, preds_y, qp, log2y, bd, lam,
+                                  cbflat, True, sdh=sdh, scan_sel=sely)
+        orgs_c = jnp.concatenate([tile(orgu), tile(orgv)])
+        preds_c = jnp.concatenate([pred_cb.reshape(BM, nc, nc),
+                                   pred_cr.reshape(BM, nc, nc)])
+        selc = None
+        if extra_c is not None:
+            orgs_c = jnp.concatenate(
+                [orgs_c, jnp.concatenate([orgu, orgv])])
+            preds_c = jnp.concatenate([preds_c, extra_c])
+            selc = jnp.concatenate([jnp.zeros((2 * BM,), jnp.int32),
+                                    sel_c])
+        levC, recC, dC, bC = code(orgs_c, preds_c, qpc, log2y - 1, bd,
+                                  lam_c, cbflat, False, wchroma,
+                                  sdh=sdh, scan_sel=selc)
+        sq = lambda a, i: a[i * BM:(i + 1) * BM].reshape(B, M)
+        d_y, b_y = sq(dY, 0), sq(bY, 0)
+        d_cb, b_cb = sq(dC, 0), sq(bC, 0)
+        d_cr, b_cr = sq(dC, 1), sq(bC, 1)
+        lev_y = levY[:BM].reshape(B, M, n, n)
+        rec_y = recY[:BM].reshape(B, M, n, n)
+        lev_cb = levC[:BM].reshape(B, M, nc, nc)
+        rec_cb = recC[:BM].reshape(B, M, nc, nc)
+        lev_cr = levC[BM:2 * BM].reshape(B, M, nc, nc)
+        rec_cr = recC[BM:2 * BM].reshape(B, M, nc, nc)
+        y_nz = jnp.any(lev_y.reshape(B, M, -1) != 0, -1)
+        cb_nz = jnp.any(lev_cb.reshape(B, M, -1) != 0, -1)
+        cr_nz = jnp.any(lev_cr.reshape(B, M, -1) != 0, -1)
+
+        sse3_m = jnp.sum((org[:, None] - pred_l) ** 2, (-1, -2)) \
+            .astype(jnp.float32) + wchroma * (
+            jnp.sum((orgu[:, None] - pred_cb) ** 2, (-1, -2))
+            + jnp.sum((orgv[:, None] - pred_cr) ** 2, (-1, -2))
+            ).astype(jnp.float32)
+        cost_skip_m = sse3_m + lam * (b_skip1[:, None]
+                                      + bits_mi_row_g[None])
+        mrg_hdr = b_inter[:, None] + merge_flag_bits(
+            cbflat, jnp.ones((B,), jnp.int32))[:, None] \
+            + bits_mi_row_g[None]
+        cost_merge_m = d_y + d_cb + d_cr + lam * (
+            mrg_hdr + cbf_bits_inter(y_nz, cb_nz, cr_nz)
+            + b_y + b_cb + b_cr)
+        # an all-zero-residual merge IS skip with one extra flag;
+        # the skip hypothesis covers it
+        cost_merge_m = jnp.where(y_nz | cb_nz | cr_nz, cost_merge_m,
+                                 BIG)
+        mi_skip = jnp.argmin(cost_skip_m, 1).astype(jnp.int32)
+        mi_merge = jnp.argmin(cost_merge_m, 1).astype(jnp.int32)
+        g1 = lambda a, mi: jnp.take_along_axis(a, mi[:, None], 1)[:, 0]
+        gt = lambda a, mi: jnp.take_along_axis(
+            a, mi[:, None, None, None], 1)[:, 0]
+        return dict(
+            cost_skip=jnp.min(cost_skip_m, 1),
+            cost_merge=jnp.min(cost_merge_m, 1),
+            mi_skip=mi_skip, mi_merge=mi_merge,
+            sk_mvx=g1(cmx, mi_skip), sk_mvy=g1(cmy, mi_skip),
+            sk_ref=g1(crf, mi_skip),
+            mg_mvx=g1(cmx, mi_merge), mg_mvy=g1(cmy, mi_merge),
+            mg_ref=g1(crf, mi_merge),
+            pred_sk_y=gt(pred_l, mi_skip),
+            pred_sk_u=gt(pred_cb, mi_skip),
+            pred_sk_v=gt(pred_cr, mi_skip),
+            lev_my=gt(lev_y, mi_merge), rec_my=gt(rec_y, mi_merge),
+            lev_mu=gt(lev_cb, mi_merge), rec_mu=gt(rec_cb, mi_merge),
+            lev_mv=gt(lev_cr, mi_merge), rec_mv=gt(rec_cr, mi_merge),
+            cbf_m=(g1(y_nz, mi_merge), g1(cb_nz, mi_merge),
+                   g1(cr_nz, mi_merge)),
+            extra=(levY[BM:], recY[BM:], dY[BM:], bY[BM:],
+                   levC[2 * BM:], recC[2 * BM:], dC[2 * BM:],
+                   bC[2 * BM:]))
+
     def cell_step(st, blk, valid):
         """Decide one batch of 8x8 CUs against the committed state;
         returns (new state, chosen RD cost per lane)."""
@@ -517,6 +631,36 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         rep = lambda a: jnp.repeat(a, M)
         two = lambda a: jnp.concatenate([a, a])
         bits_mi_row = merge_idx_bits(cbflat, jnp.arange(M), max_merge)
+
+        # CU mode syntax priced from the committed neighbour state
+        # (cu_skip_flag ctx 9.3.4.2.2 = left/above skip); derived up
+        # front — the per-candidate costs need the prices
+        bL = jnp.where(bxi > 0, b - 1, 0)
+        bA = jnp.where(byi > 0, b - bw, 0)
+        l_k = st["blk"][bL, K_KIND]
+        a_k = st["blk"][bA, K_KIND]
+        inc_sk = ((bxi > 0) & (l_k == 0)).astype(jnp.int32) \
+            + ((byi > 0) & (a_k == 0)).astype(jnp.int32)
+        b_skip1 = skip_flag_bits(cbflat, jnp.ones_like(b), inc_sk)
+        b_skip0 = skip_flag_bits(cbflat, jnp.zeros_like(b), inc_sk)
+        b_common = b_skip0 + part_size_2nx2n_bits(cbflat)
+        b_inter = b_common + pred_mode_bits(cbflat, jnp.zeros_like(b))
+
+        # intra prediction: exact, from committed recon (early — the
+        # intra TBs ride the P path's fused merge _code batches)
+        iref = jnp.where(none_y[b, None], mid, st["rec_y"][sub_y[b]])
+        iref_f = filter_reference_batched(iref, 8, bd, strong=False)
+        im = imode[b]
+        ipred = predict_one_mode(iref, iref_f, im, 8, True, bd)
+        irefu = jnp.where(none_c[b, None], mid, st["rec_u"][sub_u[b]])
+        irefv = jnp.where(none_c[b, None], mid, st["rec_v"][sub_u[b]])
+        cp2 = predict_one_mode(jnp.concatenate([irefu, irefv]),
+                               jnp.concatenate([irefu, irefv]),
+                               two(im), 4, False, bd)
+        cpu, cpv = cp2[:B], cp2[B:]
+        isel = _intra_scan_sel(im)
+        z_b = jnp.zeros_like(isel)
+
         if is_b:
             cands = merge_b_nxn(nbv, nbp, x0, y0, 8)
             sse_l = jnp.sum((org[:, None] - cands[-1]) ** 2,
@@ -527,39 +671,66 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             (w_dir, w_mvx, w_mvy, w_ref, w_mvx1, w_mvy1, w_ref1,
              pred_m, pred_mu, pred_mv_) = merge_b_winner(
                 cands, mi, x0, y0, 8)
+            msse3 = jnp.sum((org - pred_m) ** 2, axis=(-1, -2)) \
+                .astype(jnp.float32) + wchroma * (
+                jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
+                + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
+                ).astype(jnp.float32)
+            # fused residual coding of the screened winner + intra
+            levY2, recY2, dY2, bY2 = code(
+                two(org), jnp.concatenate([pred_m, ipred]), qp, 3, bd,
+                lam, cbflat, True, sdh=sdh,
+                scan_sel=jnp.concatenate([z_b, isel]))
+            lev_my, lev_iy = levY2[:B], levY2[B:]
+            rec_my, rec_iy = recY2[:B], recY2[B:]
+            d_my, d_iy = dY2[:B], dY2[B:]
+            b_my, b_iy = bY2[:B], bY2[B:]
+            orgC4 = jnp.concatenate([orgu, orgv, orgu, orgv])
+            predC4 = jnp.concatenate([pred_mu, pred_mv_, cpu, cpv])
+            levC4, recC4, dC4, bC4 = code(
+                orgC4, predC4, qpc, 2, bd, lam_c, cbflat, False,
+                wchroma, sdh=sdh,
+                scan_sel=jnp.concatenate([z_b, z_b, isel, isel]))
+            lev_mu, lev_mv_, lev_iu, lev_iv = jnp.split(levC4, 4)
+            rec_mu, rec_mv_, rec_iu, rec_iv = jnp.split(recC4, 4)
+            d_mu, d_mv, d_iu, d_iv = jnp.split(dC4, 4)
+            b_mu, b_mv, b_iu, b_iv = jnp.split(bC4, 4)
+            cbf_m = (jnp.any(lev_my.reshape(B, 64) != 0, 1),
+                     jnp.any(lev_mu.reshape(B, 16) != 0, 1),
+                     jnp.any(lev_mv_.reshape(B, 16) != 0, 1))
+            b_mi = merge_idx_bits(cbflat, mi, max_merge)
+            cost_skip = msse3 + lam * (b_skip1 + b_mi)
+            cost_merge = d_my + d_mu + d_mv + lam * (
+                b_inter + merge_flag_bits(cbflat, jnp.ones_like(b))
+                + b_mi + cbf_bits_inter(*cbf_m) + b_my + b_mu + b_mv)
+            mi_sk = mi_mg = mi
+            pred_sk_y, pred_sk_u, pred_sk_v = pred_m, pred_mu, pred_mv_
         else:
             tkw = {} if t8 is None else dict(
                 t_ok=t8[0][b], t_mvx=t8[1][b], t_mvy=t8[2][b])
             cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
                                                  num_ref, max_merge,
+                                                 n_active=n_active,
                                                  **tkw)
-
-            # luma SSE + merge_idx rate screening over all candidates
-            pred_l = mc_luma_batch_refs(
-                refs_y, crf.reshape(-1), rep(x0), rep(y0),
-                cmx.reshape(-1), cmy.reshape(-1), 8, 8,
-                bd).reshape(B, M, 8, 8)
-            sse_l = jnp.sum((org[:, None] - pred_l) ** 2,
-                            axis=(-1, -2))
-            mi = jnp.argmin(sse_l.astype(jnp.float32)
-                            + lam * bits_mi_row[None],
-                            axis=1).astype(jnp.int32)  # (B,)
-            w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
-            w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
-            w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
-            pred_m = jnp.take_along_axis(
-                pred_l, mi[:, None, None, None], 1)[:, 0]
-            # winner chroma, both planes in one MC over the stacked refs
-            pred_c2 = mc_chroma_batch_refs(
-                refs_c, jnp.concatenate([w_ref, w_ref + Ru]),
-                two(bxi * 4), two(byi * 4), two(w_mvx), two(w_mvy),
-                4, 4, bd)
-            pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
-        msse3 = jnp.sum((org - pred_m) ** 2, axis=(-1, -2)) \
-            .astype(jnp.float32) + wchroma * (
-            jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
-            + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
-            ).astype(jnp.float32)
+            mrd = p_merge_all_rd(
+                org, orgu, orgv, x0, y0, 8, 3, cmx, cmy, crf,
+                b_skip1, b_inter,
+                extra_y=ipred, extra_c=jnp.concatenate([cpu, cpv]),
+                sel_y=isel, sel_c=jnp.concatenate([isel, isel]))
+            cost_skip, cost_merge = mrd["cost_skip"], mrd["cost_merge"]
+            mi_sk, mi_mg = mrd["mi_skip"], mrd["mi_merge"]
+            lev_my, rec_my = mrd["lev_my"], mrd["rec_my"]
+            lev_mu, rec_mu = mrd["lev_mu"], mrd["rec_mu"]
+            lev_mv_, rec_mv_ = mrd["lev_mv"], mrd["rec_mv"]
+            cbf_m = mrd["cbf_m"]
+            pred_sk_y, pred_sk_u, pred_sk_v = (
+                mrd["pred_sk_y"], mrd["pred_sk_u"], mrd["pred_sk_v"])
+            (lev_iy, rec_iy, d_iy, b_iy, levC2, recC2, dC2,
+             bC2) = mrd["extra"]
+            lev_iu, lev_iv = levC2[:B], levC2[B:]
+            rec_iu, rec_iv = recC2[:B], recC2[B:]
+            d_iu, d_iv = dC2[:B], dC2[B:]
+            b_iu, b_iv = bC2[:B], bC2[B:]
 
         # AMVP: exact list (per-block target ref) -> true mvd bits
         aref = rself[b]
@@ -582,21 +753,9 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             mvdx = jnp.where(use1, amx - p1x, amx - p0x)
             mvdy = jnp.where(use1, amy - p1y, amy - p0y)
             bits_mvd = jnp.minimum(bits0, bits1)
-            b_refa = ref_idx_bits(cbflat, aref, num_ref)
+            b_refa = ref_idx_bits(cbflat, aref, num_ref,
+                                  n_active=n_active)
 
-        # CU mode syntax priced from the committed neighbour state
-        # (cu_skip_flag ctx 9.3.4.2.2 = left/above skip)
-        bL = jnp.where(bxi > 0, b - 1, 0)
-        bA = jnp.where(byi > 0, b - bw, 0)
-        l_k = st["blk"][bL, K_KIND]
-        a_k = st["blk"][bA, K_KIND]
-        inc_sk = ((bxi > 0) & (l_k == 0)).astype(jnp.int32) \
-            + ((byi > 0) & (a_k == 0)).astype(jnp.int32)
-        b_skip1 = skip_flag_bits(cbflat, jnp.ones_like(b), inc_sk)
-        b_skip0 = skip_flag_bits(cbflat, jnp.zeros_like(b), inc_sk)
-        b_mi = merge_idx_bits(cbflat, mi, max_merge)
-        b_common = b_skip0 + part_size_2nx2n_bits(cbflat)
-        b_inter = b_common + pred_mode_bits(cbflat, jnp.zeros_like(b))
         cost_amvp = dist_a[b] + lam * (
             b_inter + merge_flag_bits(cbflat, jnp.zeros_like(b))
             + mvp_idx_bits(cbflat, mvpi) + bits_mvd
@@ -605,48 +764,6 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                              cbf_a8[2][b], cbf_bits_inter)
             + bits_a_lev[b])
 
-        # intra prediction: exact, from committed recon
-        iref = jnp.where(none_y[b, None], mid, st["rec_y"][sub_y[b]])
-        iref_f = filter_reference_batched(iref, 8, bd, strong=False)
-        im = imode[b]
-        ipred = predict_one_mode(iref, iref_f, im, 8, True, bd)
-        irefu = jnp.where(none_c[b, None], mid, st["rec_u"][sub_u[b]])
-        irefv = jnp.where(none_c[b, None], mid, st["rec_v"][sub_u[b]])
-        cp2 = predict_one_mode(jnp.concatenate([irefu, irefv]),
-                               jnp.concatenate([irefu, irefv]),
-                               two(im), 4, False, bd)
-        cpu, cpv = cp2[:B], cp2[B:]
-
-        # fused residual coding: merge+intra luma in one transform
-        # batch, all four chroma blocks in another
-        isel = _intra_scan_sel(im)
-        z_b = jnp.zeros_like(isel)
-        levY2, recY2, dY2, bY2 = code(
-            two(org), jnp.concatenate([pred_m, ipred]), qp, 3, bd, lam,
-            cbflat, True, sdh=sdh,
-            scan_sel=jnp.concatenate([z_b, isel]))
-        lev_my, lev_iy = levY2[:B], levY2[B:]
-        rec_my, rec_iy = recY2[:B], recY2[B:]
-        d_my, d_iy = dY2[:B], dY2[B:]
-        b_my, b_iy = bY2[:B], bY2[B:]
-        orgC4 = jnp.concatenate([orgu, orgv, orgu, orgv])
-        predC4 = jnp.concatenate([pred_mu, pred_mv_, cpu, cpv])
-        levC4, recC4, dC4, bC4 = code(
-            orgC4, predC4, qpc, 2, bd, lam_c, cbflat, False, wchroma,
-            sdh=sdh,
-            scan_sel=jnp.concatenate([z_b, z_b, isel, isel]))
-        lev_mu, lev_mv_, lev_iu, lev_iv = jnp.split(levC4, 4)
-        rec_mu, rec_mv_, rec_iu, rec_iv = jnp.split(recC4, 4)
-        d_mu, d_mv, d_iu, d_iv = jnp.split(dC4, 4)
-        b_mu, b_mv, b_iu, b_iv = jnp.split(bC4, 4)
-
-        cbf_m = (jnp.any(lev_my.reshape(B, 64) != 0, 1),
-                 jnp.any(lev_mu.reshape(B, 16) != 0, 1),
-                 jnp.any(lev_mv_.reshape(B, 16) != 0, 1))
-        cost_skip = msse3 + lam * (b_skip1 + b_mi)
-        cost_merge = d_my + d_mu + d_mv + lam * (
-            b_inter + merge_flag_bits(cbflat, jnp.ones_like(b)) + b_mi
-            + cbf_bits_inter(*cbf_m) + b_my + b_mu + b_mv)
         inter_best = jnp.minimum(cost_skip,
                                  jnp.minimum(cost_merge, cost_amvp))
         from hmtpu.ops.ratebits import chroma_dm_bits, \
@@ -673,15 +790,16 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         choice = jnp.argmin(costs, axis=1).astype(jnp.int32)
         m_zero = ~(cbf_m[0] | cbf_m[1] | cbf_m[2])
         choice = jnp.where((choice == 1) & m_zero, 0, choice)
+        mi = jnp.where(choice == 0, mi_sk, mi_mg)
 
         def pick4(s, m, a, i):
             c = choice.reshape((-1,) + (1,) * (s.ndim - 1))
             return jnp.where(c == 0, s, jnp.where(c == 1, m,
                              jnp.where(c == 2, a, i)))
 
-        out_y = pick4(pred_m, rec_my, rec_ay[b], rec_iy)
-        out_u = pick4(pred_mu, rec_mu, rec_au[b], rec_iu)
-        out_v = pick4(pred_mv_, rec_mv_, rec_av[b], rec_iv)
+        out_y = pick4(pred_sk_y, rec_my, rec_ay[b], rec_iy)
+        out_u = pick4(pred_sk_u, rec_mu, rec_au[b], rec_iu)
+        out_v = pick4(pred_sk_v, rec_mv_, rec_av[b], rec_iv)
         f96 = lambda a8, c4a, c4b: jnp.concatenate(
             [a8.reshape(B, 64), c4a.reshape(B, 16), c4b.reshape(B, 16)],
             axis=1)
@@ -712,16 +830,19 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             new_dir = pick4(w_dir, w_dir, 1 + lxb,
                             jnp.zeros_like(w_dir))
         else:
-            new_mvx = pick4(w_mvx, w_mvx, amx, jnp.zeros_like(amx))
-            new_mvy = pick4(w_mvy, w_mvy, amy, jnp.zeros_like(amy))
-            new_ref = pick4(w_ref, w_ref, aref, jnp.zeros_like(w_ref))
+            new_mvx = pick4(mrd["sk_mvx"], mrd["mg_mvx"], amx,
+                            jnp.zeros_like(amx))
+            new_mvy = pick4(mrd["sk_mvy"], mrd["mg_mvy"], amy,
+                            jnp.zeros_like(amy))
+            new_ref = pick4(mrd["sk_ref"], mrd["mg_ref"], aref,
+                            jnp.zeros_like(aref))
             new_mvx1 = jnp.zeros_like(new_mvx)
             new_mvy1 = jnp.zeros_like(new_mvx)
             new_ref1 = jnp.zeros_like(new_mvx)
             new_dir = jnp.where(choice == 3, 0, 1)
         zero_b = jnp.zeros((B,), bool)
         cbf_y = pick4(zero_b,
-                      jnp.any(lev_my.reshape(B, 64) != 0, axis=1),
+                      cbf_m[0],
                       jnp.any(lev_ay[b].reshape(B, 64) != 0, axis=1),
                       jnp.any(lev_iy.reshape(B, 64) != 0, axis=1)) \
             .astype(jnp.int32)
@@ -847,6 +968,22 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         rep = lambda a: jnp.repeat(a, M)
         two = lambda a: jnp.concatenate([a, a])
         bits_mi_row = merge_idx_bits(cbflat, jnp.arange(M), max_merge)
+
+        # skip/split ctx from the committed state OUTSIDE the region
+        # (left/above corners are untouched by the in-region cells)
+        corner = (gyb * 2) * bw + gxb * 2
+        cL = jnp.where(gxb > 0, corner - 1, 0)
+        cA = jnp.where(gyb > 0, corner - bw, 0)
+        l_blk = st["blk"][cL]
+        a_blk = st["blk"][cA]
+        inc_sk = ((gxb > 0) & (l_blk[:, K_KIND] == 0)) \
+            .astype(jnp.int32) \
+            + ((gyb > 0) & (a_blk[:, K_KIND] == 0)).astype(jnp.int32)
+        b_skip1 = skip_flag_bits(cbflat, jnp.ones_like(g), inc_sk)
+        b_skip0 = skip_flag_bits(cbflat, jnp.zeros_like(g), inc_sk)
+        b_inter = b_skip0 + part_size_2nx2n_bits(cbflat) \
+            + pred_mode_bits(cbflat, jnp.zeros_like(g))
+
         if is_b:
             cands = merge_b_nxn(nbv, nbp, x0, y0, 16)
             sse_l = jnp.sum((org[:, None] - cands[-1]) ** 2,
@@ -857,46 +994,49 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             (w_dir, w_mvx, w_mvy, w_ref, w_mvx1, w_mvy1, w_ref1,
              pred_m, pred_mu, pred_mv_) = merge_b_winner(
                 cands, mi, x0, y0, 16)
+            msse3 = jnp.sum((org - pred_m) ** 2, axis=(-1, -2)) \
+                .astype(jnp.float32) + wchroma * (
+                jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
+                + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
+                ).astype(jnp.float32)
+            lev_my, rec_my, d_my, b_my = code(org, pred_m, qp, 4, bd,
+                                              lam, cbflat, True,
+                                              sdh=sdh)
+            levC2, recC2, dC2, bC2 = code(
+                jnp.concatenate([orgu, orgv]),
+                jnp.concatenate([pred_mu, pred_mv_]), qpc, 3, bd,
+                lam_c, cbflat, False, wchroma, sdh=sdh)
+            lev_mu, lev_mv_ = levC2[:B], levC2[B:]
+            rec_mu, rec_mv_ = recC2[:B], recC2[B:]
+            d_mu, d_mv = dC2[:B], dC2[B:]
+            b_mu, b_mv = bC2[:B], bC2[B:]
+            cbf_m = (jnp.any(lev_my.reshape(B, 256) != 0, 1),
+                     jnp.any(lev_mu.reshape(B, 64) != 0, 1),
+                     jnp.any(lev_mv_.reshape(B, 64) != 0, 1))
+            b_mi = merge_idx_bits(cbflat, mi, max_merge)
+            cost_skip = msse3 + lam * (b_skip1 + b_mi)
+            cost_merge = d_my + d_mu + d_mv + lam * (
+                b_inter + merge_flag_bits(cbflat, jnp.ones_like(g))
+                + b_mi + cbf_bits_inter(*cbf_m) + b_my + b_mu + b_mv)
+            mi_sk = mi_mg = mi
+            pred_sk_y, pred_sk_u, pred_sk_v = pred_m, pred_mu, pred_mv_
         else:
             tkw = {} if t16 is None else dict(
                 t_ok=t16[0][g], t_mvx=t16[1][g], t_mvy=t16[2][g])
             cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
                                                  num_ref, max_merge,
+                                                 n_active=n_active,
                                                  **tkw)
-            pred_l = mc_luma_batch_refs(
-                refs_y, crf.reshape(-1), rep(x0), rep(y0),
-                cmx.reshape(-1), cmy.reshape(-1), 16, 16, bd) \
-                .reshape(B, M, 16, 16)
-            sse_l = jnp.sum((org[:, None] - pred_l) ** 2,
-                            axis=(-1, -2))
-            mi = jnp.argmin(sse_l.astype(jnp.float32)
-                            + lam * bits_mi_row[None],
-                            axis=1).astype(jnp.int32)
-            w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
-            w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
-            w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
-            pred_m = jnp.take_along_axis(
-                pred_l, mi[:, None, None, None], 1)[:, 0]
-            pred_c2 = mc_chroma_batch_refs(
-                refs_c, jnp.concatenate([w_ref, w_ref + Ru]),
-                two(gxb * 8), two(gyb * 8), two(w_mvx), two(w_mvy),
-                8, 8, bd)
-            pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
-        msse3 = jnp.sum((org - pred_m) ** 2, axis=(-1, -2)) \
-            .astype(jnp.float32) + wchroma * (
-            jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
-            + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
-            ).astype(jnp.float32)
-        lev_my, rec_my, d_my, b_my = code(org, pred_m, qp, 4, bd, lam,
-                                           cbflat, True, sdh=sdh)
-        levC2, recC2, dC2, bC2 = code(
-            jnp.concatenate([orgu, orgv]),
-            jnp.concatenate([pred_mu, pred_mv_]), qpc, 3, bd, lam_c,
-            cbflat, False, wchroma, sdh=sdh)
-        lev_mu, lev_mv_ = levC2[:B], levC2[B:]
-        rec_mu, rec_mv_ = recC2[:B], recC2[B:]
-        d_mu, d_mv = dC2[:B], dC2[B:]
-        b_mu, b_mv = bC2[:B], bC2[B:]
+            mrd = p_merge_all_rd(org, orgu, orgv, x0, y0, 16, 4,
+                                 cmx, cmy, crf, b_skip1, b_inter)
+            cost_skip, cost_merge = mrd["cost_skip"], mrd["cost_merge"]
+            mi_sk, mi_mg = mrd["mi_skip"], mrd["mi_merge"]
+            lev_my, rec_my = mrd["lev_my"], mrd["rec_my"]
+            lev_mu, rec_mu = mrd["lev_mu"], mrd["rec_mu"]
+            lev_mv_, rec_mv_ = mrd["lev_mv"], mrd["rec_mv"]
+            cbf_m = mrd["cbf_m"]
+            pred_sk_y, pred_sk_u, pred_sk_v = (
+                mrd["pred_sk_y"], mrd["pred_sk_u"], mrd["pred_sk_v"])
 
         aref = r16[g]
         amx, amy = m16x[g], m16y[g]
@@ -918,28 +1058,9 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             mvdx = jnp.where(use1, amx - p1x, amx - p0x)
             mvdy = jnp.where(use1, amy - p1y, amy - p0y)
             bits_mvd = jnp.minimum(bits0, bits1)
-            b_refa16 = ref_idx_bits(cbflat, aref, num_ref)
+            b_refa16 = ref_idx_bits(cbflat, aref, num_ref,
+                                    n_active=n_active)
 
-        corner = (gyb * 2) * bw + gxb * 2
-        cL = jnp.where(gxb > 0, corner - 1, 0)
-        cA = jnp.where(gyb > 0, corner - bw, 0)
-        l_blk = st["blk"][cL]
-        a_blk = st["blk"][cA]
-        inc_sk = ((gxb > 0) & (l_blk[:, K_KIND] == 0)) \
-            .astype(jnp.int32) \
-            + ((gyb > 0) & (a_blk[:, K_KIND] == 0)).astype(jnp.int32)
-        b_skip1 = skip_flag_bits(cbflat, jnp.ones_like(g), inc_sk)
-        b_skip0 = skip_flag_bits(cbflat, jnp.zeros_like(g), inc_sk)
-        b_mi = merge_idx_bits(cbflat, mi, max_merge)
-        b_inter = b_skip0 + part_size_2nx2n_bits(cbflat) \
-            + pred_mode_bits(cbflat, jnp.zeros_like(g))
-        cbf_m = (jnp.any(lev_my.reshape(B, 256) != 0, 1),
-                 jnp.any(lev_mu.reshape(B, 64) != 0, 1),
-                 jnp.any(lev_mv_.reshape(B, 64) != 0, 1))
-        cost_skip = msse3 + lam * (b_skip1 + b_mi)
-        cost_merge = d_my + d_mu + d_mv + lam * (
-            b_inter + merge_flag_bits(cbflat, jnp.ones_like(g)) + b_mi
-            + cbf_bits_inter(*cbf_m) + b_my + b_mu + b_mv)
         cost_amvp = dist_a16[g] + lam * (
             b_inter + merge_flag_bits(cbflat, jnp.zeros_like(g))
             + mvp_idx_bits(cbflat, mvpi) + bits_mvd
@@ -951,6 +1072,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         c16 = jnp.argmin(costs, axis=1).astype(jnp.int32)
         m_zero = ~(cbf_m[0] | cbf_m[1] | cbf_m[2])
         c16 = jnp.where((c16 == 1) & m_zero, 0, c16)
+        mi = jnp.where(c16 == 0, mi_sk, mi_mg)
         cost16 = jnp.min(costs, axis=1)
         # split_cu_flag at the 16 depth: the 4x8x8 path pays split=1,
         # the single CU split=0 (9.3.4.2.2 ctx from neighbour depths)
@@ -966,9 +1088,9 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             c = c16.reshape((-1,) + (1,) * (s.ndim - 1))
             return jnp.where(c == 0, s, jnp.where(c == 1, m, a))
 
-        out_y = pick3(pred_m, rec_my, rec16ay[g])
-        out_u = pick3(pred_mu, rec_mu, rec16au[g])
-        out_v = pick3(pred_mv_, rec_mv_, rec16av[g])
+        out_y = pick3(pred_sk_y, rec_my, rec16ay[g])
+        out_u = pick3(pred_sk_u, rec_mu, rec16au[g])
+        out_v = pick3(pred_sk_v, rec_mv_, rec16av[g])
         pack = jnp.concatenate([lev_my.reshape(B, 256),
                                 lev_mu.reshape(B, 64),
                                 lev_mv_.reshape(B, 64)], axis=1)
@@ -984,15 +1106,15 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             n_ref1 = pick3(w_ref1, w_ref1, jnp.where(u0a, 0, aref))
             n_dir = pick3(w_dir, w_dir, 1 + lx16b)
         else:
-            n_mvx = pick3(w_mvx, w_mvx, amx)
-            n_mvy = pick3(w_mvy, w_mvy, amy)
-            n_ref = pick3(w_ref, w_ref, aref)
+            n_mvx = pick3(mrd["sk_mvx"], mrd["mg_mvx"], amx)
+            n_mvy = pick3(mrd["sk_mvy"], mrd["mg_mvy"], amy)
+            n_ref = pick3(mrd["sk_ref"], mrd["mg_ref"], aref)
             n_mvx1 = jnp.zeros_like(n_mvx)
             n_mvy1 = jnp.zeros_like(n_mvx)
             n_ref1 = jnp.zeros_like(n_mvx)
             n_dir = jnp.ones_like(c16)
         cbf16b = pick3(jnp.zeros((B,), bool),
-                       jnp.any(lev_my.reshape(B, 256) != 0, axis=1),
+                       cbf_m[0],
                        jnp.any(lev16ay[g].reshape(B, 256) != 0, axis=1)
                        ).astype(jnp.int32)
         o_blk = jnp.stack([c16, mi, mvdx, mvdy, mvpi,
@@ -1119,6 +1241,21 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         rep = lambda a: jnp.repeat(a, M)
         two = lambda a: jnp.concatenate([a, a])
         bits_mi_row = merge_idx_bits(cbflat, jnp.arange(M), max_merge)
+
+        # skip/split ctx from the committed state OUTSIDE the region
+        corner = (qyb * 4) * bw + qxb * 4
+        cL = jnp.where(qxb > 0, corner - 1, 0)
+        cA = jnp.where(qyb > 0, corner - bw, 0)
+        l_blk = st["blk"][cL]
+        a_blk = st["blk"][cA]
+        inc_sk = ((qxb > 0) & (l_blk[:, K_KIND] == 0)) \
+            .astype(jnp.int32) \
+            + ((qyb > 0) & (a_blk[:, K_KIND] == 0)).astype(jnp.int32)
+        b_skip1 = skip_flag_bits(cbflat, jnp.ones_like(g), inc_sk)
+        b_skip0 = skip_flag_bits(cbflat, jnp.zeros_like(g), inc_sk)
+        b_inter = b_skip0 + part_size_2nx2n_bits(cbflat) \
+            + pred_mode_bits(cbflat, jnp.zeros_like(g))
+
         if is_b:
             cands = merge_b_nxn(nbv, nbp, x0, y0, 32)
             sse_l = jnp.sum((org[:, None] - cands[-1]) ** 2,
@@ -1129,46 +1266,49 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             (w_dir, w_mvx, w_mvy, w_ref, w_mvx1, w_mvy1, w_ref1,
              pred_m, pred_mu, pred_mv_) = merge_b_winner(
                 cands, mi, x0, y0, 32)
+            msse3 = jnp.sum((org - pred_m) ** 2, axis=(-1, -2)) \
+                .astype(jnp.float32) + wchroma * (
+                jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
+                + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
+                ).astype(jnp.float32)
+            lev_my, rec_my, d_my, b_my = code(org, pred_m, qp, 5, bd,
+                                              lam, cbflat, True,
+                                              sdh=sdh)
+            levC2, recC2, dC2, bC2 = code(
+                jnp.concatenate([orgu, orgv]),
+                jnp.concatenate([pred_mu, pred_mv_]), qpc, 4, bd,
+                lam_c, cbflat, False, wchroma, sdh=sdh)
+            lev_mu, lev_mv_ = levC2[:B], levC2[B:]
+            rec_mu, rec_mv_ = recC2[:B], recC2[B:]
+            d_mu, d_mv = dC2[:B], dC2[B:]
+            b_mu, b_mv = bC2[:B], bC2[B:]
+            cbf_m = (jnp.any(lev_my.reshape(B, 1024) != 0, 1),
+                     jnp.any(lev_mu.reshape(B, 256) != 0, 1),
+                     jnp.any(lev_mv_.reshape(B, 256) != 0, 1))
+            b_mi = merge_idx_bits(cbflat, mi, max_merge)
+            cost_skip = msse3 + lam * (b_skip1 + b_mi)
+            cost_merge = d_my + d_mu + d_mv + lam * (
+                b_inter + merge_flag_bits(cbflat, jnp.ones_like(g))
+                + b_mi + cbf_bits_inter(*cbf_m) + b_my + b_mu + b_mv)
+            mi_sk = mi_mg = mi
+            pred_sk_y, pred_sk_u, pred_sk_v = pred_m, pred_mu, pred_mv_
         else:
             tkw = {} if t32 is None else dict(
                 t_ok=t32[0][g], t_mvx=t32[1][g], t_mvy=t32[2][g])
             cmx, cmy, crf = merge_candidates_dev(nbv, nmx, nmy, nrf,
                                                  num_ref, max_merge,
+                                                 n_active=n_active,
                                                  **tkw)
-            pred_l = mc_luma_batch_refs(
-                refs_y, crf.reshape(-1), rep(x0), rep(y0),
-                cmx.reshape(-1), cmy.reshape(-1), 32, 32, bd) \
-                .reshape(B, M, 32, 32)
-            sse_l = jnp.sum((org[:, None] - pred_l) ** 2,
-                            axis=(-1, -2))
-            mi = jnp.argmin(sse_l.astype(jnp.float32)
-                            + lam * bits_mi_row[None],
-                            axis=1).astype(jnp.int32)
-            w_mvx = jnp.take_along_axis(cmx, mi[:, None], 1)[:, 0]
-            w_mvy = jnp.take_along_axis(cmy, mi[:, None], 1)[:, 0]
-            w_ref = jnp.take_along_axis(crf, mi[:, None], 1)[:, 0]
-            pred_m = jnp.take_along_axis(
-                pred_l, mi[:, None, None, None], 1)[:, 0]
-            pred_c2 = mc_chroma_batch_refs(
-                refs_c, jnp.concatenate([w_ref, w_ref + Ru]),
-                two(qxb * 16), two(qyb * 16), two(w_mvx), two(w_mvy),
-                16, 16, bd)
-            pred_mu, pred_mv_ = pred_c2[:B], pred_c2[B:]
-        msse3 = jnp.sum((org - pred_m) ** 2, axis=(-1, -2)) \
-            .astype(jnp.float32) + wchroma * (
-            jnp.sum((orgu - pred_mu) ** 2, axis=(-1, -2))
-            + jnp.sum((orgv - pred_mv_) ** 2, axis=(-1, -2))
-            ).astype(jnp.float32)
-        lev_my, rec_my, d_my, b_my = code(org, pred_m, qp, 5, bd, lam,
-                                           cbflat, True, sdh=sdh)
-        levC2, recC2, dC2, bC2 = code(
-            jnp.concatenate([orgu, orgv]),
-            jnp.concatenate([pred_mu, pred_mv_]), qpc, 4, bd, lam_c,
-            cbflat, False, wchroma, sdh=sdh)
-        lev_mu, lev_mv_ = levC2[:B], levC2[B:]
-        rec_mu, rec_mv_ = recC2[:B], recC2[B:]
-        d_mu, d_mv = dC2[:B], dC2[B:]
-        b_mu, b_mv = bC2[:B], bC2[B:]
+            mrd = p_merge_all_rd(org, orgu, orgv, x0, y0, 32, 5,
+                                 cmx, cmy, crf, b_skip1, b_inter)
+            cost_skip, cost_merge = mrd["cost_skip"], mrd["cost_merge"]
+            mi_sk, mi_mg = mrd["mi_skip"], mrd["mi_merge"]
+            lev_my, rec_my = mrd["lev_my"], mrd["rec_my"]
+            lev_mu, rec_mu = mrd["lev_mu"], mrd["rec_mu"]
+            lev_mv_, rec_mv_ = mrd["lev_mv"], mrd["rec_mv"]
+            cbf_m = mrd["cbf_m"]
+            pred_sk_y, pred_sk_u, pred_sk_v = (
+                mrd["pred_sk_y"], mrd["pred_sk_u"], mrd["pred_sk_v"])
 
         aref = r32[g]
         amx, amy = m32x[g], m32y[g]
@@ -1190,28 +1330,9 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             mvdx = jnp.where(use1, amx - p1x, amx - p0x)
             mvdy = jnp.where(use1, amy - p1y, amy - p0y)
             bits_mvd = jnp.minimum(bits0, bits1)
-            b_refa32 = ref_idx_bits(cbflat, aref, num_ref)
+            b_refa32 = ref_idx_bits(cbflat, aref, num_ref,
+                                    n_active=n_active)
 
-        corner = (qyb * 4) * bw + qxb * 4
-        cL = jnp.where(qxb > 0, corner - 1, 0)
-        cA = jnp.where(qyb > 0, corner - bw, 0)
-        l_blk = st["blk"][cL]
-        a_blk = st["blk"][cA]
-        inc_sk = ((qxb > 0) & (l_blk[:, K_KIND] == 0)) \
-            .astype(jnp.int32) \
-            + ((qyb > 0) & (a_blk[:, K_KIND] == 0)).astype(jnp.int32)
-        b_skip1 = skip_flag_bits(cbflat, jnp.ones_like(g), inc_sk)
-        b_skip0 = skip_flag_bits(cbflat, jnp.zeros_like(g), inc_sk)
-        b_mi = merge_idx_bits(cbflat, mi, max_merge)
-        b_inter = b_skip0 + part_size_2nx2n_bits(cbflat) \
-            + pred_mode_bits(cbflat, jnp.zeros_like(g))
-        cbf_m = (jnp.any(lev_my.reshape(B, 1024) != 0, 1),
-                 jnp.any(lev_mu.reshape(B, 256) != 0, 1),
-                 jnp.any(lev_mv_.reshape(B, 256) != 0, 1))
-        cost_skip = msse3 + lam * (b_skip1 + b_mi)
-        cost_merge = d_my + d_mu + d_mv + lam * (
-            b_inter + merge_flag_bits(cbflat, jnp.ones_like(g)) + b_mi
-            + cbf_bits_inter(*cbf_m) + b_my + b_mu + b_mv)
         cost_amvp = dist_a32[g] + lam * (
             b_inter + merge_flag_bits(cbflat, jnp.zeros_like(g))
             + mvp_idx_bits(cbflat, mvpi) + bits_mvd
@@ -1223,6 +1344,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         c32 = jnp.argmin(costs, axis=1).astype(jnp.int32)
         m_zero = ~(cbf_m[0] | cbf_m[1] | cbf_m[2])
         c32 = jnp.where((c32 == 1) & m_zero, 0, c32)
+        mi = jnp.where(c32 == 0, mi_sk, mi_mg)
         cost32 = jnp.min(costs, axis=1)
         # split_cu_flag at the 32 depth
         inc_sp = ((qxb > 0) & (l_blk[:, K_SZ] < 2)).astype(jnp.int32) \
@@ -1237,9 +1359,9 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             c = c32.reshape((-1,) + (1,) * (s.ndim - 1))
             return jnp.where(c == 0, s, jnp.where(c == 1, m, a))
 
-        out_y = pick3(pred_m, rec_my, rec32ay[g])
-        out_u = pick3(pred_mu, rec_mu, rec32au[g])
-        out_v = pick3(pred_mv_, rec_mv_, rec32av[g])
+        out_y = pick3(pred_sk_y, rec_my, rec32ay[g])
+        out_u = pick3(pred_sk_u, rec_mu, rec32au[g])
+        out_v = pick3(pred_sk_v, rec_mv_, rec32av[g])
         pack = jnp.concatenate([lev_my.reshape(B, 1024),
                                 lev_mu.reshape(B, 256),
                                 lev_mv_.reshape(B, 256)], axis=1)
@@ -1255,15 +1377,15 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             n_ref1 = pick3(w_ref1, w_ref1, jnp.where(u0a, 0, aref))
             n_dir = pick3(w_dir, w_dir, 1 + lx32b)
         else:
-            n_mvx = pick3(w_mvx, w_mvx, amx)
-            n_mvy = pick3(w_mvy, w_mvy, amy)
-            n_ref = pick3(w_ref, w_ref, aref)
+            n_mvx = pick3(mrd["sk_mvx"], mrd["mg_mvx"], amx)
+            n_mvy = pick3(mrd["sk_mvy"], mrd["mg_mvy"], amy)
+            n_ref = pick3(mrd["sk_ref"], mrd["mg_ref"], aref)
             n_mvx1 = jnp.zeros_like(n_mvx)
             n_mvy1 = jnp.zeros_like(n_mvx)
             n_ref1 = jnp.zeros_like(n_mvx)
             n_dir = jnp.ones_like(c32)
         cbf32b = pick3(jnp.zeros((B,), bool),
-                       jnp.any(lev_my.reshape(B, 1024) != 0, axis=1),
+                       cbf_m[0],
                        jnp.any(lev32ay[g].reshape(B, 1024) != 0, axis=1)
                        ).astype(jnp.int32)
         o_blk = jnp.stack([c32, mi, mvdx, mvdy, mvpi,
@@ -1360,46 +1482,75 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                         .astype(jnp.float32))
     zeros = jnp.zeros((bh, bw), jnp.int32)
 
-    def me_level(n: int, refp=None, orgp=None, gw=None, gh=None):
-        """Integer ME over every active reference (both lists for B):
-        returns (mvx, mvy, ref-within-list, lx, stencil)."""
-        o = org_y if orgp is None else orgp
-        if gw is None:
-            gw, gh = w // n, h // n
-        z = jnp.zeros((gh, gw), jnp.int32)
-        lists = [(0, r, u) for r, u in enumerate(
-            l0map if is_b else tuple(range(num_ref)))]
-        if is_b:
-            lists += [(1, r, u) for r, u in enumerate(l1map)]
-        mv_all, sten_all, cost_all, meta = [], [], [], []
-        for lx, r, u in lists:
-            ref_plane = refs_y[u] if refp is None else refp[u]
-            (mx, my), sten, sad = integer_me(ref_plane, o, n, srange,
-                                             lam_sqrt, z, z)
-            nr = num_ref if lx == 0 else num_ref_l1
-            refbits = 0.0 if nr == 1 else float(1 + min(r, nr - 2))
-            mv_all.append(jnp.stack([mx, my]))
-            sten_all.append(sten)
-            cost = sad.astype(jnp.float32) + lam_sqrt * refbits
-            if lx == 0:
-                # padded (inactive) L0 refs never win
-                cost = cost + jnp.where(jnp.int32(r) < n_active,
-                                        0.0, BIG)
-            cost_all.append(cost)
-            meta.append((lx, r))
-        sel = jnp.argmin(jnp.stack(cost_all), axis=0).astype(jnp.int32)
-        mvsel = jnp.take_along_axis(jnp.stack(mv_all),
-                                    sel[None, None], 0)[0]
+    _ref_lists = [(0, r, u) for r, u in enumerate(
+        l0map if is_b else tuple(range(num_ref)))]
+    if is_b:
+        _ref_lists += [(1, r, u) for r, u in enumerate(l1map)]
+
+    def _pick_best_ref(entries, meta):
+        """argmin over the per-(list, ref) candidates of one level."""
+        sel = jnp.argmin(jnp.stack([e[2] for e in entries]),
+                         axis=0).astype(jnp.int32)
+        mvsel = jnp.take_along_axis(
+            jnp.stack([e[0] for e in entries]), sel[None, None], 0)[0]
         sten = jnp.take_along_axis(
-            jnp.stack(sten_all), sel[None, :, :, None, None], 0)[0]
+            jnp.stack([e[1] for e in entries]),
+            sel[None, :, :, None, None], 0)[0]
         lx_tab = jnp.asarray([m[0] for m in meta], jnp.int32)
         r_tab = jnp.asarray([m[1] for m in meta], jnp.int32)
         return (mvsel[0], mvsel[1], r_tab[sel], lx_tab[sel], sten)
 
+    def _ref_cost(sad, lx, r):
+        """SAD + ref-idx signalling bits; padded (inactive) L0 refs
+        never win."""
+        nr = num_ref if lx == 0 else num_ref_l1
+        refbits = 0.0 if nr == 1 else float(1 + min(r, nr - 2))
+        cost = sad.astype(jnp.float32) + lam_sqrt * refbits
+        if lx == 0:
+            cost = cost + jnp.where(jnp.int32(r) < n_active, 0.0, BIG)
+        return cost
+
+    def me_all_levels(qh: int, qw: int):
+        """Integer ME over every active reference at all three CU
+        sizes, ONE shared 8x8 SAD volume per reference
+        (search/me.py integer_me_levels).  Returns
+        {n: (mvx, mvy, ref-within-list, lx, stencil)}."""
+        from hmtpu.search.me import integer_me_levels
+        acc = {8: [], 16: [], 32: []}
+        meta = []
+        for lx, r, u in _ref_lists:
+            lev = integer_me_levels(refs_y[u], org_y, srange, lam_sqrt,
+                                    qh, qw)
+            for n, ((mx, my), sten, sad) in lev.items():
+                acc[n].append((jnp.stack([mx, my]), sten,
+                               _ref_cost(sad, lx, r)))
+            meta.append((lx, r))
+        return {n: _pick_best_ref(entries, meta)
+                for n, entries in acc.items()}
+
+    def me_level8():
+        """Single-level fallback for geometries without a 16-grid."""
+        z = jnp.zeros((h // 8, w // 8), jnp.int32)
+        entries, meta = [], []
+        for lx, r, u in _ref_lists:
+            (mx, my), sten, sad = integer_me(refs_y[u], org_y, 8,
+                                             srange, lam_sqrt, z, z)
+            entries.append((jnp.stack([mx, my]), sten,
+                            _ref_cost(sad, lx, r)))
+            meta.append((lx, r))
+        return _pick_best_ref(entries, meta)
+
     # multi-reference integer ME: full-window search against EVERY
     # active reference (HM searches all refs in predInterSearch), best
     # reference per block by motion cost + ref-idx signalling bits
-    mvx, mvy, rsel, lxsel, stencil = me_level(8)
+    two_level = (w % 16 == 0) and (h % 16 == 0) and sched16 is not None
+    three_level = two_level and sched32 is not None
+    if two_level:
+        qw0, qh0 = (bw // 2 + 1) // 2, (bh // 2 + 1) // 2
+        me_out = me_all_levels(qh0, qw0)
+        mvx, mvy, rsel, lxsel, stencil = me_out[8]
+    else:
+        mvx, mvy, rsel, lxsel, stencil = me_level8()
 
     # coherence pass: trade per-block SAD optimality for a mergeable
     # motion field (the economics large inter CUs give HM)
@@ -1443,10 +1594,9 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
         mvq_x, mvq_y = mvx * 4, mvy * 4
 
     # 16x16 ME for the two-level CU decision (dims permitting)
-    two_level = (w % 16 == 0) and (h % 16 == 0)
     mv16 = None
-    if two_level and sched16 is not None:
-        m16x_i, m16y_i, r16, lx16, s16 = me_level(16)
+    if two_level:
+        m16x_i, m16y_i, r16, lx16, s16 = me_out[16]
         if subpel == "nn":
             from hmtpu.models.nnfme import predict_offsets
             st9 = s16.reshape(-1, 9).astype(jnp.float32)
@@ -1476,17 +1626,17 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
         mv16 = (mv16q_x, mv16q_y, r16, lx16) if is_b \
             else (mv16q_x, mv16q_y, r16)
 
-    # 32x32 ME for the third CU level (org/ref padded up; lanes in the
-    # padded strip never become CUs — full32 masks them in the scan)
-    three_level = mv16 is not None and sched32 is not None
+    # 32x32 ME for the third CU level (SAD sums zero-padded in the
+    # ceil-grid strip; those lanes never become CUs — full32 masks
+    # them in the scan.  MC reads refs_y directly: its coordinate
+    # clamping IS edge replication, so no padded ref stack is needed)
     mv32 = None
     if three_level:
-        qw, qh = (bw // 2 + 1) // 2, (bh // 2 + 1) // 2
-        pads = ((0, 0), (0, qh * 32 - h), (0, qw * 32 - w))
-        orgp = jnp.pad(org_y, pads[1:], mode="edge")
-        refs_p = jnp.pad(refs_y, pads, mode="edge")
-        m32x_i, m32y_i, r32, lx32, s32 = me_level(
-            32, refp=refs_p, orgp=orgp, gw=qw, gh=qh)
+        qw, qh = qw0, qh0
+        orgp = jnp.pad(org_y, ((0, qh * 32 - h), (0, qw * 32 - w)),
+                       mode="edge")
+        refs_p = refs_y
+        m32x_i, m32y_i, r32, lx32, s32 = me_out[32]
         if subpel == "nn":
             from hmtpu.models.nnfme import predict_offsets
             st9 = s32.reshape(-1, 9).astype(jnp.float32)
@@ -1526,7 +1676,8 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
             col=col, col_poc=col_poc, cbflat=cbflat,
             w=w, h=h, num_ref=num_ref, max_merge=max_merge, bd=bd,
             qp_factor=qp_factor, tmvp=tmvp,
-            log2_ctu=ctu.bit_length() - 1, sdh=sdh, rdoq=rdoq)
+            log2_ctu=ctu.bit_length() - 1, sdh=sdh, rdoq=rdoq,
+            n_active=n_active)
     else:
         st = wavefront_pass(org_y, org_u, org_v, refs_y, refs_u,
                             refs_v,
@@ -1545,7 +1696,8 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                             levels=levels, tmvp=tmvp,
                             log2_ctu=ctu.bit_length() - 1, sdh=sdh,
                             num_ref_l1=num_ref_l1, l0map=l0map,
-                            l1map=l1map, rdoq=rdoq)
+                            l1map=l1map, rdoq=rdoq,
+                            n_active=None if is_b else n_active)
 
     # ---- in-loop filters, still on device (8.7.2 deblock, 8.7.3 SAO)
     if deblock or sao:

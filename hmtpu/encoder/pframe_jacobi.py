@@ -91,7 +91,7 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                           qp_factor=0.57, tmvp: bool = False,
                           log2_ctu: int = 6, sdh: bool = False,
                           rdoq: bool = True, lite_rounds: int = 2,
-                          full_rounds: int = 1):
+                          full_rounds: int = 1, n_active=None):
     """P-slice (uni-pred) three-level decision, batched.  Same output
     contract as pframe_dev.wavefront_pass(levels=3)."""
     from hmtpu.encoder.intra_rdo import _MODE_BITS, _satd
@@ -232,18 +232,18 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         8: dict(n=8, Pn=P, x0=x0_8, y0=y0_8, nbc=nb_flat, nbo=nb_ok,
                 traw=t_raw(8), amx=mvxf, amy=mvyf, aref=rself,
                 org=org_blk, orgu=orgu_blk, orgv=orgv_blk,
-                l2y=3, l2c=2, pred_a=pred_a8, cov=bidx[:, None]),
+                l2y=3, l2c=2, pred_a=pred_a8),
         16: dict(n=16, Pn=P16, x0=gx_all * 16, y0=gy_all * 16,
                  nbc=nb16_cell, nbo=nb16_ok, traw=t_raw(16),
                  amx=m16x, amy=m16y, aref=r16, org=org16_blk,
                  orgu=org16u, orgv=org16v, l2y=4, l2c=3,
-                 pred_a=pred_a16, cov=cells16),
+                 pred_a=pred_a16),
         32: dict(n=32, Pn=P32, x0=qx_all * 32, y0=qy_all * 32,
                  nbc=nb32_cell, nbo=nb32_ok, traw=t_raw(32, gwo=qw,
                                                         gho=qh),
                  amx=m32x, amy=m32y, aref=r32, org=org32_blk,
                  orgu=org32u, orgv=org32v, l2y=5, l2c=4,
-                 pred_a=pred_a32, cov=cells8_32),
+                 pred_a=pred_a32),
     }
 
     def merge_from_field(F, L, stick_bits=4.0):
@@ -253,7 +253,8 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         nbv = L["nbo"] & (nbp[..., K_DIR] > 0)
         cmx, cmy, crf = merge_candidates_dev(
             nbv, nbp[..., K_MVX], nbp[..., K_MVY], nbp[..., K_REF],
-            num_ref, max_merge, **t_merge(L["traw"]))
+            num_ref, max_merge, n_active=n_active,
+            **t_merge(L["traw"]))
         n, Pn = L["n"], L["Pn"]
         pred_l = mc_luma_batch_refs(
             refs_y, crf.reshape(-1), rep(L["x0"]), rep(L["y0"]),
@@ -331,7 +332,8 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         b_inter = b_common + pred_mode_bits(cbflat, zb)
         b_amvp_hdr = b_inter + merge_flag_bits(cbflat, zb) \
             + mvp_idx_bits(cbflat, mvpi) + bits_mvd \
-            + ref_idx_bits(cbflat, L["aref"], num_ref)
+            + ref_idx_bits(cbflat, L["aref"], num_ref,
+                           n_active=n_active)
         b_merge_hdr = b_inter + merge_flag_bits(cbflat, zb + 1) + b_mi
         return b_skip1, b_mi, b_common, b_inter, b_amvp_hdr, \
             b_merge_hdr
@@ -643,8 +645,9 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         d32 = decide_full(F, levels[32], False, pen_bits=pen)
         d32["cost"] = jnp.where(full32, d32["cost"], BIG)
         use16, use32 = hierarchy(d8, d16, d32, F)
+        F_prev = F             # pre-commit base for the flip counter
         F = commit_field(d8, d16, d32, use16, use32)
-    F1 = F                     # hysteresis base for diagnostics below
+    F1 = F_prev                # diagnostics: last round's input field
 
     # ---- intra consistency: keep only intra blocks none of whose
     # reference-sample neighbours are themselves kept intra; others
@@ -700,7 +703,8 @@ def wavefront_pass_jacobi(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         nbv = L["nbo"] & (nbp[..., K_DIR] > 0)
         cmx, cmy, crf = merge_candidates_dev(
             nbv, nbp[..., K_MVX], nbp[..., K_MVY], nbp[..., K_REF],
-            num_ref, max_merge, **t_merge(L["traw"]))
+            num_ref, max_merge, n_active=n_active,
+            **t_merge(L["traw"]))
         corner = scat_cells[:, 0]
         cur = F[corner]
         kind, mvx, mvy, ref = (cur[:, K_KIND], cur[:, K_MVX],

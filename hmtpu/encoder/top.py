@@ -157,6 +157,12 @@ class Encoder:
         elif cfg.gop == "ldp":
             # HM LDP RPS keeps GOP anchors + startup recents (up to 7)
             self.sps.max_dec_pic_buffering = 8
+        if cfg.sei_buffering_period and cfg.gop == "ra":
+            # pic_timing_hrd writes a constant dpb_output_delay, which
+            # is only conformant when the stream has no reordering; the
+            # per-AU decode-vs-output delay for hierarchical GOPs is
+            # not derived yet (HM: numReorderPics + encOrder - outOrder)
+            raise ValueError("sei_buffering_period supports ai/ldp GOPs")
         if cfg.sei_buffering_period:
             self.sps.vui_timing_present = True
             self.sps.hrd_present = True
@@ -354,6 +360,12 @@ class Encoder:
                 self.rc = RateControl(
                     self.cfg.target_kbps, self.cfg.frame_rate,
                     self.cfg.width, self.cfg.height, len(frames))
+            elif self.rc is not None:
+                # resumed (or chained) segment: the pickled rc carries
+                # the FIRST segment's total_frames; without extending it
+                # _budget_left() goes negative once frames_done passes
+                # it and every target clamps to the floor (QP ceiling)
+                self.rc.total_frames = self.rc.frames_done + len(frames)
             # two-phase pipeline: while the device computes frame N+1
             # (whose references live on device), the host pulls frame
             # N's decision tensors and runs entropy/hash.  Rate control

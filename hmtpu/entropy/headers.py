@@ -15,6 +15,11 @@ from hmtpu.io.bitstream import BitReader, BitWriter
 from hmtpu.io.nal import NalUnit
 
 
+class UnsupportedStream(Exception):
+    """A conformant stream uses a feature outside this decoder's
+    envelope (typed so callers can distinguish it from a parse bug)."""
+
+
 # --------------------------------------------------------------------------
 # profile_tier_level
 
@@ -94,7 +99,8 @@ def _read_hrd(br: BitReader, sps: Sps) -> None:
     vcl = br.read_flag()
     if nal or vcl:
         sub_pic = br.read_flag()
-        assert not sub_pic, "sub_pic HRD not in envelope"
+        if sub_pic:
+            raise UnsupportedStream("sub_pic HRD parameters")
         br.read(4), br.read(4)                   # scales
         br.read(5), br.read(5), br.read(5)       # lengths
     fixed_general = br.read_flag()
@@ -135,17 +141,38 @@ def _write_vui(bw: BitWriter, sps: Sps) -> None:
 
 
 def _read_vui(br: BitReader, sps: Sps) -> None:
-    for _ in range(8):
-        assert not br.read_flag()                # the 8 absent groups
+    """Full E.2.1 parse; optional groups our encoder never writes are
+    skipped field-by-field (not asserted absent) so conformant
+    third-party streams still decode."""
+    if br.read_flag():                           # aspect_ratio_info
+        if br.read(8) == 255:                    # EXTENDED_SAR
+            br.read(16), br.read(16)
+    if br.read_flag():                           # overscan_info
+        br.read_flag()
+    if br.read_flag():                           # video_signal_type
+        br.read(3), br.read_flag()
+        if br.read_flag():                       # colour_description
+            br.read(8), br.read(8), br.read(8)
+    if br.read_flag():                           # chroma_loc_info
+        br.read_ue(), br.read_ue()
+    br.read_flag()                               # neutral_chroma
+    br.read_flag()                               # field_seq
+    br.read_flag()                               # frame_field_info
+    if br.read_flag():                           # default_display_window
+        br.read_ue(), br.read_ue(), br.read_ue(), br.read_ue()
     if br.read_flag():                           # vui_timing_info
         sps.vui_timing_present = True
         sps.num_units_in_tick = br.read(32)
         sps.time_scale = br.read(32)
-        assert not br.read_flag()                # poc_proportional
+        if br.read_flag():                       # poc_proportional
+            br.read_ue()
         sps.hrd_present = br.read_flag()
         if sps.hrd_present:
             _read_hrd(br, sps)
-    assert not br.read_flag()                    # bitstream_restriction
+    if br.read_flag():                           # bitstream_restriction
+        br.read_flag(), br.read_flag(), br.read_flag()
+        br.read_ue(), br.read_ue(), br.read_ue()
+        br.read_ue(), br.read_ue()
 
 
 def write_sps(sps: Sps) -> NalUnit:

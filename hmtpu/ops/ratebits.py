@@ -120,6 +120,25 @@ def _floor_log2(x):
     return 31 - jax.lax.clz(jnp.maximum(x, 1).astype(jnp.int32))
 
 
+def prev_processed_flag(proc, flags):
+    """flags[j*] per CG where j* is the NEAREST index j > i with
+    proc[j] (False when none) — the vectorised form of the
+    descending-ci carry loop: the coder processes CGs last-to-first,
+    so "previously processed CG" means the next higher coded index.
+    An unrolled per-CG loop costs ~3 ops x ncg (192 HLO ops per
+    32x32 TB); this suffix-min form costs ~8 total."""
+    ncg = proc.shape[-1]
+    idxs = jnp.arange(ncg)
+    cand = jnp.where(proc, idxs, ncg)
+    suf = jnp.flip(jax.lax.cummin(jnp.flip(cand, -1),
+                                  axis=cand.ndim - 1), -1)
+    nxt = jnp.concatenate(
+        [suf[..., 1:], jnp.full(suf.shape[:-1] + (1,), ncg)], axis=-1)
+    has = nxt < ncg
+    g = jnp.take_along_axis(flags, jnp.minimum(nxt, ncg - 1), axis=-1)
+    return has & g
+
+
 def _remainder_ep_bits(sym, rice):
     """EP bit count of xWriteCoefRemainExGolomb(sym, rice)."""
     small = sym < (3 << rice)
@@ -229,13 +248,7 @@ def tb_bits(lev, cbflat, log2: int, is_luma: bool,
     # ctx_set: +2 for non-DC luma CG, +1 if the previously *processed
     # coded* CG ended with c1 == 0 (had a greater1)
     proc = cg_coded & (ci_idx <= last_cg[..., None])
-    plus1_list = []
-    carry = jnp.zeros(lead, bool)
-    for ci in range(ncg - 1, -1, -1):
-        plus1_list.append(carry)
-        carry = jnp.where(proc[..., ci], g1any[..., ci], carry)
-    plus1 = jnp.stack(plus1_list[::-1], axis=-1)       # (..., ncg)
-    ctx_set = plus1.astype(jnp.int32)
+    ctx_set = prev_processed_flag(proc, g1any).astype(jnp.int32)
     if is_luma:
         ctx_set = ctx_set + jnp.where(ci_idx > 0, 2, 0)
 
@@ -272,14 +285,16 @@ def tb_bits(lev, cbflat, log2: int, is_luma: bool,
     sym = jnp.maximum(acg - base, 0)
 
     rice = jnp.zeros(lead + (ncg,), jnp.int32)
-    rem_bits = jnp.zeros(lead + (ncg,), jnp.float32)
+    rice_at = []
     for p in range(15, -1, -1):
+        rice_at.append(rice)
         c = coded_rem[..., p]
-        b = _remainder_ep_bits(sym[..., p], rice)
-        rem_bits = rem_bits + jnp.where(c, b, 0.0)
         bump = c & (acg[..., p] > (3 << rice))
         rice = jnp.where(bump, jnp.minimum(rice + 1, 4), rice)
-    bits = bits + jnp.sum(rem_bits, axis=-1)
+    rice_pos = jnp.stack(rice_at[::-1], axis=-1)       # (..., ncg, 16)
+    bits = bits + jnp.sum(
+        jnp.where(coded_rem, _remainder_ep_bits(sym, rice_pos), 0.0),
+        axis=(-1, -2))
 
     return jnp.where(any_sig, bits, 0.0)
 
@@ -381,20 +396,34 @@ def intra_mode_mpm_bits(cbflat, mode, lm, am):
     return jnp.where(inmpm, b_in, b_out)
 
 
-def ref_idx_bits(cbflat, r, num_ref: int):
-    """ref_idx_l0 truncated unary, cMax=num_ref-1; two ctx bins + EP."""
+def ref_idx_bits(cbflat, r, num_ref: int, n_active=None):
+    """ref_idx_l0 truncated unary, cMax=num_ref-1; two ctx bins + EP.
+
+    n_active (traced scalar, optional): the real active-ref count when
+    the static num_ref is a padded upper bound (the P-slice ref-stack
+    padding) — the writer/decoder code with cMax = n_active-1, so the
+    pricing must follow it."""
     if num_ref <= 1:
         return jnp.zeros(jnp.shape(r), jnp.float32)
-    cmax = num_ref - 1
-    b = _gc(cbflat, OFF["REF_PIC"], r > 0)
-    if cmax >= 2:
-        b = b + jnp.where(r > 0, _gc(cbflat, OFF["REF_PIC"] + 1, r > 1),
-                          0.0)
-        # bins 2.. are EP: one per step, terminator unless at cMax
-        ep = jnp.maximum(jnp.minimum(r, cmax) - 2, 0) \
-            + ((r >= 2) & (r < cmax)).astype(jnp.int32)
-        b = b + ep.astype(jnp.float32)
-    return b
+    if n_active is None:
+        cmax = num_ref - 1
+        b = _gc(cbflat, OFF["REF_PIC"], r > 0)
+        if cmax >= 2:
+            b = b + jnp.where(r > 0,
+                              _gc(cbflat, OFF["REF_PIC"] + 1, r > 1),
+                              0.0)
+            # bins 2.. are EP: one per step, terminator unless at cMax
+            ep = jnp.maximum(jnp.minimum(r, cmax) - 2, 0) \
+                + ((r >= 2) & (r < cmax)).astype(jnp.int32)
+            b = b + ep.astype(jnp.float32)
+        return b
+    cmax = jnp.maximum(n_active - 1, 0)
+    b = jnp.where(cmax >= 1, _gc(cbflat, OFF["REF_PIC"], r > 0), 0.0)
+    b = b + jnp.where((r > 0) & (cmax >= 2),
+                      _gc(cbflat, OFF["REF_PIC"] + 1, r > 1), 0.0)
+    ep = jnp.maximum(jnp.minimum(r, cmax) - 2, 0) \
+        + ((r >= 2) & (r < cmax)).astype(jnp.int32)
+    return b + jnp.where(cmax >= 2, ep.astype(jnp.float32), 0.0)
 
 
 def inter_dir_bits(cbflat, inter_dir, depth: int):

@@ -167,15 +167,12 @@ def rdoq_tb(coef, qp, log2: int, bd: int, lam, cbflat, is_luma: bool,
     # rank among rounded-sig coeffs (descending scan within CG)
     rank = jnp.flip(jnp.cumsum(jnp.flip(scg, -1), axis=-1), -1) \
         - scg.astype(jnp.int32)
+    from hmtpu.ops.ratebits import prev_processed_flag
     g1c = (maxabs > 1) & scg & (rank < _C1FLAG)
     g1any = jnp.any(g1c, axis=-1)
     proc = cg_sig | (ci_idx == 0)
-    plus1_list = []
-    carry = jnp.zeros(lead, bool)
-    for ci in range(ncg - 1, -1, -1):
-        plus1_list.append(carry)
-        carry = jnp.where(proc[..., ci], g1any[..., ci], carry)
-    ctx_set = jnp.stack(plus1_list[::-1], axis=-1).astype(jnp.int32)
+    proc = proc | jnp.zeros(lead + (ncg,), bool)       # broadcast lead
+    ctx_set = prev_processed_flag(proc, g1any).astype(jnp.int32)
     if is_luma:
         ctx_set = ctx_set + jnp.where(ci_idx > 0, 2, 0)
     # c1 from the rounded-level g1 pattern (the ratebits state machine

@@ -33,21 +33,31 @@ def integer_me_sad_volume(ref, org, bsize: int, srange: int):
     ref, org: (H, W) int32 planes (H, W multiples of bsize).
     Returns (D, By, Bx) int32 where D = (2*srange+1)^2, row-major over
     (dy, dx).  Out-of-picture reference taps use edge replication
-    (identical to HM's margin padding semantics, TComPicYuv)."""
+    (identical to HM's margin padding semantics, TComPicYuv).
+
+    One lax.scan step per dy with ALL dx evaluated as one batched
+    abs-diff + block-reduce (2r+1 device steps instead of (2r+1)^2 —
+    the sequential-step count is what bounds ME latency on the chip,
+    and the batched form is what makes SearchRange 64, the reference
+    cfg's value, affordable).  Samples are 16-bit inside the kernel
+    (|diff| of <=10-bit pixels fits), summed in int32."""
     h, w = ref.shape
     r = srange
     side = 2 * r + 1
-    padded = jnp.pad(ref, r, mode="edge")
+    padded = jnp.pad(ref, r, mode="edge").astype(jnp.int16)
+    org16 = org.astype(jnp.int16)
+    col_idx = jnp.arange(side)[:, None] + jnp.arange(w)[None, :]
 
-    def one_disp(_, idx):
-        dy, dx = idx // side, idx % side
-        win = jax.lax.dynamic_slice(padded, (dy, dx), (h, w))
-        ad = jnp.abs(org - win)
-        s = ad.reshape(h // bsize, bsize, w // bsize, bsize).sum((1, 3))
-        return _, s
+    def one_dy(_, dy):
+        rows = jax.lax.dynamic_slice(padded, (dy, 0), (h, w + 2 * r))
+        win = rows[:, col_idx]                    # (h, side, w)
+        ad = jnp.abs(org16[:, None, :] - win).astype(jnp.int32)
+        s = ad.reshape(h // bsize, bsize, side, w // bsize, bsize) \
+            .sum((1, 4))                          # (bh, side, bw)
+        return _, s.swapaxes(0, 1)
 
-    _, vol = jax.lax.scan(one_disp, None, jnp.arange(side * side))
-    return vol
+    _, vol = jax.lax.scan(one_dy, None, jnp.arange(side))
+    return vol.reshape(side * side, h // bsize, w // bsize)
 
 
 def _bits_of(v):
@@ -59,18 +69,11 @@ def _bits_of(v):
     return 2 * ln + 1
 
 
-@partial(jax.jit, static_argnames=("bsize", "srange"))
-def integer_me(ref, org, bsize: int, srange: int, lambda_sqrt,
-               pred_mv_x, pred_mv_y):
-    """Full-window integer ME for every aligned block.
-
-    pred_mv_*: (By, Bx) int32 predictor in quarter-pel units (motion
-    cost term only; the search is exhaustive so no start point).
-    Returns ((mvx, mvy) full-pel best MVs, (By, Bx, 3, 3) SAD stencil
-    around the best MV, best SAD)."""
+def _volume_best(vol, srange: int, lambda_sqrt, pred_mv_x, pred_mv_y):
+    """argmin + 3x3 stencil extraction over a (D, By, Bx) SAD volume
+    (the tail of integer ME, shared by every block size)."""
     r = srange
     side = 2 * r + 1
-    vol = integer_me_sad_volume(ref, org, bsize, srange)   # (D, By, Bx)
     d = jnp.arange(side * side)
     dy = (d // side - r).astype(jnp.int32)
     dx = (d % side - r).astype(jnp.int32)
@@ -98,6 +101,51 @@ def integer_me(ref, org, bsize: int, srange: int, lambda_sqrt,
     stencil = volt[iy, ix, flat]
     best_sad = volt[jnp.arange(by)[:, None], jnp.arange(bx)[None, :], best]
     return (best_dx - r, best_dy - r), stencil, best_sad
+
+
+@partial(jax.jit, static_argnames=("bsize", "srange"))
+def integer_me(ref, org, bsize: int, srange: int, lambda_sqrt,
+               pred_mv_x, pred_mv_y):
+    """Full-window integer ME for every aligned block.
+
+    pred_mv_*: (By, Bx) int32 predictor in quarter-pel units (motion
+    cost term only; the search is exhaustive so no start point).
+    Returns ((mvx, mvy) full-pel best MVs, (By, Bx, 3, 3) SAD stencil
+    around the best MV, best SAD)."""
+    vol = integer_me_sad_volume(ref, org, bsize, srange)   # (D, By, Bx)
+    return _volume_best(vol, srange, lambda_sqrt, pred_mv_x, pred_mv_y)
+
+
+@partial(jax.jit, static_argnames=("srange", "qh", "qw"))
+def integer_me_levels(ref, org, srange: int, lambda_sqrt,
+                      qh: int, qw: int):
+    """Integer ME for the 8/16/32 CU levels from ONE shared 8x8 SAD
+    volume per reference: a 16x16 (32x32) block's SAD at a
+    displacement is exactly the sum of its 8x8 cells' SADs, so the
+    (2r+1)^2-point search is paid once instead of three times
+    (the reference re-walks TZ search per PU size,
+    TEncSearch.cpp:4439; the shared volume is the batched inversion).
+
+    qh/qw: padded 32-grid dims (ceil of the 16-grid halves); lanes in
+    the padding aggregate zero-padded sums — they can never become CUs
+    (block_schedule32 full32 masks them).
+
+    Returns {8: ((mvx, mvy), stencil, sad), 16: ..., 32: ...}."""
+    bh, bw = org.shape[0] // 8, org.shape[1] // 8
+    gh, gw = bh // 2, bw // 2
+    d = (2 * srange + 1) ** 2
+    vol8 = integer_me_sad_volume(ref, org, 8, srange)
+    vol16 = vol8.reshape(d, gh, 2, gw, 2).sum((2, 4))
+    pad32 = ((0, 0), (0, qh * 2 - gh), (0, qw * 2 - gw))
+    vol32 = jnp.pad(vol16, pad32).reshape(d, qh, 2, qw, 2).sum((2, 4))
+    z8 = jnp.zeros((bh, bw), jnp.int32)
+    z16 = jnp.zeros((gh, gw), jnp.int32)
+    z32 = jnp.zeros((qh, qw), jnp.int32)
+    return {
+        8: _volume_best(vol8, srange, lambda_sqrt, z8, z8),
+        16: _volume_best(vol16, srange, lambda_sqrt, z16, z16),
+        32: _volume_best(vol32, srange, lambda_sqrt, z32, z32),
+    }
 
 
 def hadamard_matrix(n: int) -> np.ndarray:

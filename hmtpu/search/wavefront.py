@@ -294,7 +294,8 @@ def _first(flags, *vals):
 
 def merge_candidates_dev(nb_valid, nb_mvx, nb_mvy, nb_ref,
                          num_ref: int, max_merge: int,
-                         t_ok=None, t_mvx=None, t_mvy=None):
+                         t_ok=None, t_mvx=None, t_mvy=None,
+                         n_active=None):
     """Vectorised merge list (8.5.3.1.2, P slice).
 
     nb_* are (B, 5) in slot order [A1, B1, B0, A0, B2]; nb_valid already
@@ -342,7 +343,11 @@ def merge_candidates_dev(nb_valid, nb_mvx, nb_mvy, nb_ref,
     k = jnp.arange(max_merge)[None, :]
     fill = k >= n_spatial[:, None]
     fill_ref = k - n_spatial[:, None]
-    fill_ref = jnp.where(fill_ref < num_ref, fill_ref, 0)
+    # clamp by the ACTIVE ref count when the stack is padded: the
+    # decoder builds the zero-fill with numRefIdx = n_active, so a
+    # padded-count fill would desync the candidate lists
+    limit = num_ref if n_active is None else n_active
+    fill_ref = jnp.where(fill_ref < limit, fill_ref, 0)
     cand_mvx = jnp.where(fill, 0, cand_mvx)
     cand_mvy = jnp.where(fill, 0, cand_mvy)
     cand_ref = jnp.where(fill, fill_ref, cand_ref)

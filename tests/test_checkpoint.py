@@ -58,3 +58,31 @@ def test_checkpoint_keeps_results_and_rc(tmp_path):
     assert enc2.rc is not None and enc2.rc.frames_done == enc.rc.frames_done
     enc2.encode_sequence(frames[4:])
     assert len(enc2.results) == 6
+
+
+def test_checkpoint_resume_extends_rc_budget(tmp_path):
+    """A resumed segment longer than the first must not exhaust the
+    rate-control budget: total_frames is extended, targets stay near
+    the per-frame average instead of clamping to the 100-bit floor
+    and driving QP to the ceiling."""
+    frames = _frames(16)
+    cfg = _cfg()
+    cfg.target_kbps = 200.0
+    enc = Encoder(cfg)
+    enc.encode_sequence(frames[:4])
+    ck = tmp_path / "rc.ckpt"
+    enc.save_checkpoint(str(ck))
+
+    cfg2 = _cfg()
+    cfg2.target_kbps = 200.0
+    enc2 = Encoder(cfg2)
+    enc2.load_checkpoint(str(ck))
+    enc2.encode_sequence(frames[4:])
+    assert enc2.rc.total_frames == 16
+    avg = cfg.target_kbps * 1000.0 / cfg2.frame_rate
+    # budget must stay solvent: positive, and each late pick() target
+    # is in a sane band around the per-frame average
+    assert enc2.rc._budget_left() > -avg
+    tgt, _, qp = enc2.rc.pick(False, 0)
+    assert tgt > 0.2 * avg
+    assert qp < 50

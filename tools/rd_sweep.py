@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def encode_qp(frames_np, qp, subpel, w, h, decision="scan",
-              srange=16):
+              srange=64):
     import numpy as np
 
     from hmtpu.encoder.top import Encoder, EncoderConfig
@@ -47,8 +47,8 @@ def main():
     ap.add_argument("--subpel", default="nn")
     ap.add_argument("--decision", default="scan",
                     choices=("scan", "jacobi"))
-    ap.add_argument("--srange", type=int, default=16,
-                    help="search range (16 = bench parity)")
+    ap.add_argument("--srange", type=int, default=64,
+                    help="search range (64 = bench + HM-anchor parity)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--decode-check", action="store_true",
                     help="run the HM oracle decoder on each stream")
