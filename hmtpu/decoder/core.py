@@ -182,6 +182,11 @@ class Decoder:
         skip_map = np.zeros((h // 8, w // 8), dtype=np.int32)
         depth_map = np.zeros((h // 8, w // 8), dtype=np.int32)
         cbf_map = np.zeros((h // 8, w // 8), dtype=bool)
+        # TU-split depth floor for deblock edge derivation: a 64x64 CU
+        # with residual has four 32x32 TBs (inferred split), so its
+        # interior 32-edges are TU boundaries even though the CU depth
+        # is 0
+        tu_depth = np.zeros((h // 8, w // 8), dtype=np.int32)
         field = PicMotion.create(w, h)
         col = None
         if is_p and not is_b and sh.temporal_mvp:
@@ -469,6 +474,28 @@ class Decoder:
                 rec_u[y0 // 2:y0 // 2 + n // 2, x0 // 2:x0 // 2 + n // 2] = pu
                 rec_v[y0 // 2:y0 // 2 + n // 2, x0 // 2:x0 // 2 + n // 2] = pv
                 return
+            if log2 == 6:
+                # TU split inferred (7.3.8.8): root chroma cbfs, then
+                # four 32x32 TBs at trafoDepth 1
+                root_cb = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"])
+                root_cr = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"])
+                tu_depth[byi:byi + 8, bxi:bxi + 8] = 1
+                for qy, qx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    sx, sy = x0 + qx * 32, y0 + qy * 32
+                    ccb = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"] + 1) \
+                        if root_cb else 0
+                    ccr = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"] + 1) \
+                        if root_cr else 0
+                    cy = dec.decode_bin(ctx, OFF["QT_CBF_LUMA"] + 0)
+                    cbf_map[sy // 8:sy // 8 + 4,
+                            sx // 8:sx // 8 + 4] = bool(cy)
+                    add_inter_residual(
+                        sx, sy, 32,
+                        pl[qy * 32:qy * 32 + 32, qx * 32:qx * 32 + 32],
+                        pu[qy * 16:qy * 16 + 16, qx * 16:qx * 16 + 16],
+                        pv[qy * 16:qy * 16 + 16, qx * 16:qx * 16 + 16],
+                        cy, ccb, ccr)
+                return
             cbf_cb = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"])
             cbf_cr = dec.decode_bin(ctx, OFF["QT_CBF_CHROMA"])
             if cbf_cb or cbf_cr:
@@ -525,7 +552,8 @@ class Decoder:
             from hmtpu.encoder.intra_rdo import leaf_id_map
             from hmtpu.ops.deblock import deblock_frame, \
                 meta_from_frame_state
-            leaf_id8 = leaf_id_map(depth_map, sps.log2_ctu_size)
+            leaf_id8 = leaf_id_map(np.maximum(depth_map, tu_depth),
+                                   sps.log2_ctu_size)
             meta = meta_from_frame_state(field, cbf_map, ref_pocs,
                                          leaf_id8, ref_pocs_l1)
             deblock_frame(rec_y, rec_u, rec_v, meta, qp, bd,

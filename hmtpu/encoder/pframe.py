@@ -561,7 +561,7 @@ class PFrameEncoder:
             if d.kind == "skip":
                 encode_merge_idx(enc, d.merge_idx, max_merge)
                 return
-            assert log2 == 3 or (log2 in (4, 5) and d.kind != "intra"), \
+            assert log2 == 3 or (log2 in (4, 5, 6) and d.kind != "intra"), \
                 "intra CUs are 8x8 in this envelope"
             enc.encode_bin(OFF["PRED_MODE"], int(d.kind == "intra"))
             if d.kind == "intra":
@@ -627,6 +627,35 @@ class PFrameEncoder:
                 enc.encode_bin(OFF["QT_ROOT_CBF"], root)
                 if not root:
                     return
+            if log2 == 6:
+                # TU split inferred (log2TrafoSize 6 > MaxTbLog2SizeY,
+                # 7.3.8.8 interSplitFlag): root chroma cbfs at
+                # trafoDepth 0, then four 32x32 TBs at trafoDepth 1
+                enc.encode_bin(OFF["QT_CBF_CHROMA"], int(cbf_cb))
+                enc.encode_bin(OFF["QT_CBF_CHROMA"], int(cbf_cr))
+                for qy, qx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    ly = d.lev_y[qy * 32:qy * 32 + 32,
+                                 qx * 32:qx * 32 + 32]
+                    lcb = d.lev_cb[qy * 16:qy * 16 + 16,
+                                   qx * 16:qx * 16 + 16]
+                    lcr = d.lev_cr[qy * 16:qy * 16 + 16,
+                                   qx * 16:qx * 16 + 16]
+                    ccb, ccr = bool(lcb.any()), bool(lcr.any())
+                    cy = bool(ly.any())
+                    if cbf_cb:
+                        enc.encode_bin(OFF["QT_CBF_CHROMA"] + 1,
+                                       int(ccb))
+                    if cbf_cr:
+                        enc.encode_bin(OFF["QT_CBF_CHROMA"] + 1,
+                                       int(ccr))
+                    enc.encode_bin(OFF["QT_CBF_LUMA"] + 0, int(cy))
+                    if cy:
+                        enc.residual(ly, 5, True, 0, sdh)
+                    if cbf_cb and ccb:
+                        enc.residual(lcb, 4, False, 0, sdh)
+                    if cbf_cr and ccr:
+                        enc.residual(lcr, 4, False, 0, sdh)
+                return
             enc.encode_bin(OFF["QT_CBF_CHROMA"], int(cbf_cb))
             enc.encode_bin(OFF["QT_CBF_CHROMA"], int(cbf_cr))
             if cbf_cb or cbf_cr:

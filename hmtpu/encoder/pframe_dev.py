@@ -84,6 +84,9 @@ from hmtpu.search.wavefront import (
 INTRA_GATE = 24.0          # evaluate intra only when inter cost > gate*lam
 BIG = jnp.float32(3e38)
 
+# host-side event counters (introspection for tests/diagnostics)
+DBG_COUNTERS = {"cu64_merge": 0, "cu64_amvp": 0}
+
 
 def python_dispatch(jitfn, static_names=()):
     """Dispatch a jitted function through memoized AOT-compiled
@@ -2057,6 +2060,103 @@ class PFrameDeviceEncoder(PFrameEncoder):
         for cty in range(0, h, ctu_sz):
             for ctxx in range(0, w, ctu_sz):
                 collapse(ctxx, cty, sps.log2_ctu_size)
+
+        def quadrant_clean(cy, cx):
+            """A 32x32 quadrant (corner cell cy,cx) is representable as
+            one 32x32 TB of a 64 CU: either it IS a committed 32x32 CU
+            (its lev32 block is the TB) or it carries no coefficients
+            at all (TB cbf 0)."""
+            if cusz[cy, cx] == 2:
+                return True
+            for dy in range(4):
+                for dx in range(4):
+                    yy, xx = cy + dy, cx + dx
+                    if cusz[yy, xx] == 0:
+                        if levy[yy, xx].any() or levcb[yy, xx].any() \
+                                or levcr[yy, xx].any():
+                            return False
+                    elif dy % 2 == 0 and dx % 2 == 0:   # 16-CU corner
+                        gy, gx = yy // 2, xx // 2
+                        if lev16y[gy, gx].any() \
+                                or lev16cb[gy, gx].any() \
+                                or lev16cr[gy, gx].any():
+                            return False
+            return True
+
+        def collapse64_residual(x0, y0):
+            """Re-signal a uniform-motion inter CTU as ONE 64x64 CU
+            with four 32x32 TBs (transform_tree split inferred,
+            7.3.8.8) — a pure entropy-level transform: the quadrant
+            coefficients and the motion field are unchanged, so the
+            reconstruction (and deblock) are untouched.  This is the
+            depth-0 form of HM's large-CU economics
+            (TEncCu.cpp:352 depth-0 xCompressCU) that the 3-level
+            decision scan cannot reach."""
+            if is_b or x0 + 64 > w or y0 + 64 > h:
+                return
+            cy, cx = y0 // 8, x0 // 8
+            ks = kind[cy:cy + 8, cx:cx + 8]
+            if (ks == 0).all() or (ks >= 3).any():
+                return                    # all-skip handled above
+            uni = lambda a: (a[cy:cy + 8, cx:cx + 8] == a[cy, cx]).all()
+            if not (uni(fdir) and uni(fmvx) and uni(fmvy)
+                    and uni(fref)) or fdir[cy, cx] != 1:
+                return
+            for qy in (0, 4):
+                for qx in (0, 4):
+                    if not quadrant_clean(cy + qy, cx + qx):
+                        return
+            mvq = (int(fmvx[cy, cx]), int(fmvy[cy, cx]))
+            refq = int(fref[cy, cx])
+            cands = merge_candidates(mctx, x0, y0, 64, 64, max_merge,
+                                     num_ref, False, 0)
+            sig = None
+            for ci, c in enumerate(cands):
+                if c.inter_dir == 1 and c.mv[0] == mvq \
+                        and c.ref_idx[0] == refq:
+                    sig = ("merge", ci)
+                    break
+            if sig is None:
+                # AMVP fallback pays mvd bits; only profitable when
+                # the children were paying them too
+                if not (ks == 2).any():
+                    return
+                from hmtpu.common.motion import amvp_candidates
+                amvp = amvp_candidates(mctx, x0, y0, 64, 64, 0, refq)
+                bl = lambda v: abs(v).bit_length()
+                costs = [2 * bl(mvq[0] - p[0]) + 2 * bl(mvq[1] - p[1])
+                         for p in amvp]
+                pi = 0 if costs[0] <= costs[1] else 1
+                sig = ("amvp", pi, mvq[0] - amvp[pi][0],
+                       mvq[1] - amvp[pi][1])
+            # quadrants that are not committed 32x32 CUs carry no
+            # coefficients (checked above) but their lev32 unpack is
+            # another CU size's data — zero them so the writers read
+            # true all-zero TBs
+            for qy in (0, 4):
+                for qx in (0, 4):
+                    if cusz[cy + qy, cx + qx] != 2:
+                        q = ((cy + qy) // 4, (cx + qx) // 4)
+                        lev32y[q][:] = 0
+                        lev32cb[q][:] = 0
+                        lev32cr[q][:] = 0
+            depth8[cy:cy + 8, cx:cx + 8] = sps.log2_ctu_size - 6
+            cusz[cy:cy + 8, cx:cx + 8] = 3
+            if sig[0] == "merge":
+                kind[cy:cy + 8, cx:cx + 8] = 1
+                mi[cy, cx] = sig[1]
+                DBG_COUNTERS["cu64_merge"] += 1
+            else:
+                kind[cy:cy + 8, cx:cx + 8] = 2
+                mvpi[cy, cx] = sig[1]
+                mvdx[cy, cx] = sig[2]
+                mvdy[cy, cx] = sig[3]
+                DBG_COUNTERS["cu64_amvp"] += 1
+
+        if sps.ctu_size == 64:
+            for cty in range(0, h, 64):
+                for ctxx in range(0, w, 64):
+                    collapse64_residual(ctxx, cty)
         self._depth8 = depth8
 
         def b_kw(byi, bxi, k):
@@ -2081,6 +2181,40 @@ class PFrameDeviceEncoder(PFrameEncoder):
             for bxi in range(bw):
                 k = int(kind[byi, bxi])
                 key = (bxi * 8, byi * 8)
+                if cusz[byi, bxi] == 3:
+                    if byi % 8 or bxi % 8:
+                        continue        # covered by the 64x64 CU
+                    qyi, qxi = byi // 4, bxi // 4
+                    ly64 = np.zeros((64, 64), np.int32)
+                    lcb64 = np.zeros((32, 32), np.int32)
+                    lcr64 = np.zeros((32, 32), np.int32)
+                    for oy in (0, 1):
+                        for ox in (0, 1):
+                            ly64[oy * 32:oy * 32 + 32,
+                                 ox * 32:ox * 32 + 32] = \
+                                lev32y[qyi + oy, qxi + ox]
+                            lcb64[oy * 16:oy * 16 + 16,
+                                  ox * 16:ox * 16 + 16] = \
+                                lev32cb[qyi + oy, qxi + ox]
+                            lcr64[oy * 16:oy * 16 + 16,
+                                  ox * 16:ox * 16 + 16] = \
+                                lev32cr[qyi + oy, qxi + ox]
+                    common = dict(
+                        log2=6,
+                        mv=(int(fmvx[byi, bxi]), int(fmvy[byi, bxi])),
+                        ref_idx=int(fref[byi, bxi]),
+                        lev_y=ly64, lev_cb=lcb64, lev_cr=lcr64)
+                    if k == 1:
+                        decisions[key] = PuDec(
+                            "merge", merge_idx=int(mi[byi, bxi]),
+                            **common)
+                    else:
+                        decisions[key] = PuDec(
+                            "amvp",
+                            mvd=(int(mvdx[byi, bxi]),
+                                 int(mvdy[byi, bxi])),
+                            mvp_idx=int(mvpi[byi, bxi]), **common)
+                    continue
                 if cusz[byi, bxi] == 2:
                     if byi % 4 or bxi % 4:
                         continue            # covered by the 32x32 CU

@@ -514,6 +514,56 @@ void write_ref_idx(Enc& e, const SliceCfg& s, int idx) {
     }
 }
 
+// 64x64 inter CU (TU quadtree forced one level down: log2TrafoSize 6
+// exceeds MaxTbLog2SizeY 5, so split_transform_flag is inferred and
+// the CU codes four 32x32 TBs — H.265 7.3.8.8 interSplitFlag; the
+// reference's recursive form is TComTU.cpp / TEncSearch.cpp:5273).
+// The quadrant coefficients are the collapsed 32x32 CUs' lev32 blocks.
+void write_cu64_residual(Enc& e, const SliceCfg& s, int x0, int y0) {
+    int q32w = s.bw >> 2;
+    const int32_t *ly[4], *lcb[4], *lcr[4];
+    bool cy[4], ccb[4], ccr[4];
+    for (int i = 0; i < 4; i++) {
+        int qx = (x0 >> 5) + (i & 1), qy = (y0 >> 5) + (i >> 1);
+        int p32 = qy * q32w + qx;
+        ly[i] = s.lev32y + p32 * 1024;
+        lcb[i] = s.lev32cb + p32 * 256;
+        lcr[i] = s.lev32cr + p32 * 256;
+        cy[i] = any_nz(ly[i], 1024);
+        ccb[i] = any_nz(lcb[i], 256);
+        ccr[i] = any_nz(lcr[i], 256);
+    }
+    bool root_cb = ccb[0] || ccb[1] || ccb[2] || ccb[3];
+    bool root_cr = ccr[0] || ccr[1] || ccr[2] || ccr[3];
+    // root chroma cbfs at trafoDepth 0 (32x32 chroma TB pre-split)
+    e.encode_bin(s.cu_off[CU_QT_CBF_CHROMA] + 0, root_cb);
+    e.encode_bin(s.cu_off[CU_QT_CBF_CHROMA] + 0, root_cr);
+    for (int i = 0; i < 4; i++) {
+        // child trafoDepth 1: chroma cbf only under a set parent,
+        // luma cbf always coded (ctx +0 at depth > 0)
+        if (root_cb) e.encode_bin(s.cu_off[CU_QT_CBF_CHROMA] + 1, ccb[i]);
+        if (root_cr) e.encode_bin(s.cu_off[CU_QT_CBF_CHROMA] + 1, ccr[i]);
+        e.encode_bin(s.cu_off[CU_QT_CBF_LUMA] + 0, cy[i]);
+        if (cy[i]) encode_residual(e, ly[i], 5, true, 0, s.sdh);
+        if (root_cb && ccb[i])
+            encode_residual(e, lcb[i], 4, false, 0, s.sdh);
+        if (root_cr && ccr[i])
+            encode_residual(e, lcr[i], 4, false, 0, s.sdh);
+    }
+}
+
+inline bool cu64_any_cbf(const SliceCfg& s, int x0, int y0) {
+    int q32w = s.bw >> 2;
+    for (int i = 0; i < 4; i++) {
+        int qx = (x0 >> 5) + (i & 1), qy = (y0 >> 5) + (i >> 1);
+        int p32 = qy * q32w + qx;
+        if (any_nz(s.lev32y + p32 * 1024, 1024)) return true;
+        if (any_nz(s.lev32cb + p32 * 256, 256)) return true;
+        if (any_nz(s.lev32cr + p32 * 256, 256)) return true;
+    }
+    return false;
+}
+
 void write_cu_p(Enc& e, const SliceCfg& s, int x0, int y0, int log2) {
     int bxi = x0 >> 3, byi = y0 >> 3;
     int p = byi * s.bw + bxi;
@@ -524,6 +574,24 @@ void write_cu_p(Enc& e, const SliceCfg& s, int x0, int y0, int log2) {
     e.encode_bin(s.cu_off[CU_SKIP] + inc, k == 0);
     if (k == 0) { write_merge_idx(e, s, s.mi[p]); return; }
     e.encode_bin(s.cu_off[CU_PRED_MODE], k == 3);
+
+    if (log2 == 6) {                 // 64x64 inter CU, residual below
+        e.encode_bin(s.cu_off[CU_PART_SIZE], 1);     // 2Nx2N
+        if (k == 1) {
+            e.encode_bin(s.cu_off[CU_MERGE_FLAG], 1);
+            write_merge_idx(e, s, s.mi[p]);
+        } else {
+            e.encode_bin(s.cu_off[CU_MERGE_FLAG], 0);
+            write_ref_idx(e, s, s.refi[p]);
+            write_mvd(e, s, s.mvdx[p], s.mvdy[p]);
+            e.encode_bin(s.cu_off[CU_MVP_IDX], s.mvpi[p]);
+            int root = cu64_any_cbf(s, x0, y0) ? 1 : 0;
+            e.encode_bin(s.cu_off[CU_QT_ROOT_CBF], root);
+            if (!root) return;
+        }
+        write_cu64_residual(e, s, x0, y0);
+        return;
+    }
 
     const int32_t *ly, *lcb, *lcr;
     int nl, nc;
