@@ -39,6 +39,7 @@ def main(argv=None) -> int:
         transform_skip=app.transform_skip,
         sei_buffering_period=app.sei_buffering_period,
         target_kbps=app.target_kbps, frame_rate=app.frame_rate,
+        wpp=app.wpp,
         nn_weights_dir=app.nn_weights_dir or None))
 
     rd = YuvReader(app.input_file, app.width, app.height,

@@ -98,6 +98,7 @@ class AppConfig:
     transform_skip: bool = False
     rate_control: bool = False
     target_kbps: float = 0.0
+    wpp: bool = False
     decision: str = "scan"
     sei_buffering_period: bool = False
     ignored: list = field(default_factory=list)
@@ -140,7 +141,6 @@ _BEHAVIORAL_KEYS = {
     "LoopFilterTcOffset_div2": "0",
     "CUTransquantBypassFlagForce": "0",
     "TransquantBypassEnableFlag": "0",
-    "WaveFrontSynchro": "0",
     "ScalingList": "0",
     "AdaptiveQP": "0",
     "LCULevelRateControl": None,
@@ -190,6 +190,8 @@ def resolve(opts: dict[str, str]) -> AppConfig:
     if cfg.rate_control:
         # HM TargetBitrate is in bps (TAppEncCfg.cpp RateControl group)
         cfg.target_kbps = float(opts.get("TargetBitrate", "0")) / 1000.0
+    cfg.wpp = _BOOLISH.get(opts.get("WaveFrontSynchro", "0").lower(),
+                           False)
     cfg.decision = opts.get("DecisionEngine", cfg.decision).lower()
     cfg.sei_buffering_period = _BOOLISH.get(
         opts.get("SEIBufferingPeriod", "0").lower(), False)
@@ -218,6 +220,7 @@ def resolve(opts: dict[str, str]) -> AppConfig:
         "SAO", "LoopFilterDisable", "SubPel", "NNWeightsDir",
         "RDOQ", "EnableTemporalMvp", "TransformSkip", "RateControl",
         "TargetBitrate", "DecisionEngine", "SEIBufferingPeriod",
+        "WaveFrontSynchro",
     }
     for k in opts:
         if k in handled or (k.startswith("Frame") and k[5:].isdigit()):

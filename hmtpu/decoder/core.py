@@ -94,7 +94,10 @@ class Decoder:
                     if ptype == SEI_DECODED_PICTURE_HASH and payload[0] == 0:
                         self._check_hash(payload[1:])
             elif nal_type in _SLICE_NALS:
-                pic = self._decode_slice(rbsp, nal_type)
+                from hmtpu.io.bitstream import \
+                    strip_emulation_prevention_positions
+                rbsp, eps = strip_emulation_prevention_positions(nal[2:])
+                pic = self._decode_slice(rbsp, nal_type, eps)
                 self.pictures.append(pic)
         return self.pictures
 
@@ -124,7 +127,8 @@ class Decoder:
         return poc
 
     # -- slice decode -------------------------------------------------------
-    def _decode_slice(self, rbsp: bytes, nal_type: NalUnitType):
+    def _decode_slice(self, rbsp: bytes, nal_type: NalUnitType,
+                      eps=()):
         sps, pps = self.sps, self.pps
         sh = parse_slice_header(rbsp, sps, pps, nal_type)
         poc = self._poc_of(sh, nal_type)
@@ -534,7 +538,31 @@ class Decoder:
         n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
         parse_sao = sps.sao_enabled and (sh.sao_luma or sh.sao_chroma)
         sao_grid = [[None] * n_ctu_x for _ in range(n_ctu_y)]
+        # WPP: per-row substreams located via entry points (the coded
+        # offsets count emulation bytes — subtract them back the way
+        # the reference does, TDecCAVLC.cpp:1485-1516), CABAC engine
+        # restarted per row with contexts synced from the saved state
+        wpp = bool(pps.entropy_coding_sync_enabled)
+        sub_start = None
+        if wpp and sh.entry_point_offsets:
+            hdr_end = sh.data_start_byte
+            for p in eps:
+                if p < hdr_end:
+                    hdr_end += 1
+            sub_start = [sh.data_start_byte]
+            cur = prev = 0
+            for off in sh.entry_point_offsets:
+                cur += off
+                epc = sum(1 for p in eps
+                          if prev + hdr_end <= p < cur + hdr_end)
+                sub_start.append(sub_start[-1] + off - epc)
+                prev = cur
+        saved_ctx = ctx.copy()          # width-1 fallback: slice init
+        sync_x = 1 if n_ctu_x > 1 else -1
         for cty in range(n_ctu_y):
+            if wpp and cty > 0:
+                dec = CabacDecoder(rbsp, sub_start[cty])
+                ctx[:] = saved_ctx
             for ctx_i in range(n_ctu_x):
                 if parse_sao:
                     from hmtpu.entropy.sao_syntax import decode_sao_ctu
@@ -544,9 +572,14 @@ class Decoder:
                         dec, ctx, left, up, sh.sao_luma, sh.sao_chroma,
                         bd)
                 decode_quadtree(ctx_i * ctu, cty * ctu, sps.log2_ctu_size, 0)
+                if wpp and ctx_i == sync_x:
+                    saved_ctx = ctx.copy()
                 last = (cty == n_ctu_y - 1) and (ctx_i == n_ctu_x - 1)
                 end = dec.decode_bin_trm()
                 assert end == (1 if last else 0), "end_of_slice desync"
+                if wpp and ctx_i == n_ctu_x - 1 and not last:
+                    subset = dec.decode_bin_trm()
+                    assert subset == 1, "end_of_subset desync"
 
         if not pps.deblocking_filter_disabled:
             from hmtpu.encoder.intra_rdo import leaf_id_map

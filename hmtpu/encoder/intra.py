@@ -326,14 +326,26 @@ class IntraFrameEncoder:
                 if x0 + dx < w and y0 + dy < h:
                     encode_quadtree(x0 + dx, y0 + dy, log2 - 1, depth + 1)
 
+        wpp = bool(self.pps.entropy_coding_sync_enabled)
+        sync_x = 1 if n_ctu_x > 1 else -1
+        if wpp and sync_x < 0:
+            enc.save_ctx()
         for cty in range(n_ctu_y):
+            if wpp and cty > 0:
+                enc.restore_ctx()
             for ctx_i in range(n_ctu_x):
                 if sao is not None:
                     grid, sl, sc = sao
                     encode_sao_ctu(enc, grid[cty][ctx_i], ctx_i > 0,
                                    cty > 0, sl, sc, self.bd)
                 encode_quadtree(ctx_i * ctu, cty * ctu, sps.log2_ctu_size, 0)
+                if wpp and ctx_i == sync_x:
+                    enc.save_ctx()
                 last = (cty == n_ctu_y - 1) and (ctx_i == n_ctu_x - 1)
                 if not last:
                     enc.encode_bin_trm(0)
-        return enc.finish()
+                if wpp and ctx_i == n_ctu_x - 1 and not last:
+                    enc.end_substream()
+        rbsp = enc.finish()
+        self.entry_boundaries = enc.boundaries if wpp else []
+        return rbsp

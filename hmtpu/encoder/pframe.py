@@ -701,14 +701,32 @@ class PFrameEncoder:
                 encode_cu(x0, y0, log2)
 
         n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
+        wpp = bool(self.pps.entropy_coding_sync_enabled)
+        # WPP (9.3.2.2 / TEncSlice.cpp:1066-1089): ctx stored after the
+        # row's 2nd CTU, restored at each row start; one byte-aligned
+        # substream per CTU row with end_of_subset_one_bit
+        sync_x = 1 if n_ctu_x > 1 else -1
+        if wpp and sync_x < 0:
+            enc.save_ctx()        # width-1 fallback: slice-init state
         for cty in range(n_ctu_y):
+            if wpp and cty > 0:
+                enc.restore_ctx()
             for ctxi in range(n_ctu_x):
                 if sao is not None:
                     grid, sl, sc = sao
                     encode_sao_ctu(enc, grid[cty][ctxi], ctxi > 0,
                                    cty > 0, sl, sc, self.bd)
                 encode_quadtree(ctxi * ctu, cty * ctu, sps.log2_ctu_size, 0)
+                if wpp and ctxi == sync_x:
+                    enc.save_ctx()
                 last = (cty == n_ctu_y - 1) and (ctxi == n_ctu_x - 1)
                 if not last:
                     enc.encode_bin_trm(0)
-        return enc.finish()
+                if wpp and ctxi == n_ctu_x - 1 and not last:
+                    enc.end_substream()
+        rbsp = enc.finish()
+        if wpp:
+            from hmtpu.entropy.recorder import entry_point_sizes
+            sh.entry_point_offsets = entry_point_sizes(
+                rbsp, enc.boundaries)
+        return rbsp

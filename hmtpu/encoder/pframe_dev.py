@@ -2367,21 +2367,29 @@ class PFrameDeviceEncoder(PFrameEncoder):
                 grid, sl, sc = sao
                 sao_packed = pack_sao_grid(grid, sps.pic_width_in_ctus,
                                            sps.pic_height_in_ctus)
+            wpp = int(self.pps.entropy_coding_sync_enabled)
             geom = dict(w=sps.pic_width, h=sps.pic_height,
                         ctu=sps.ctu_size,
                         max_merge=sh.max_num_merge_cand,
                         num_ref=sh.num_ref_idx_l0,
                         sdh=int(self.pps.sign_data_hiding),
-                        sao_luma=int(sl), sao_chroma=int(sc), bd=self.bd)
+                        sao_luma=int(sl), sao_chroma=int(sc), bd=self.bd,
+                        wpp=wpp)
             ctx = make_contexts(sh.slice_type, qp)
-            rbsp = encode_pslice_native(
+            res = encode_pslice_native(
                 ctx, geom, nat["kind"], nat["mi"], nat["mvdx"],
                 nat["mvdy"], nat["mvpi"], nat["refi"], nat["imode"],
                 nat["levy"], nat["levcb"], nat["levcr"],
                 nat["lev16y"], nat["lev16cb"], nat["lev16cr"],
                 nat["lev32y"], nat["lev32cb"], nat["lev32cr"],
                 self._depth8, sao_packed)
-            if rbsp is not None:
+            if res is not None:
+                rbsp, bounds = res
+                if wpp:
+                    from hmtpu.entropy.recorder import \
+                        entry_point_sizes
+                    sh.entry_point_offsets = entry_point_sizes(rbsp,
+                                                               bounds)
                 # the native engine adapts ctx in place: harvest the
                 # post-frame states to price the NEXT frame's RDO
                 self.final_ctx = ctx

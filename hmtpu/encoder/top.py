@@ -52,6 +52,11 @@ class EncoderConfig:
     # currently effective on the all-intra path — the native P-slice
     # walk does not speak the flag yet, so LDP/RA force it off
     transform_skip: bool = False
+    # WPP (entropy_coding_sync): per-CTU-row CABAC substreams with
+    # context sync after the row's 2nd CTU + entry points in the
+    # slice header (TEncSlice.cpp:751-870,937,1001).  Prediction is
+    # unrestricted — only the entropy tail changes shape.
+    wpp: bool = False
     # P-slice decision engine: "scan" = exact z-scan wavefront,
     # "jacobi" = batched iteration + exact syntax repair
     # (encoder/pframe_jacobi.py)
@@ -178,7 +183,8 @@ class Encoder:
         self.pps = Pps(init_qp=cfg.qp, sign_data_hiding=cfg.sign_data_hiding,
                        deblocking_filter_disabled=not cfg.deblock,
                        transform_skip_enabled=cfg.transform_skip
-                       and cfg.gop == "ai")
+                       and cfg.gop == "ai",
+                       entropy_coding_sync_enabled=cfg.wpp)
         self.vps = Vps(max_dec_pic_buffering=self.sps.max_dec_pic_buffering,
                        max_num_reorder_pics=self.sps.max_num_reorder_pics,
                        ptl=self.sps.ptl)
@@ -699,6 +705,10 @@ class Encoder:
         if is_idr:
             slice_rbsp = fe._entropy_pass(qp_frame, mode8, depth8,
                                           decisions, sao=sao)
+            if getattr(fe, "entry_boundaries", None):
+                from hmtpu.entropy.recorder import entry_point_sizes
+                sh.entry_point_offsets = entry_point_sizes(
+                    slice_rbsp, fe.entry_boundaries)
         else:
             slice_rbsp = pe._entropy_pass(qp_frame, *maps, decisions, sh,
                                           sao=sao)

@@ -365,6 +365,9 @@ class SliceHeader:
     collocated_ref_idx: int = 0
     # filled by parser: bit offset where slice data (CABAC) starts
     data_start_byte: int = 0
+    # WPP/tiles: per-substream byte sizes (emulation-prevention bytes
+    # counted, 7.4.7.1); writer input / parser output
+    entry_point_offsets: list = None
 
     @property
     def max_num_merge_cand(self) -> int:
@@ -432,7 +435,21 @@ def write_slice_header(sh: SliceHeader, sps: Sps, pps: Pps) -> BitWriter:
             (sh.sao_luma or sh.sao_chroma
              or not pps.deblocking_filter_disabled):
         bw.write_flag(pps.loop_filter_across_slices)
-    # no entry points (tiles/wpp off)
+    if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
+        # entry_point_offset_minus1 values count emulation-prevention
+        # bytes (the decoder subtracts them back,
+        # TDecCAVLC.cpp:1485-1516); sh.entry_point_offsets carries the
+        # already-EP-adjusted sizes from the entropy pass
+        offs = sh.entry_point_offsets or []
+        bw.write_ue(len(offs))
+        if offs:
+            max_off = max(offs)
+            ln = 0
+            while max_off >= (1 << (ln + 1)):
+                ln += 1
+            bw.write_ue(ln)
+            for o in offs:
+                bw.write(o - 1, ln + 1)
     bw.write_byte_alignment()
     return bw
 
@@ -494,6 +511,13 @@ def parse_slice_header(rbsp: bytes, sps: Sps, pps: Pps,
             (sh.sao_luma or sh.sao_chroma
              or not pps.deblocking_filter_disabled):
         br.read_flag()        # slice_loop_filter_across_slices
+    if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
+        n_entry = br.read_ue()
+        sh.entry_point_offsets = []
+        if n_entry:
+            ln = br.read_ue()
+            for _ in range(n_entry):
+                sh.entry_point_offsets.append(br.read(ln + 1) + 1)
     one = br.read(1)          # alignment_bit_equal_to_one (7.3.2.10)
     assert one == 1, "byte_alignment desync"
     br.byte_align()

@@ -22,7 +22,8 @@ from hmtpu.entropy.contexts import CTX_IDX_MAP_4x4, OFF
 from hmtpu.entropy.residual import encode_residual
 from hmtpu.io.bitstream import BitWriter
 
-OP_BIN, OP_BIN_EP, OP_BINS_EP, OP_TRM, OP_RESIDUAL, OP_TERMINATE = range(6)
+(OP_BIN, OP_BIN_EP, OP_BINS_EP, OP_TRM, OP_RESIDUAL, OP_TERMINATE,
+ OP_SAVE_CTX, OP_RESTORE_CTX, OP_END_SUBSTREAM) = range(9)
 
 
 class PyBackend:
@@ -32,6 +33,9 @@ class PyBackend:
         self.ctx = ctx
         self.bw = BitWriter()
         self.enc = cabac.CabacEncoder(self.bw)
+        self.boundaries: list[int] = []    # substream end byte offsets
+        self._saved_ctx = None
+        self._init_ctx = ctx.copy()
 
     def encode_bin(self, idx: int, v: int) -> None:
         self.enc.encode_bin(self.ctx, idx, v)
@@ -49,6 +53,23 @@ class PyBackend:
                  scan_idx: int, sdh: bool) -> None:
         encode_residual(self.enc, self.ctx, lev, log2, is_luma,
                         scan_idx, sdh)
+
+    def save_ctx(self) -> None:
+        """WPP: store contexts after the row's 2nd CTU (9.3.2.2)."""
+        self._saved_ctx = self.ctx.copy()
+
+    def restore_ctx(self) -> None:
+        """WPP row start: slice-init contexts, then sync from the
+        stored state when the top-right CTU exists."""
+        self.ctx[:] = self._saved_ctx if self._saved_ctx is not None \
+            else self._init_ctx
+
+    def end_substream(self) -> None:
+        """End a WPP CTU-row substream: end_of_subset_one_bit(=trm 1)
+        + flush + byte alignment, then restart the arithmetic engine
+        (TEncSlice.cpp:1072-1083)."""
+        self.enc.flush_terminate()
+        self.boundaries.append(len(self.bw.get_bytes()))
 
     def finish(self) -> bytes:
         """encodeBinTrm(1) + flush + rbsp stop bit + alignment."""
@@ -127,6 +148,16 @@ class NativeBackend:
     def encode_bin_trm(self, v: int) -> None:
         self.cmds += (OP_TRM, v, 0, 0)
 
+    def save_ctx(self) -> None:
+        self.cmds += (OP_SAVE_CTX, len(self.ctx), 0, 0)
+
+    def restore_ctx(self) -> None:
+        self.cmds += (OP_RESTORE_CTX, len(self.ctx), 0, 0)
+
+    def end_substream(self) -> None:
+        self.cmds += (OP_END_SUBSTREAM, 0, 0, 0)
+        self._n_sub = getattr(self, "_n_sub", 0) + 1
+
     def residual(self, lev: np.ndarray, log2: int, is_luma: bool,
                  scan_idx: int, sdh: bool) -> None:
         flat = np.ascontiguousarray(lev.reshape(-1), dtype=np.int32)
@@ -148,6 +179,8 @@ class NativeBackend:
         cap = 1024 + 2 * (len(cmds) // 4) + 8 * levels.size
         out = np.zeros(cap, dtype=np.uint8)
         ctx = np.ascontiguousarray(self.ctx)
+        bounds = np.zeros(2 + getattr(self, "_n_sub", 0),
+                          dtype=np.int32)
 
         u8 = ctypes.POINTER(ctypes.c_uint8)
         i32 = ctypes.POINTER(ctypes.c_int32)
@@ -162,10 +195,29 @@ class NativeBackend:
             p8(t["next_mps"]), p8(t["next_lps"]), p8(t["lps"]),
             p8(t["renorm"]), p32(t["blob"]), p32(t["index"]),
             p32(t["off"]), p32(t["ctx4x4"]), p8(ctx), p32(cmds),
-            len(cmds) // 4, p32(levels), p8(out), cap)
+            len(cmds) // 4, p32(levels), p8(out), cap, p32(bounds))
         if n < 0:
             raise RuntimeError(f"native entropy engine failed ({n})")
+        self.boundaries = [int(x) for x in bounds[1:1 + bounds[0]]]
+        self.ctx[:] = ctx        # adapted states back to the caller
         return out[:n].tobytes()
+
+
+def entry_point_sizes(rbsp: bytes, boundaries: list[int]) -> list[int]:
+    """entry_point_offset values (7.4.7.1) from substream boundary
+    byte offsets within the slice-data RBSP: span size plus the
+    emulation-prevention bytes the NAL writer will insert inside the
+    span (TEncSlice.cpp:1087 substreamSize + countStartCodeEmulations;
+    per-span counting is exact because substreams end in a nonzero
+    stop-bit byte)."""
+    from hmtpu.io.bitstream import count_emulations
+    offs = []
+    prev = 0
+    for b in boundaries:
+        span = rbsp[prev:b]
+        offs.append(len(span) + count_emulations(span))
+        prev = b
+    return offs
 
 
 def make_backend(ctx: np.ndarray):
@@ -205,9 +257,10 @@ def encode_pslice_native(ctx: np.ndarray, geom: dict,
                          kind, mi, mvdx, mvdy, mvpi, refi, imode,
                          levy, levcb, levcr, lev16y, lev16cb, lev16cr,
                          lev32y, lev32cb, lev32cr,
-                         depth8, sao_packed) -> bytes | None:
+                         depth8, sao_packed):
     """One-call native slice-data serialisation from decision tensors.
-    Returns None when the native engine is unavailable."""
+    Returns (rbsp, substream boundary byte offsets) — boundaries empty
+    unless geom["wpp"]; None when the native engine is unavailable."""
     import ctypes
 
     lib = native.get_entropy_lib()
@@ -216,7 +269,8 @@ def encode_pslice_native(ctx: np.ndarray, geom: dict,
     t = _tables()
     g = np.asarray([geom["w"], geom["h"], geom["ctu"], geom["max_merge"],
                     geom["num_ref"], geom["sdh"], geom["sao_luma"],
-                    geom["sao_chroma"], geom["bd"]], dtype=np.int32)
+                    geom["sao_chroma"], geom["bd"],
+                    geom.get("wpp", 0), len(ctx)], dtype=np.int32)
     cu_off = np.asarray([OFF[k] for k in _CU_OFF_KEYS], dtype=np.int32)
 
     def c32(a):
@@ -244,11 +298,14 @@ def encode_pslice_native(ctx: np.ndarray, geom: dict,
 
     sao_ptr = ctypes.cast(None, i32) if sao_packed is None \
         else p32(np.ascontiguousarray(sao_packed))
+    n_rows = (geom["h"] + geom["ctu"] - 1) // geom["ctu"]
+    bounds = np.zeros(2 + n_rows, dtype=np.int32)
     n = lib.hmtpu_encode_pslice(
         p8(t["next_mps"]), p8(t["next_lps"]), p8(t["lps"]),
         p8(t["renorm"]), p32(t["blob"]), p32(t["index"]), p32(t["off"]),
         p32(t["ctx4x4"]), p8(ctxc), p8(out), cap, p32(g), p32(cu_off),
-        *[p32(a) for a in arrs], sao_ptr)
+        *[p32(a) for a in arrs], sao_ptr, p32(bounds))
     if n < 0:
         raise RuntimeError(f"native slice writer failed ({n})")
-    return out[:n].tobytes()
+    ctx[:] = ctxc
+    return out[:n].tobytes(), [int(x) for x in bounds[1:1 + bounds[0]]]

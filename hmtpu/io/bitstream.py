@@ -109,20 +109,45 @@ def insert_emulation_prevention(rbsp: bytes) -> bytes:
 
 def strip_emulation_prevention(ebsp: bytes) -> bytes:
     """EBSP -> RBSP for the decoder path."""
+    return strip_emulation_prevention_positions(ebsp)[0]
+
+
+def strip_emulation_prevention_positions(ebsp: bytes):
+    """EBSP -> (RBSP, EBSP positions of the removed 0x03 bytes).
+    The positions let entry_point_offset values (which count emulation
+    bytes, 7.4.7.1) be mapped back to RBSP offsets the way the
+    reference does (TDecCAVLC.cpp:1485-1516)."""
     out = bytearray()
+    eps = []
     zeros = 0
     i = 0
     n = len(ebsp)
     while i < n:
         b = ebsp[i]
         if zeros >= 2 and b == 3 and i + 1 <= n:
+            eps.append(i)
             zeros = 0
             i += 1
             continue
         out.append(b)
         zeros = zeros + 1 if b == 0 else 0
         i += 1
-    return bytes(out)
+    return bytes(out), eps
+
+
+def count_emulations(span: bytes) -> int:
+    """Emulation-prevention bytes the NAL writer will insert inside
+    this span (TComOutputBitstream::countStartCodeEmulations).  Valid
+    per-substream because every substream ends in a nonzero
+    stop-bit byte, so patterns never straddle a boundary."""
+    cnt = 0
+    zeros = 0
+    for b in span:
+        if zeros >= 2 and b <= 3:
+            cnt += 1
+            zeros = 0
+        zeros = zeros + 1 if b == 0 else 0
+    return cnt
 
 
 class BitReader:

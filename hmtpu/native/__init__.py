@@ -55,7 +55,8 @@ def get_entropy_lib():
     fn.argtypes = [u8p, u8p, u8p, u8p,            # state/lps/renorm tables
                    i32p, i32p, i32p, i32p,        # scan blob/index/off/4x4
                    u8p, i32p, ctypes.c_int64,     # ctx, cmds
-                   i32p, u8p, ctypes.c_int64]     # levels, out
+                   i32p, u8p, ctypes.c_int64,     # levels, out
+                   i32p]                          # substream bounds out
     fn2 = lib.hmtpu_encode_pslice
     fn2.restype = ctypes.c_int64
     fn2.argtypes = [u8p, u8p, u8p, u8p,           # state/lps/renorm tables
@@ -67,7 +68,8 @@ def get_entropy_lib():
                     i32p, i32p, i32p,             # 16x16-CU levels
                     i32p, i32p, i32p,             # 32x32-CU levels
                     i32p,                         # depth8
-                    i32p]                         # sao (nullable)
+                    i32p,                         # sao (nullable)
+                    i32p]                         # substream bounds out
     _LIB = lib
     return _LIB
 

@@ -713,6 +713,13 @@ void write_quadtree_p(Enc& e, const SliceCfg& s, int x0, int y0, int log2,
 
 }  // namespace
 
+// arithmetic-engine restart at a WPP substream boundary
+// (TEncBinCABAC::start; contexts are handled separately)
+inline void enc_restart(Enc& e) {
+    e.low = 0; e.range = 510; e.bits_left = 23;
+    e.num_buffered = 0; e.buffered_byte = 0xFF;
+}
+
 // ---------------------------------------------------------------------
 // command stream: 4 int32 per command [op, a, b, c]
 enum {
@@ -722,6 +729,9 @@ enum {
     OP_TRM = 3,        // a=bin
     OP_RESIDUAL = 4,   // a=log2|(scan<<4)|(luma<<8)|(sdh<<9), b=lvl offset
     OP_TERMINATE = 5,  // trm(1) + finish + stop bit + align
+    OP_SAVE_CTX = 6,       // a=n_ctx: WPP context storage (9.3.2.2)
+    OP_RESTORE_CTX = 7,    // a=n_ctx: row-start sync (saved else init)
+    OP_END_SUBSTREAM = 8,  // trm(1)+flush+align+engine restart
 };
 
 extern "C" int64_t hmtpu_entropy_encode(
@@ -730,14 +740,16 @@ extern "C" int64_t hmtpu_entropy_encode(
     const int32_t* scan_blob, const int32_t* scan_index,
     const int32_t* off, const int32_t* ctx4x4,
     uint8_t* ctx, const int32_t* cmds, int64_t num_cmds,
-    const int32_t* levels, uint8_t* out, int64_t out_cap) {
+    const int32_t* levels, uint8_t* out, int64_t out_cap,
+    int32_t* bounds_out) {
     Tables t{next_mps, next_lps, lps_tab, renorm,
              scan_blob, scan_index, off, ctx4x4};
     Enc e;
-    e.low = 0; e.range = 510; e.bits_left = 23;
-    e.num_buffered = 0; e.buffered_byte = 0xFF;
+    enc_restart(e);
     e.out = out; e.pos = 0; e.cap = out_cap;
     e.ctx = ctx; e.t = &t; e.overflow = false;
+    uint8_t saved[1024];
+    int nb = 0;
 
     for (int64_t i = 0; i < num_cmds; i++) {
         const int32_t* c = cmds + i * 4;
@@ -756,11 +768,28 @@ extern "C" int64_t hmtpu_entropy_encode(
                 e.encode_bin_trm(1);
                 e.finish_and_terminate();
                 break;
+            case OP_SAVE_CTX:
+                // the recorder guarantees a save precedes any restore
+                // (a width-1 picture saves the slice-init state once)
+                if (c[1] > 1024) return -3;
+                memcpy(saved, e.ctx, c[1]);
+                break;
+            case OP_RESTORE_CTX:
+                if (c[1] > 1024) return -3;
+                memcpy(e.ctx, saved, c[1]);
+                break;
+            case OP_END_SUBSTREAM:
+                e.encode_bin_trm(1);
+                e.finish_and_terminate();
+                enc_restart(e);
+                if (bounds_out) bounds_out[1 + nb++] = (int32_t)e.pos;
+                break;
             default:
                 return -2;
         }
         if (e.overflow) return -1;
     }
+    if (bounds_out) bounds_out[0] = nb;
     return e.pos;
 }
 
@@ -781,12 +810,11 @@ extern "C" int64_t hmtpu_encode_pslice(
     const int32_t* lev16y, const int32_t* lev16cb,
     const int32_t* lev16cr, const int32_t* lev32y,
     const int32_t* lev32cb, const int32_t* lev32cr,
-    const int32_t* depth8, const int32_t* sao) {
+    const int32_t* depth8, const int32_t* sao, int32_t* bounds_out) {
     Tables t{next_mps, next_lps, lps_tab, renorm,
              scan_blob, scan_index, off, ctx4x4};
     Enc e;
-    e.low = 0; e.range = 510; e.bits_left = 23;
-    e.num_buffered = 0; e.buffered_byte = 0xFF;
+    enc_restart(e);
     e.out = out; e.pos = 0; e.cap = out_cap;
     e.ctx = ctx; e.t = &t; e.overflow = false;
 
@@ -806,19 +834,41 @@ extern "C" int64_t hmtpu_encode_pslice(
 
     int n_ctu_x = (s.w + s.ctu - 1) / s.ctu;
     int n_ctu_y = (s.h + s.ctu - 1) / s.ctu;
+    // WPP (entropy_coding_sync): ctx stored after the row's 2nd CTU,
+    // restored at each row start; one byte-aligned substream per row
+    // (TEncSlice.cpp:1066-1089, 9.3.2.2)
+    bool wpp = geom[9] != 0;
+    int n_ctx = geom[10];
+    if (n_ctx > 1024) return -3;
+    uint8_t saved[1024];
+    if (wpp) memcpy(saved, ctx, n_ctx);   // width-1 fallback = init
+    int sync_x = n_ctu_x > 1 ? 1 : -1;
+    int nb = 0;
     for (int cy = 0; cy < n_ctu_y; cy++) {
+        if (wpp && cy > 0) {
+            memcpy(ctx, saved, n_ctx);
+            enc_restart(e);
+        }
         for (int cx = 0; cx < n_ctu_x; cx++) {
             if (sao)
                 write_sao_ctu(e, s, sao + (cy * n_ctu_x + cx) * 21,
                               cx > 0, cy > 0);
             write_quadtree_p(e, s, cx * s.ctu, cy * s.ctu, s.log2_ctu, 0);
+            if (wpp && cx == sync_x) memcpy(saved, ctx, n_ctx);
             bool last = cy == n_ctu_y - 1 && cx == n_ctu_x - 1;
             if (!last) e.encode_bin_trm(0);
+            if (wpp && cx == n_ctu_x - 1 && !last) {
+                e.encode_bin_trm(1);
+                e.finish_and_terminate();
+                enc_restart(e);
+                if (bounds_out) bounds_out[1 + nb++] = (int32_t)e.pos;
+            }
             if (e.overflow) return -1;
         }
     }
     e.encode_bin_trm(1);
     e.finish_and_terminate();
+    if (bounds_out) bounds_out[0] = nb;
     if (e.overflow) return -1;
     return e.pos;
 }
