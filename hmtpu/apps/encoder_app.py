@@ -40,6 +40,8 @@ def main(argv=None) -> int:
         sei_buffering_period=app.sei_buffering_period,
         target_kbps=app.target_kbps, frame_rate=app.frame_rate,
         wpp=app.wpp,
+        profile=app.profile if app.profile in
+        ("main-rext", "high-throughput-rext") else "",
         nn_weights_dir=app.nn_weights_dir or None))
 
     rd = YuvReader(app.input_file, app.width, app.height,

@@ -99,6 +99,7 @@ class AppConfig:
     rate_control: bool = False
     target_kbps: float = 0.0
     wpp: bool = False
+    profile: str = ""
     decision: str = "scan"
     sei_buffering_period: bool = False
     ignored: list = field(default_factory=list)
@@ -111,7 +112,8 @@ _BOOLISH = {"0": False, "1": True, "false": False, "true": True}
 # Benign: descriptive, redundant with our defaults, or pure speed
 # knobs whose output-identity HM doesn't guarantee either.
 _ACCEPTED_KEYS = {
-    "Profile", "Level", "Tier", "MaxCUWidth", "MaxCUHeight",
+    "Level", "Tier", "IntraConstraintFlag",
+    "MaxCUWidth", "MaxCUHeight",
     "MaxPartitionDepth", "QuadtreeTULog2MaxSize", "QuadtreeTULog2MinSize",
     "DecodingRefreshType", "FastSearch", "BipredSearchRange",
     "HadamardME", "FEN", "FDM",
@@ -166,7 +168,8 @@ def resolve(opts: dict[str, str]) -> AppConfig:
     cfg.input_bit_depth = geti("InputBitDepth", 8)
     cfg.internal_bit_depth = geti("InternalBitDepth",
                                   cfg.input_bit_depth)
-    if opts.get("Profile", "").lower() == "main10":
+    cfg.profile = opts.get("Profile", "").lower()
+    if cfg.profile == "main10":
         cfg.internal_bit_depth = max(cfg.internal_bit_depth, 10)
     cfg.qp = geti("QP", cfg.qp)
     cfg.intra_period = geti("IntraPeriod", -1)
@@ -220,7 +223,7 @@ def resolve(opts: dict[str, str]) -> AppConfig:
         "SAO", "LoopFilterDisable", "SubPel", "NNWeightsDir",
         "RDOQ", "EnableTemporalMvp", "TransformSkip", "RateControl",
         "TargetBitrate", "DecisionEngine", "SEIBufferingPeriod",
-        "WaveFrontSynchro",
+        "WaveFrontSynchro", "Profile",
     }
     for k in opts:
         if k in handled or (k.startswith("Frame") and k[5:].isdigit()):

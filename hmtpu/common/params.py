@@ -14,10 +14,18 @@ from hmtpu.common.constants import ChromaFormat
 
 @dataclass
 class ProfileTierLevel:
-    general_profile_idc: int = 1        # Main
-    general_tier_flag: int = 0
+    general_profile_idc: int = 1        # Main (4 = Main-RExt,
+    general_tier_flag: int = 0          #  5 = High-Throughput-RExt)
     general_level_idc: int = 123        # level 4.1
     general_profile_compatibility: int = 1 << 1  # Main
+    # RExt constraint flags (A.3.5/A.3.6, coded for profile_idc 4/5;
+    # reference: TEncCavlc codeProfileTier RExt branch,
+    # TComSlice.h:723 PTL fields)
+    bit_depth_constraint: int = 8
+    chroma_constraint: ChromaFormat = ChromaFormat.C420
+    intra_constraint: bool = False
+    one_picture_only_constraint: bool = False
+    lower_bit_rate_constraint: bool = True
 
 
 @dataclass

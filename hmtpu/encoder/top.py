@@ -33,6 +33,10 @@ class EncoderConfig:
     height: int = 240
     qp: int = 32
     bit_depth: int = 8
+    # profile signalled in the PTL: "" = derive (main / main10),
+    # "main-rext" / "high-throughput-rext" add the A.3.5/A.3.6
+    # constraint flags
+    profile: str = ""
     ctu_size: int = 64
     decoded_picture_hash: bool = True
     sign_data_hiding: bool = True   # HM SignHideFlag default
@@ -180,6 +184,20 @@ class Encoder:
             # Main10 profile signalling (A.3.3)
             self.sps.ptl.general_profile_idc = 2
             self.sps.ptl.general_profile_compatibility = 1 << 2
+        prof = (cfg.profile or "").lower().replace("_", "-")
+        if prof in ("main-rext", "high-throughput-rext"):
+            # RExt profile signalling (A.3.5/A.3.6): constraint flags
+            # describe the coded stream's envelope
+            idc = 4 if prof == "main-rext" else 5
+            self.sps.ptl.general_profile_idc = idc
+            self.sps.ptl.general_profile_compatibility = 1 << idc
+            self.sps.ptl.bit_depth_constraint = max(cfg.bit_depth, 8)
+            self.sps.ptl.chroma_constraint = self.sps.chroma_format
+            self.sps.ptl.intra_constraint = \
+                prof == "high-throughput-rext" or cfg.gop == "ai"
+            self.sps.ptl.lower_bit_rate_constraint = True
+        elif prof not in ("", "main", "main10"):
+            raise ValueError(f"unsupported profile {cfg.profile}")
         self.pps = Pps(init_qp=cfg.qp, sign_data_hiding=cfg.sign_data_hiding,
                        deblocking_filter_disabled=not cfg.deblock,
                        transform_skip_enabled=cfg.transform_skip

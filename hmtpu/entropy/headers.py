@@ -32,7 +32,26 @@ def _write_ptl(bw: BitWriter, ptl: ProfileTierLevel) -> None:
     bw.write(0, 1)                               # interlaced_source
     bw.write(0, 1)                               # non_packed_constraint
     bw.write(0, 1)                               # frame_only_constraint
-    bw.write(0, 44)                              # reserved zero 44 bits
+    if ptl.general_profile_idc in (4, 5):        # Main-RExt / HT-RExt
+        # A.3.5/A.3.6 constraint flags (TEncCavlc codeProfileTier)
+        from hmtpu.common.constants import ChromaFormat
+        bd = ptl.bit_depth_constraint
+        cf = ptl.chroma_constraint
+        bw.write_flag(bd <= 12)                  # max_12bit
+        bw.write_flag(bd <= 10)                  # max_10bit
+        bw.write_flag(bd <= 8)                   # max_8bit
+        bw.write_flag(cf in (ChromaFormat.C422, ChromaFormat.C420,
+                             ChromaFormat.C400))  # max_422chroma
+        bw.write_flag(cf in (ChromaFormat.C420,
+                             ChromaFormat.C400))  # max_420chroma
+        bw.write_flag(cf == ChromaFormat.C400)   # max_monochrome
+        bw.write_flag(ptl.intra_constraint)
+        bw.write_flag(ptl.one_picture_only_constraint)
+        bw.write_flag(ptl.lower_bit_rate_constraint)
+        bw.write(0, 34)                          # reserved zero 34
+        bw.write(0, 1)                           # inbld_flag
+    else:
+        bw.write(0, 44)                          # reserved 43 + inbld
     bw.write(ptl.general_level_idc, 8)
 
 
