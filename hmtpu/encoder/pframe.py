@@ -72,6 +72,9 @@ class PuDec:
     lev_y: np.ndarray | None = None
     lev_cb: np.ndarray | None = None
     lev_cr: np.ndarray | None = None
+    # transform_skip_flag per 4x4 chroma TB (PPS TransformSkip on)
+    ts_cb: int = 0
+    ts_cr: int = 0
 
     @property
     def coded(self) -> bool:
@@ -539,6 +542,12 @@ class PFrameEncoder:
         ctx = make_contexts(sh.slice_type, qp)
         enc = make_backend(ctx)
         sdh = self.pps.sign_data_hiding
+        ts_on = bool(self.pps.transform_skip_enabled)
+
+        def emit_ts_chroma(val):
+            """transform_skip_flag, 4x4 chroma TB (7.3.8.11)."""
+            if ts_on:
+                enc.encode_bin(OFF["TRANSFORMSKIP_FLAG"] + 1, int(val))
         max_merge = sh.max_num_merge_cand
         num_ref = sh.num_ref_idx_l0
         num_ref_l1 = sh.num_ref_idx_l1
@@ -592,9 +601,11 @@ class PFrameEncoder:
                     enc.residual(d.lev_y, 3, True,
                                  intra_scan_idx(mode, 3, True), sdh)
                 if cbf_cb:
+                    emit_ts_chroma(d.ts_cb)
                     enc.residual(d.lev_cb, 2, False,
                                  intra_scan_idx(mode, 2, False), sdh)
                 if cbf_cr:
+                    emit_ts_chroma(d.ts_cr)
                     enc.residual(d.lev_cr, 2, False,
                                  intra_scan_idx(mode, 2, False), sdh)
                 return
@@ -664,8 +675,12 @@ class PFrameEncoder:
             if cbf_y:
                 enc.residual(d.lev_y, log2, True, 0, sdh)
             if cbf_cb:
+                if log2 == 3:
+                    emit_ts_chroma(d.ts_cb)
                 enc.residual(d.lev_cb, log2 - 1, False, 0, sdh)
             if cbf_cr:
+                if log2 == 3:
+                    emit_ts_chroma(d.ts_cr)
                 enc.residual(d.lev_cr, log2 - 1, False, 0, sdh)
 
         # depth of the coding tree per 8x8 cell: the real split-flag

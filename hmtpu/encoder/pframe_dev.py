@@ -85,7 +85,7 @@ INTRA_GATE = 24.0          # evaluate intra only when inter cost > gate*lam
 BIG = jnp.float32(3e38)
 
 # host-side event counters (introspection for tests/diagnostics)
-DBG_COUNTERS = {"cu64_merge": 0, "cu64_amvp": 0}
+DBG_COUNTERS = {"cu64_merge": 0, "cu64_amvp": 0, "ldp_ts_tbs": 0}
 
 
 def python_dispatch(jitfn, static_names=()):
@@ -264,7 +264,8 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                    tmvp: bool = False, log2_ctu: int = 6,
                    sdh: bool = False, num_ref_l1: int = 0,
                    l0map: tuple = None, l1map: tuple = None,
-                   rdoq: bool = True, n_active=None):
+                   rdoq: bool = True, n_active=None,
+                   ts: bool = False):
     """B-slice mode (num_ref_l1 > 0): refs_* are the deduped union of
     both reference lists, l0map/l1map are static union indices per
     list, mv_lx/mv16[3]/mv32[3] carry the per-block AMVP list choice,
@@ -326,12 +327,25 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                                    mvxf, mvyf, 4, 4, bd)
     lev_ay, rec_ay, d_ay, b_ay = code(org_blk, pred_a, qp, 3, bd, lam,
                                        cbflat, True, sdh=sdh)
-    lev_au, rec_au, d_au, b_au = code(orgu_blk, pred_au, qpc, 2, bd,
-                                       lam_c, cbflat, False, wchroma,
-                                       sdh=sdh)
-    lev_av, rec_av, d_av, b_av = code(orgv_blk, pred_av, qpc, 2, bd,
-                                       lam_c, cbflat, False, wchroma,
-                                       sdh=sdh)
+    if ts:
+        levAC, recAC, dAC, bAC, tsAC = _code_ts_sel(
+            jnp.concatenate([orgu_blk, orgv_blk]),
+            jnp.concatenate([pred_au, pred_av]), qpc, bd, lam_c,
+            cbflat, False, wchroma, sdh=sdh, rdoq=rdoq)
+        lev_au, lev_av = levAC[:P], levAC[P:]
+        rec_au, rec_av = recAC[:P], recAC[P:]
+        d_au, d_av = dAC[:P], dAC[P:]
+        b_au, b_av = bAC[:P], bAC[P:]
+        ts_a = tsAC[:P].astype(jnp.int32) \
+            | (tsAC[P:].astype(jnp.int32) << 1)
+    else:
+        lev_au, rec_au, d_au, b_au = code(orgu_blk, pred_au, qpc, 2,
+                                          bd, lam_c, cbflat, False,
+                                          wchroma, sdh=sdh)
+        lev_av, rec_av, d_av, b_av = code(orgv_blk, pred_av, qpc, 2,
+                                          bd, lam_c, cbflat, False,
+                                          wchroma, sdh=sdh)
+        ts_a = jnp.zeros((P,), jnp.int32)
     dist_a = d_ay + d_au + d_av
     bits_a_lev = b_ay + b_au + b_av
     cbf_a8 = (jnp.any(lev_ay.reshape(P, 64) != 0, axis=1),
@@ -389,6 +403,9 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         rec_v=jnp.zeros(h * w // 4, jnp.int32),
         blk=jnp.zeros((P, 14), jnp.int32),
         levs=jnp.zeros((P, 96), jnp.int32),
+        # transform-skip flags per 8x8 cell: bit0 = cb TB, bit1 = cr
+        # (4x4 chroma TBs exist only at the 8x8 CU level)
+        tsf=jnp.zeros(P, jnp.int32),
     )
 
     def merge_b_nxn(nbv, nbp, x0, y0, n):
@@ -502,7 +519,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
     def p_merge_all_rd(org, orgu, orgv, x0, y0, n: int, log2y: int,
                        cmx, cmy, crf, b_skip1, b_inter,
                        extra_y=None, extra_c=None, sel_y=None,
-                       sel_c=None):
+                       sel_c=None, ts: bool = False):
         """Full residual RD over EVERY merge candidate — the batched
         inversion of HM's per-candidate merge loop
         (TEncCu::xCheckRDCostMerge2Nx2N, TEncCu.cpp:1157): each
@@ -517,6 +534,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
         returned coded after the merge lanes."""
         B = org.shape[0]
         M = max_merge
+        F = min(2, M)            # deadzone-RD finalists per CU
         nc = n // 2
         rep = lambda a: jnp.repeat(a, M)
         two = lambda a: jnp.concatenate([a, a])
@@ -529,90 +547,137 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             two(rep(x0 // 2)), two(rep(y0 // 2)),
             two(cmx.reshape(-1)), two(cmy.reshape(-1)), nc, nc, bd)
         BM = B * M
-        pred_cb = pc[:BM].reshape(B, M, nc, nc)
-        pred_cr = pc[BM:].reshape(B, M, nc, nc)
+        pred_cbM = pc[:BM].reshape(B, M, nc, nc)
+        pred_crM = pc[BM:].reshape(B, M, nc, nc)
 
-        tile = lambda a: jnp.broadcast_to(
-            a[:, None], (B, M) + a.shape[1:]) \
-            .reshape((BM,) + a.shape[1:])
-        orgs_y = tile(org)
-        preds_y = pred_l.reshape(BM, n, n)
-        sely = None
-        if extra_y is not None:
-            orgs_y = jnp.concatenate([orgs_y, org])
-            preds_y = jnp.concatenate([preds_y, extra_y])
-            sely = jnp.concatenate([jnp.zeros((BM,), jnp.int32),
-                                    sel_y])
-        levY, recY, dY, bY = code(orgs_y, preds_y, qp, log2y, bd, lam,
-                                  cbflat, True, sdh=sdh, scan_sel=sely)
-        orgs_c = jnp.concatenate([tile(orgu), tile(orgv)])
-        preds_c = jnp.concatenate([pred_cb.reshape(BM, nc, nc),
-                                   pred_cr.reshape(BM, nc, nc)])
-        selc = None
-        if extra_c is not None:
-            orgs_c = jnp.concatenate(
-                [orgs_c, jnp.concatenate([orgu, orgv])])
-            preds_c = jnp.concatenate([preds_c, extra_c])
-            selc = jnp.concatenate([jnp.zeros((2 * BM,), jnp.int32),
-                                    sel_c])
-        levC, recC, dC, bC = code(orgs_c, preds_c, qpc, log2y - 1, bd,
-                                  lam_c, cbflat, False, wchroma,
-                                  sdh=sdh, scan_sel=selc)
-        sq = lambda a, i: a[i * BM:(i + 1) * BM].reshape(B, M)
-        d_y, b_y = sq(dY, 0), sq(bY, 0)
-        d_cb, b_cb = sq(dC, 0), sq(bC, 0)
-        d_cr, b_cr = sq(dC, 1), sq(bC, 1)
-        lev_y = levY[:BM].reshape(B, M, n, n)
-        rec_y = recY[:BM].reshape(B, M, n, n)
-        lev_cb = levC[:BM].reshape(B, M, nc, nc)
-        rec_cb = recC[:BM].reshape(B, M, nc, nc)
-        lev_cr = levC[BM:2 * BM].reshape(B, M, nc, nc)
-        rec_cr = recC[BM:2 * BM].reshape(B, M, nc, nc)
-        y_nz = jnp.any(lev_y.reshape(B, M, -1) != 0, -1)
-        cb_nz = jnp.any(lev_cb.reshape(B, M, -1) != 0, -1)
-        cr_nz = jnp.any(lev_cr.reshape(B, M, -1) != 0, -1)
-
+        # skip priced over EVERY candidate with the exact 3-plane SSE
+        # (prediction only — no residual, so this is MC + reduction)
         sse3_m = jnp.sum((org[:, None] - pred_l) ** 2, (-1, -2)) \
             .astype(jnp.float32) + wchroma * (
-            jnp.sum((orgu[:, None] - pred_cb) ** 2, (-1, -2))
-            + jnp.sum((orgv[:, None] - pred_cr) ** 2, (-1, -2))
+            jnp.sum((orgu[:, None] - pred_cbM) ** 2, (-1, -2))
+            + jnp.sum((orgv[:, None] - pred_crM) ** 2, (-1, -2))
             ).astype(jnp.float32)
         cost_skip_m = sse3_m + lam * (b_skip1[:, None]
                                       + bits_mi_row_g[None])
-        mrg_hdr = b_inter[:, None] + merge_flag_bits(
-            cbflat, jnp.ones((B,), jnp.int32))[:, None] \
-            + bits_mi_row_g[None]
-        cost_merge_m = d_y + d_cb + d_cr + lam * (
+        mi_skip = jnp.argmin(cost_skip_m, 1).astype(jnp.int32)
+
+        # merge RD in two tiers (the batched form of HM's
+        # xCheckRDCostMerge2Nx2N loop, TEncCu.cpp:1157): the top-F
+        # candidates by 3-plane screening are coded through DEADZONE
+        # transform/quant for comparison, and only the winner is
+        # recoded with the full RDOQ trellis — the trellis is ~2/3 of
+        # per-step cost and the deadzone ranking almost always agrees
+        screen = sse3_m + lam * bits_mi_row_g[None]
+        _, fidx = jax.lax.top_k(-screen, F)          # (B, F)
+        gf = lambda a: jnp.take_along_axis(a, fidx, 1)
+        fmx, fmy, frf = gf(cmx), gf(cmy), gf(crf)
+        pred_f = jnp.take_along_axis(
+            pred_l, fidx[:, :, None, None], 1)       # (B, F, n, n)
+        pred_cbF = jnp.take_along_axis(
+            pred_cbM, fidx[:, :, None, None], 1)
+        pred_crF = jnp.take_along_axis(
+            pred_crM, fidx[:, :, None, None], 1)
+        BF = B * F
+        tile = lambda a: jnp.broadcast_to(
+            a[:, None], (B, F) + a.shape[1:]) \
+            .reshape((BF,) + a.shape[1:])
+        levYd, _, dYd, bYd = _code(tile(org), pred_f.reshape(BF, n, n),
+                                   qp, log2y, bd, lam, cbflat, True,
+                                   sdh=sdh, rdoq=False)
+        levCd, _, dCd, bCd = _code(
+            jnp.concatenate([tile(orgu), tile(orgv)]),
+            jnp.concatenate([pred_cbF.reshape(BF, nc, nc),
+                             pred_crF.reshape(BF, nc, nc)]),
+            qpc, log2y - 1, bd, lam_c, cbflat, False, wchroma,
+            sdh=sdh, rdoq=False)
+        nzYd = jnp.any(levYd.reshape(B, F, -1) != 0, -1)
+        nzCbd = jnp.any(levCd[:BF].reshape(B, F, -1) != 0, -1)
+        nzCrd = jnp.any(levCd[BF:].reshape(B, F, -1) != 0, -1)
+        bits_mi_f = jnp.take_along_axis(
+            jnp.broadcast_to(bits_mi_row_g[None], (B, M)), fidx, 1)
+        cost_f = (dYd.reshape(B, F) + dCd[:BF].reshape(B, F)
+                  + dCd[BF:].reshape(B, F)) + lam * (
+            bits_mi_f + cbf_bits_inter(nzYd, nzCbd, nzCrd)
+            + bYd.reshape(B, F) + bCd[:BF].reshape(B, F)
+            + bCd[BF:].reshape(B, F))
+        fi_merge = jnp.argmin(cost_f, 1).astype(jnp.int32)
+        g1 = lambda a, fi: jnp.take_along_axis(a, fi[:, None], 1)[:, 0]
+        gt = lambda a, fi: jnp.take_along_axis(
+            a, fi[:, None, None, None], 1)[:, 0]
+        w_pred = gt(pred_f, fi_merge)
+        w_pcb = gt(pred_cbF, fi_merge)
+        w_pcr = gt(pred_crF, fi_merge)
+
+        # winner recoded with the RDOQ trellis; the intra extras ride
+        # the same batches (they need trellis coding anyway)
+        orgs_y = org
+        preds_y = w_pred
+        sely = None
+        if extra_y is not None:
+            orgs_y = jnp.concatenate([org, org])
+            preds_y = jnp.concatenate([w_pred, extra_y])
+            sely = jnp.concatenate([jnp.zeros((B,), jnp.int32), sel_y])
+        levY, recY, dY, bY = code(orgs_y, preds_y, qp, log2y, bd, lam,
+                                  cbflat, True, sdh=sdh, scan_sel=sely)
+        orgs_c = jnp.concatenate([orgu, orgv])
+        preds_c = jnp.concatenate([w_pcb, w_pcr])
+        selc = None
+        if extra_c is not None:
+            orgs_c = jnp.concatenate([orgs_c,
+                                      jnp.concatenate([orgu, orgv])])
+            preds_c = jnp.concatenate([preds_c, extra_c])
+            selc = jnp.concatenate([jnp.zeros((2 * B,), jnp.int32),
+                                    sel_c])
+        if ts and log2y == 3:
+            # 4x4 chroma TBs: transform-skip trial per TB, flag bit
+            # priced in (TComTrQuant.cpp:1460 TS branch — the LDP
+            # anchor cfg has TransformSkip 1)
+            levC, recC, dC, bC, ts_c = _code_ts_sel(
+                orgs_c, preds_c, qpc, bd, lam_c, cbflat, False,
+                wchroma, sdh=sdh, scan_sel=selc, rdoq=rdoq)
+        else:
+            levC, recC, dC, bC = code(orgs_c, preds_c, qpc, log2y - 1,
+                                      bd, lam_c, cbflat, False,
+                                      wchroma, sdh=sdh, scan_sel=selc)
+            ts_c = jnp.zeros((orgs_c.shape[0],), bool)
+        lev_my, rec_my, d_my, b_my = (levY[:B], recY[:B], dY[:B],
+                                      bY[:B])
+        lev_mu, rec_mu = levC[:B], recC[:B]
+        lev_mv, rec_mv = levC[B:2 * B], recC[B:2 * B]
+        d_mu, b_mu = dC[:B], bC[:B]
+        d_mv, b_mv = dC[B:2 * B], bC[B:2 * B]
+        y_nz = jnp.any(lev_my.reshape(B, -1) != 0, -1)
+        cb_nz = jnp.any(lev_mu.reshape(B, -1) != 0, -1)
+        cr_nz = jnp.any(lev_mv.reshape(B, -1) != 0, -1)
+        mrg_hdr = b_inter + merge_flag_bits(
+            cbflat, jnp.ones((B,), jnp.int32)) + g1(bits_mi_f, fi_merge)
+        cost_merge = d_my + d_mu + d_mv + lam * (
             mrg_hdr + cbf_bits_inter(y_nz, cb_nz, cr_nz)
-            + b_y + b_cb + b_cr)
+            + b_my + b_mu + b_mv)
         # an all-zero-residual merge IS skip with one extra flag;
         # the skip hypothesis covers it
-        cost_merge_m = jnp.where(y_nz | cb_nz | cr_nz, cost_merge_m,
-                                 BIG)
-        mi_skip = jnp.argmin(cost_skip_m, 1).astype(jnp.int32)
-        mi_merge = jnp.argmin(cost_merge_m, 1).astype(jnp.int32)
-        g1 = lambda a, mi: jnp.take_along_axis(a, mi[:, None], 1)[:, 0]
-        gt = lambda a, mi: jnp.take_along_axis(
-            a, mi[:, None, None, None], 1)[:, 0]
+        cost_merge = jnp.where(y_nz | cb_nz | cr_nz, cost_merge, BIG)
         return dict(
             cost_skip=jnp.min(cost_skip_m, 1),
-            cost_merge=jnp.min(cost_merge_m, 1),
-            mi_skip=mi_skip, mi_merge=mi_merge,
+            cost_merge=cost_merge,
+            mi_skip=mi_skip, mi_merge=g1(fidx, fi_merge),
             sk_mvx=g1(cmx, mi_skip), sk_mvy=g1(cmy, mi_skip),
             sk_ref=g1(crf, mi_skip),
-            mg_mvx=g1(cmx, mi_merge), mg_mvy=g1(cmy, mi_merge),
-            mg_ref=g1(crf, mi_merge),
+            mg_mvx=g1(fmx, fi_merge), mg_mvy=g1(fmy, fi_merge),
+            mg_ref=g1(frf, fi_merge),
             pred_sk_y=gt(pred_l, mi_skip),
-            pred_sk_u=gt(pred_cb, mi_skip),
-            pred_sk_v=gt(pred_cr, mi_skip),
-            lev_my=gt(lev_y, mi_merge), rec_my=gt(rec_y, mi_merge),
-            lev_mu=gt(lev_cb, mi_merge), rec_mu=gt(rec_cb, mi_merge),
-            lev_mv=gt(lev_cr, mi_merge), rec_mv=gt(rec_cr, mi_merge),
-            cbf_m=(g1(y_nz, mi_merge), g1(cb_nz, mi_merge),
-                   g1(cr_nz, mi_merge)),
-            extra=(levY[BM:], recY[BM:], dY[BM:], bY[BM:],
-                   levC[2 * BM:], recC[2 * BM:], dC[2 * BM:],
-                   bC[2 * BM:]))
+            pred_sk_u=gt(pred_cbM, mi_skip),
+            pred_sk_v=gt(pred_crM, mi_skip),
+            lev_my=lev_my, rec_my=rec_my,
+            lev_mu=lev_mu, rec_mu=rec_mu,
+            lev_mv=lev_mv, rec_mv=rec_mv,
+            cbf_m=(y_nz, cb_nz, cr_nz),
+            ts_cb=ts_c[:B].astype(jnp.int32),
+            ts_cr=ts_c[B:2 * B].astype(jnp.int32),
+            ts_extra=ts_c[2 * B:].astype(jnp.int32),
+            extra=(levY[B:], recY[B:], dY[B:], bY[B:],
+                   levC[2 * B:], recC[2 * B:], dC[2 * B:],
+                   bC[2 * B:]))
 
     def cell_step(st, blk, valid):
         """Decide one batch of 8x8 CUs against the committed state;
@@ -719,7 +784,8 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                 org, orgu, orgv, x0, y0, 8, 3, cmx, cmy, crf,
                 b_skip1, b_inter,
                 extra_y=ipred, extra_c=jnp.concatenate([cpu, cpv]),
-                sel_y=isel, sel_c=jnp.concatenate([isel, isel]))
+                sel_y=isel, sel_c=jnp.concatenate([isel, isel]),
+                ts=ts)
             cost_skip, cost_merge = mrd["cost_skip"], mrd["cost_merge"]
             mi_sk, mi_mg = mrd["mi_skip"], mrd["mi_merge"]
             lev_my, rec_my = mrd["lev_my"], mrd["rec_my"]
@@ -849,6 +915,14 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
                       jnp.any(lev_ay[b].reshape(B, 64) != 0, axis=1),
                       jnp.any(lev_iy.reshape(B, 64) != 0, axis=1)) \
             .astype(jnp.int32)
+        zi_b = jnp.zeros((B,), jnp.int32)
+        if is_b:
+            o_tsf = zi_b
+        else:
+            mrg_ts = mrd["ts_cb"] | (mrd["ts_cr"] << 1)
+            intra_ts = mrd["ts_extra"][:B] \
+                | (mrd["ts_extra"][B:] << 1)
+            o_tsf = pick4(zi_b, mrg_ts, ts_a[b], intra_ts)
         o_blk = jnp.stack([choice, mi, mvdx, mvdy, mvpi,
                            new_dir, new_mvx, new_mvy, new_ref,
                            jnp.zeros_like(choice), cbf_y,
@@ -871,6 +945,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             rec_v=st["rec_v"].at[fl_c].set(out_v),
             blk=st["blk"].at[drop].set(o_blk),
             levs=st["levs"].at[drop].set(o_lev),
+            tsf=st["tsf"].at[drop].set(o_tsf),
         )
         cost = jnp.min(costs, axis=1)
         # split-syntax overhead a lone 8x8 CU pays inside a split 16
@@ -1141,6 +1216,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             rec_v=st["rec_v"].at[fl_c].set(out_v),
             blk=st["blk"].at[drop4].set(o_blk[:, None, :]),
             levs=st["levs"].at[drop4].set(o_lev),
+            tsf=st["tsf"].at[drop4].set(0),   # chroma TBs are 8x8
         )
         return st, jnp.where(use16, cost16, cost8)
 
@@ -1412,6 +1488,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
             rec_v=st["rec_v"].at[fl_c].set(out_v),
             blk=st["blk"].at[drop16].set(o_blk[:, None, :]),
             levs=st["levs"].at[drop16].set(o_lev),
+            tsf=st["tsf"].at[drop16].set(0),  # chroma TBs 16x16
         )
         return st, None
 
@@ -1423,7 +1500,7 @@ def wavefront_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v,
 _FPP_STATICS = ("w", "h", "num_ref", "max_merge", "bd", "srange",
                 "subpel", "deblock", "sao", "ctu", "cb_off", "cr_off",
                 "tmvp", "sdh", "num_ref_l1", "l0map", "l1map", "rdoq",
-                "decision")
+                "decision", "ts")
 
 
 def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
@@ -1439,7 +1516,8 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                      qp_factor=0.57, tmvp: bool = False,
                      sdh: bool = False, num_ref_l1: int = 0,
                      l0map: tuple = None, l1map: tuple = None,
-                     rdoq: bool = True, decision: str = "scan"):
+                     rdoq: bool = True, decision: str = "scan",
+                     ts: bool = False):
     """ME + sub-pel + wavefront decision + in-loop filters in ONE
     dispatch, with compact output dtypes (spec coefficient range is
     int16; recon fits the bit depth) to minimise the device->host
@@ -1700,7 +1778,12 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
                             log2_ctu=ctu.bit_length() - 1, sdh=sdh,
                             num_ref_l1=num_ref_l1, l0map=l0map,
                             l1map=l1map, rdoq=rdoq,
-                            n_active=None if is_b else n_active)
+                            n_active=None if is_b else n_active,
+                            ts=ts and not is_b)
+
+    if "tsf" not in st:
+        # jacobi never trials TS; the writer still emits zero flags
+        st["tsf"] = jnp.zeros(bw * bh, jnp.int32)
 
     # ---- in-loop filters, still on device (8.7.2 deblock, 8.7.3 SAO)
     if deblock or sao:
@@ -1760,7 +1843,7 @@ def full_pframe_pass(org_y, org_u, org_v, refs_y, refs_u, refs_v, nn,
     rec_t = jnp.uint8 if bd == 8 else jnp.uint16
     small = dict(rec_y=rec_t, rec_u=rec_t, rec_v=rec_t,
                  blk=jnp.int16, levs=jnp.int16, imode=jnp.int8,
-                 sao=jnp.int8, dbg_repairs=jnp.int32)
+                 sao=jnp.int8, dbg_repairs=jnp.int32, tsf=jnp.int8)
     dev_planes = (st["rec_y"].reshape(h, w),
                   st["rec_u"].reshape(h // 2, w // 2),
                   st["rec_v"].reshape(h // 2, w // 2))
@@ -1888,7 +1971,8 @@ class PFrameDeviceEncoder(PFrameEncoder):
             qp_factor=jnp.float32(self.qp_factor),
             tmvp=use_tmvp, sdh=bool(self.pps.sign_data_hiding),
             num_ref_l1=num_ref_l1, l0map=l0map, l1map=l1map,
-            rdoq=self.rdoq, decision=self.decision)
+            rdoq=self.rdoq, decision=self.decision,
+            ts=bool(self.pps.transform_skip_enabled))
         # this frame's motion on the 8x8 grid, kept on device as the
         # NEXT frame's collocated field (the 16x16 compression is the
         # reader's index rounding); L0 motion (col pic convention)
@@ -1941,6 +2025,11 @@ class PFrameDeviceEncoder(PFrameEncoder):
         cusz = blk[..., 9]
         is_b = ctx["num_ref_l1"] > 0
         imode = st["imode"].reshape(bh, bw)
+        tsf = st.get("tsf")
+        tsf = tsf.reshape(bh, bw) if tsf is not None \
+            else np.zeros((bh, bw), np.int32)
+        ts_cb, ts_cr = (tsf & 1), ((tsf >> 1) & 1)
+        DBG_COUNTERS["ldp_ts_tbs"] += int(ts_cb.sum() + ts_cr.sum())
         levs = st["levs"].reshape(bh, bw, 96)
         levy = levs[..., :64].reshape(bh, bw, 8, 8)
         levcb = levs[..., 64:80].reshape(bh, bw, 4, 4)
@@ -2293,6 +2382,8 @@ class PFrameDeviceEncoder(PFrameEncoder):
                         ref_idx=int(fref[byi, bxi]),
                         lev_y=levy[byi, bxi], lev_cb=levcb[byi, bxi],
                         lev_cr=levcr[byi, bxi],
+                        ts_cb=int(ts_cb[byi, bxi]),
+                        ts_cr=int(ts_cr[byi, bxi]),
                         **b_kw(byi, bxi, k))
                 elif k == 2:
                     decisions[key] = PuDec(
@@ -2303,12 +2394,16 @@ class PFrameDeviceEncoder(PFrameEncoder):
                         ref_idx=int(fref[byi, bxi]),
                         lev_y=levy[byi, bxi], lev_cb=levcb[byi, bxi],
                         lev_cr=levcr[byi, bxi],
+                        ts_cb=int(ts_cb[byi, bxi]),
+                        ts_cr=int(ts_cr[byi, bxi]),
                         **b_kw(byi, bxi, k))
                 else:
                     decisions[key] = PuDec(
                         "intra", intra_mode=int(imode[byi, bxi]),
                         lev_y=levy[byi, bxi], lev_cb=levcb[byi, bxi],
-                        lev_cr=levcr[byi, bxi])
+                        lev_cr=levcr[byi, bxi],
+                        ts_cb=int(ts_cb[byi, bxi]),
+                        ts_cr=int(ts_cr[byi, bxi]))
 
         modes = np.where(kind == 3, imode, -1).astype(np.int32)
         skip_map = (kind == 0).astype(np.int32)
@@ -2330,7 +2425,7 @@ class PFrameDeviceEncoder(PFrameEncoder):
             levcb=levcb, levcr=levcr, lev16y=lev16y,
             lev16cb=lev16cb, lev16cr=lev16cr,
             lev32y=lev32y, lev32cb=lev32cb,
-            lev32cr=lev32cr)
+            lev32cr=lev32cr, tsf=tsf)
         return recon, field, decisions, (modes, skip_map, intra_map)
 
     def _entropy_pass(self, qp, modes, skip_map, intra_map, decisions,
@@ -2374,7 +2469,8 @@ class PFrameDeviceEncoder(PFrameEncoder):
                         num_ref=sh.num_ref_idx_l0,
                         sdh=int(self.pps.sign_data_hiding),
                         sao_luma=int(sl), sao_chroma=int(sc), bd=self.bd,
-                        wpp=wpp)
+                        wpp=wpp,
+                        ts=int(self.pps.transform_skip_enabled))
             ctx = make_contexts(sh.slice_type, qp)
             res = encode_pslice_native(
                 ctx, geom, nat["kind"], nat["mi"], nat["mvdx"],
@@ -2382,7 +2478,7 @@ class PFrameDeviceEncoder(PFrameEncoder):
                 nat["levy"], nat["levcb"], nat["levcr"],
                 nat["lev16y"], nat["lev16cb"], nat["lev16cr"],
                 nat["lev32y"], nat["lev32cb"], nat["lev32cr"],
-                self._depth8, sao_packed)
+                self._depth8, sao_packed, tsf=nat.get("tsf"))
             if res is not None:
                 rbsp, bounds = res
                 if wpp:

@@ -200,8 +200,11 @@ class Encoder:
             raise ValueError(f"unsupported profile {cfg.profile}")
         self.pps = Pps(init_qp=cfg.qp, sign_data_hiding=cfg.sign_data_hiding,
                        deblocking_filter_disabled=not cfg.deblock,
+                       # TS reaches AI (4x4 luma+chroma TBs) and LDP
+                       # (4x4 chroma TBs in the device P pass + both
+                       # walks); the RA B path does not speak it yet
                        transform_skip_enabled=cfg.transform_skip
-                       and cfg.gop == "ai",
+                       and cfg.gop in ("ai", "ldp"),
                        entropy_coding_sync_enabled=cfg.wpp)
         self.vps = Vps(max_dec_pic_buffering=self.sps.max_dec_pic_buffering,
                        max_num_reorder_pics=self.sps.max_num_reorder_pics,

@@ -235,7 +235,7 @@ _CU_OFF_KEYS = ("SAO_MERGE_FLAG", "SAO_TYPE_IDX", "SPLIT_FLAG",
                 "SKIP_FLAG", "PRED_MODE", "PART_SIZE", "INTRA_PRED_MODE",
                 "CHROMA_PRED_MODE", "QT_CBF_LUMA", "QT_CBF_CHROMA",
                 "QT_ROOT_CBF", "MERGE_FLAG", "MERGE_IDX", "MVD",
-                "REF_PIC", "MVP_IDX", "INTER_DIR")
+                "REF_PIC", "MVP_IDX", "INTER_DIR", "TRANSFORMSKIP_FLAG")
 
 
 def pack_sao_grid(grid, n_ctu_x: int, n_ctu_y: int) -> np.ndarray:
@@ -257,7 +257,7 @@ def encode_pslice_native(ctx: np.ndarray, geom: dict,
                          kind, mi, mvdx, mvdy, mvpi, refi, imode,
                          levy, levcb, levcr, lev16y, lev16cb, lev16cr,
                          lev32y, lev32cb, lev32cr,
-                         depth8, sao_packed):
+                         depth8, sao_packed, tsf=None):
     """One-call native slice-data serialisation from decision tensors.
     Returns (rbsp, substream boundary byte offsets) — boundaries empty
     unless geom["wpp"]; None when the native engine is unavailable."""
@@ -270,7 +270,8 @@ def encode_pslice_native(ctx: np.ndarray, geom: dict,
     g = np.asarray([geom["w"], geom["h"], geom["ctu"], geom["max_merge"],
                     geom["num_ref"], geom["sdh"], geom["sao_luma"],
                     geom["sao_chroma"], geom["bd"],
-                    geom.get("wpp", 0), len(ctx)], dtype=np.int32)
+                    geom.get("wpp", 0), len(ctx),
+                    geom.get("ts", 0)], dtype=np.int32)
     cu_off = np.asarray([OFF[k] for k in _CU_OFF_KEYS], dtype=np.int32)
 
     def c32(a):
@@ -300,11 +301,13 @@ def encode_pslice_native(ctx: np.ndarray, geom: dict,
         else p32(np.ascontiguousarray(sao_packed))
     n_rows = (geom["h"] + geom["ctu"] - 1) // geom["ctu"]
     bounds = np.zeros(2 + n_rows, dtype=np.int32)
+    tsf_arr = c32(tsf) if tsf is not None \
+        else np.zeros(n_blocks, dtype=np.int32)
     n = lib.hmtpu_encode_pslice(
         p8(t["next_mps"]), p8(t["next_lps"]), p8(t["lps"]),
         p8(t["renorm"]), p32(t["blob"]), p32(t["index"]), p32(t["off"]),
         p32(t["ctx4x4"]), p8(ctxc), p8(out), cap, p32(g), p32(cu_off),
-        *[p32(a) for a in arrs], sao_ptr, p32(bounds))
+        *[p32(a) for a in arrs], sao_ptr, p32(tsf_arr), p32(bounds))
     if n < 0:
         raise RuntimeError(f"native slice writer failed ({n})")
     ctx[:] = ctxc

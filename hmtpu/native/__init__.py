@@ -69,6 +69,7 @@ def get_entropy_lib():
                     i32p, i32p, i32p,             # 32x32-CU levels
                     i32p,                         # depth8
                     i32p,                         # sao (nullable)
+                    i32p,                         # tsf (ts flags/cell)
                     i32p]                         # substream bounds out
     _LIB = lib
     return _LIB

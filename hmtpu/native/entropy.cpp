@@ -373,7 +373,8 @@ enum {                               // cu_off layout (python packs this)
     CU_SAO_MERGE = 0, CU_SAO_TYPE, CU_SPLIT, CU_SKIP, CU_PRED_MODE,
     CU_PART_SIZE, CU_INTRA_MODE, CU_CHROMA_MODE, CU_QT_CBF_LUMA,
     CU_QT_CBF_CHROMA, CU_QT_ROOT_CBF, CU_MERGE_FLAG, CU_MERGE_IDX,
-    CU_MVD, CU_REF_PIC, CU_MVP_IDX, CU_INTER_DIR, CU_OFF_N,
+    CU_MVD, CU_REF_PIC, CU_MVP_IDX, CU_INTER_DIR, CU_TRANSFORMSKIP,
+    CU_OFF_N,
 };
 
 struct SliceCfg {
@@ -382,6 +383,8 @@ struct SliceCfg {
     int max_merge, num_ref;
     int sdh;                         // sign data hiding
     int sao_luma, sao_chroma, bd;
+    int ts;                          // PPS transform_skip_enabled
+    const int32_t* tsf;              // per-cell flag bits: cb|cr<<1
     const int32_t* cu_off;
     // per-block decision tensors (bh*bw)
     const int32_t* kind;             // 0 skip 1 merge 2 amvp 3 intra
@@ -564,6 +567,13 @@ inline bool cu64_any_cbf(const SliceCfg& s, int x0, int y0) {
     return false;
 }
 
+// transform_skip_flag for a 4x4 chroma TB (7.3.8.11; ctx +1 = chroma)
+inline void ts_flag_chroma(Enc& e, const SliceCfg& s, int p, int bit) {
+    if (s.ts)
+        e.encode_bin(s.cu_off[CU_TRANSFORMSKIP] + 1,
+                     (s.tsf[p] >> bit) & 1);
+}
+
 void write_cu_p(Enc& e, const SliceCfg& s, int x0, int y0, int log2) {
     int bxi = x0 >> 3, byi = y0 >> 3;
     int p = byi * s.bw + bxi;
@@ -648,12 +658,16 @@ void write_cu_p(Enc& e, const SliceCfg& s, int x0, int y0, int log2) {
         if (cbf_y)
             encode_residual(e, ly, 3, true,
                             intra_scan_of(mode, 3, true), s.sdh);
-        if (cbf_cb)
+        if (cbf_cb) {
+            ts_flag_chroma(e, s, p, 0);
             encode_residual(e, lcb, 2, false,
                             intra_scan_of(mode, 2, false), s.sdh);
-        if (cbf_cr)
+        }
+        if (cbf_cr) {
+            ts_flag_chroma(e, s, p, 1);
             encode_residual(e, lcr, 2, false,
                             intra_scan_of(mode, 2, false), s.sdh);
+        }
         return;
     }
 
@@ -678,8 +692,14 @@ void write_cu_p(Enc& e, const SliceCfg& s, int x0, int y0, int log2) {
     if (cbf_cb || cbf_cr)
         e.encode_bin(s.cu_off[CU_QT_CBF_LUMA] + 1, cbf_y);
     if (cbf_y) encode_residual(e, ly, log2, true, 0, s.sdh);
-    if (cbf_cb) encode_residual(e, lcb, log2 - 1, false, 0, s.sdh);
-    if (cbf_cr) encode_residual(e, lcr, log2 - 1, false, 0, s.sdh);
+    if (cbf_cb) {
+        if (log2 == 3) ts_flag_chroma(e, s, p, 0);
+        encode_residual(e, lcb, log2 - 1, false, 0, s.sdh);
+    }
+    if (cbf_cr) {
+        if (log2 == 3) ts_flag_chroma(e, s, p, 1);
+        encode_residual(e, lcr, log2 - 1, false, 0, s.sdh);
+    }
 }
 
 void write_quadtree_p(Enc& e, const SliceCfg& s, int x0, int y0, int log2,
@@ -810,7 +830,8 @@ extern "C" int64_t hmtpu_encode_pslice(
     const int32_t* lev16y, const int32_t* lev16cb,
     const int32_t* lev16cr, const int32_t* lev32y,
     const int32_t* lev32cb, const int32_t* lev32cr,
-    const int32_t* depth8, const int32_t* sao, int32_t* bounds_out) {
+    const int32_t* depth8, const int32_t* sao, const int32_t* tsf,
+    int32_t* bounds_out) {
     Tables t{next_mps, next_lps, lps_tab, renorm,
              scan_blob, scan_index, off, ctx4x4};
     Enc e;
@@ -824,6 +845,7 @@ extern "C" int64_t hmtpu_encode_pslice(
     s.bw = s.w >> 3; s.bh = s.h >> 3;
     s.max_merge = geom[3]; s.num_ref = geom[4]; s.sdh = geom[5];
     s.sao_luma = geom[6]; s.sao_chroma = geom[7]; s.bd = geom[8];
+    s.ts = geom[11]; s.tsf = tsf;
     s.cu_off = cu_off;
     s.kind = kind; s.mi = mi; s.mvdx = mvdx; s.mvdy = mvdy;
     s.mvpi = mvpi; s.refi = refi; s.imode = imode;

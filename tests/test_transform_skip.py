@@ -75,6 +75,52 @@ def test_ts_ai_decode_and_helps_on_screen_content(tmp_path):
     assert bits[True] <= bits[False] * 1.01
 
 
+def _screenish_chroma(w, h, n):
+    """Sharp CHROMA content (the LDP TS surface is the 4x4 chroma
+    TBs): coloured text-like strokes on a flat background, drifting
+    so P frames carry chroma residual."""
+    rng = np.random.RandomState(11)
+    marks = [(rng.randint(0, w // 2 - 8), rng.randint(0, h // 2 - 4),
+              rng.randint(3, 8)) for _ in range(40)]
+    out = []
+    for t in range(n):
+        y = np.full((h, w), 90, np.uint8)
+        u = np.full((h // 2, w // 2), 100, np.uint8)
+        v = np.full((h // 2, w // 2), 150, np.uint8)
+        for x0, y0, ln in marks:
+            x = (x0 + t) % (w // 2 - 8)
+            u[y0:y0 + 2, x:x + ln] = 230
+            v[y0:y0 + 2, x:x + ln] = 40
+            y[2 * y0:2 * y0 + 4, 2 * x:2 * x + 2 * ln] = 200
+        out.append(Frame(y.astype(np.int32), u.astype(np.int32),
+                         v.astype(np.int32)))
+    return out
+
+
+def test_ts_ldp_decode_and_flags_fire(tmp_path):
+    """TS on the LDP path (TComTrQuant.cpp:1460; the anchor cfg
+    encoder_lowdelay_P_main.cfg has TransformSkip 1): 4x4 chroma TBs
+    of 8x8 CUs are dual-coded in the device P pass, the flag rides the
+    native walk, and the stream HM-decodes."""
+    from hmtpu.encoder import pframe_dev
+    pframe_dev.DBG_COUNTERS["ldp_ts_tbs"] = 0
+    frames = _screenish_chroma(96, 64, 4)
+    enc = Encoder(EncoderConfig(width=96, height=64, qp=27, gop="ldp",
+                                subpel="none", transform_skip=True))
+    assert enc.pps.transform_skip_enabled
+    bs = enc.encode_sequence(frames)
+    assert pframe_dev.DBG_COUNTERS["ldp_ts_tbs"] > 0, \
+        "no chroma TB chose transform-skip on chroma screen content"
+    pics = Decoder().decode_annexb(bs)
+    assert len(pics) == 4              # decoder hash-checks internally
+    from tests import oracle
+    if oracle.have_decoder():
+        p = tmp_path / "ts_ldp.hevc"
+        p.write_bytes(bs)
+        out = oracle.decode(str(p), str(tmp_path / "r.yuv"))
+        assert out.count("(OK)") == 4
+
+
 def test_ts_pps_flag_roundtrip():
     frames = _screenish(96, 64, 1)
     enc = Encoder(EncoderConfig(width=96, height=64, qp=32, gop="ai",
