@@ -379,8 +379,6 @@ class Encoder:
     def encode_sequence(self, frames: list[Frame]) -> bytes:
         out = bytearray()
         poc0 = getattr(self, "_poc_base", 0)
-        if poc0 and self.cfg.gop == "ra":
-            raise ValueError("checkpoint resume supports ai/ldp GOPs")
         if self.cfg.gop != "ra":
             if self.cfg.target_kbps > 0 and self.rc is None:
                 from hmtpu.encoder.ratectrl import RateControl
@@ -419,19 +417,41 @@ class Encoder:
             self._poc_base = poc0 + len(frames)
             return bytes(out)
 
-        sched = self._ra_schedule(len(frames))
-        dpb_map: dict[int, Frame] = {}
+        # RA: schedule the FULL sequence (including any checkpointed
+        # prefix) and keep the entries of this segment — segmentation
+        # then cannot change the coding order or the reference
+        # structure, so a resumed encode is byte-identical.  A resume
+        # point must be a completed-GOP boundary (the checkpoint DPB
+        # carries the retained anchors).
+        sched = [e for e in self._ra_schedule(poc0 + len(frames))
+                 if e[0] >= poc0]
+        if {p for p, _ in sched} != set(range(poc0,
+                                              poc0 + len(frames))):
+            # a resume point inside an unfinished GOP would leave
+            # earlier display-order pictures uncodable
+            raise ValueError("RA resume must start at a completed-GOP "
+                             "boundary")
+        dpb_map: dict[int, Frame] = dict(self.dpb)
+        if poc0:
+            missing = {p for _, u in sched for p in u
+                       if p < poc0 and p not in dpb_map}
+            if missing:
+                raise ValueError(
+                    f"RA resume point is not a GOP boundary: the "
+                    f"checkpoint DPB lacks {sorted(missing)}")
         for i, (poc, used) in enumerate(sched):
             # pictures still needed by this or any later frame
             future = set()
             for _, u in sched[i:]:
                 future.update(u)
             retained = {p: f for p, f in dpb_map.items() if p in future}
-            nals = self.encode_frame_au(frames[poc], poc,
+            nals = self.encode_frame_au(frames[poc - poc0], poc,
                                         ra=(used, retained))
             out.extend(write_annexb(nals))
             dpb_map = dict(retained)
             dpb_map[poc] = self._last_recon
+        self.dpb = sorted(dpb_map.items())
+        self._poc_base = poc0 + len(frames)
         return bytes(out)
 
     # -- two-phase P-frame pipeline (device wavefront path) -----------------

@@ -60,6 +60,32 @@ def test_checkpoint_keeps_results_and_rc(tmp_path):
     assert len(enc2.results) == 6
 
 
+def test_checkpoint_resume_ra_bit_identical(tmp_path):
+    """RA resume at a completed-GOP boundary: the full-sequence
+    schedule is filtered to the segment, so the coding order, the
+    retained-DPB contents and therefore the bytes match the straight
+    run exactly."""
+    frames = _frames(17)
+    cfg = EncoderConfig(width=W, height=H, qp=32, gop="ra",
+                        subpel="none")
+    straight = Encoder(cfg).encode_sequence(frames)
+
+    enc = Encoder(EncoderConfig(width=W, height=H, qp=32, gop="ra",
+                                subpel="none"))
+    seg1 = enc.encode_sequence(frames[:9])     # IDR + one full GOP-8
+    ck = tmp_path / "ra.ckpt"
+    enc.save_checkpoint(str(ck))
+
+    enc2 = Encoder(EncoderConfig(width=W, height=H, qp=32, gop="ra",
+                                 subpel="none"))
+    enc2.load_checkpoint(str(ck))
+    seg2 = enc2.encode_sequence(frames[9:])
+
+    assert seg1 + seg2 == straight
+    pics = Decoder().decode_annexb(seg1 + seg2)
+    assert len(pics) == 17
+
+
 def test_checkpoint_resume_extends_rc_budget(tmp_path):
     """A resumed segment longer than the first must not exhaust the
     rate-control budget: total_frames is extended, targets stay near
