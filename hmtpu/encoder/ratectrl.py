@@ -36,14 +36,19 @@ class _Model:
     def lam(self, bpp: float) -> float:
         return self.alpha * bpp ** self.beta
 
-    def update(self, lam_used: float, bpp_real: float) -> None:
+    def update(self, lam_used: float, bpp_real: float,
+               gain: float = 1.0) -> None:
+        """gain > 1 accelerates the cold start: the R-lambda seeds are
+        HM's (TEncRCSeq::initPicPara) but this encoder's operating
+        point differs, and at HM's 0.10/0.05 steps a short sequence
+        ends before the model converges."""
         bpp_real = max(bpp_real, 1e-6)
         lam_comp = self.alpha * bpp_real ** self.beta
         d = math.log(lam_used) - math.log(lam_comp)
         d = min(max(d, -2.0), 2.0)      # HM clips the adaptation step
-        self.alpha += 0.10 * d * self.alpha
+        self.alpha += min(0.10 * gain, 0.5) * d * self.alpha
         self.alpha = min(max(self.alpha, 0.05), 500.0)
-        self.beta += 0.05 * d * math.log(bpp_real)
+        self.beta += min(0.05 * gain, 0.25) * d * math.log(bpp_real)
         self.beta = min(max(self.beta, -3.0), -0.1)
 
 
@@ -115,7 +120,12 @@ class RateControl:
                 * self.gop_weights[pos] / max(wsum, 1e-9)
             if pos in self.gop_pos_left:
                 self.gop_pos_left.remove(pos)
-            key = f"P{pos}"
+            # ONE shared P model: per-position targets already carry
+            # the GOP weights, and per-position models would see only
+            # total/4 adaptation steps — too few to converge on short
+            # sequences (HM keeps per-level models but encodes
+            # hundreds of frames)
+            key = "P"
         target = max(target, 100.0)
         bpp = target / self.pixels
         m = self.models.setdefault(key, _Model())
@@ -130,7 +140,16 @@ class RateControl:
 
     def update(self, actual_bits: int) -> None:
         key, lam = self._pending
-        self.models[key].update(lam, actual_bits / self.pixels)
+        # cold start: each per-class model's first few pictures adapt
+        # 4x faster, decaying to HM's steady-state step
+        seen = getattr(self, "_class_seen", None)
+        if seen is None:
+            seen = self._class_seen = {}
+        n = seen.get(key, 0)
+        seen[key] = n + 1
+        gain = 2.0 if n < 2 else 1.0
+        self.models[key].update(lam, actual_bits / self.pixels,
+                                gain=gain)
         self.bits_spent += actual_bits
         self.frames_done += 1
         if key != "I":
