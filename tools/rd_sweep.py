@@ -50,6 +50,11 @@ def main():
     ap.add_argument("--srange", type=int, default=64,
                     help="search range (64 = bench + HM-anchor parity)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--clip", default="synth",
+                    choices=("synth", "real"),
+                    help="real = camera motion over a real photo "
+                         "(tools/gen_real_yuv.py), anchors from "
+                         "anchors_real_20f.json")
     ap.add_argument("--decode-check", action="store_true",
                     help="run the HM oracle decoder on each stream")
     args = ap.parse_args()
@@ -60,17 +65,22 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    from tools.gen_test_yuv import synth_clip
-
     from hmtpu.utils.bdrate import bd_rate
 
     w, h = 416, 240
-    frames_np = list(synth_clip(w, h, args.frames, 42))
     qps = [int(q) for q in args.qps.split(",")]
+    if args.clip == "real":
+        from tools.gen_real_yuv import synth_real_clip
+        frames_np = list(synth_real_clip(w, h, args.frames))
+        anchor_file = "anchors_real_20f.json"
+    else:
+        from tools.gen_test_yuv import synth_clip
+        frames_np = list(synth_clip(w, h, args.frames, 42))
+        anchor_file = "anchors_20f.json"
 
     anchors = json.load(open(os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "anchors_20f.json")))["ldp"]
+        anchor_file)))["ldp"]
 
     ours_r, ours_p = [], []
     anch_r, anch_p = [], []
