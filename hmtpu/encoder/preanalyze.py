@@ -5,10 +5,12 @@ quadrant variances, and the per-CU QP offset is the x264-style
 normalised log ratio against the picture average (TEncCu::xComputeQP).
 
 The map is computed batched over the whole picture (one reshape +
-reductions — no scalar loops).  The per-CU delta-QP *syntax*
-(cu_qp_delta) is not emitted yet, so the offsets currently inform
-rate-control/analysis consumers only; wiring them into the coded
-stream is the remaining half of SURVEY §2.1's preanalyzer row.
+reductions — no scalar loops).  Consumers: rate control scales each
+picture's bit-budget share by its average activity relative to the
+running mean (encoder/top.py -> ratectrl.pick(complexity=...)).  The
+per-CU delta-QP *syntax* (cu_qp_delta) is not emitted yet, so the
+per-partition offsets do not reach the coded stream — that is the
+remaining half of SURVEY §2.1's preanalyzer row.
 """
 from __future__ import annotations
 

@@ -101,10 +101,25 @@ class RateControl:
         n = min(len(self.gop_weights), left_frames)
         return max(per_pic * n, 200.0)
 
-    def pick(self, is_intra: bool, gop_pos: int = 0):
-        """Target bits, lambda and QP for the next picture."""
+    def pick(self, is_intra: bool, gop_pos: int = 0,
+             complexity: float | None = None):
+        """Target bits, lambda and QP for the next picture.
+
+        complexity: the preanalyzer's picture-average activity
+        (encoder/preanalyze.py, TEncPreanalyzer::xPreanalyze) — the
+        target is scaled by this picture's activity relative to the
+        running mean, so busy pictures draw more of the budget (the
+        picture-level form of HM's LCU bit allocation by complexity,
+        TEncRCPic::xEstPicTargetBits)."""
         left_frames = max(self.total_frames - self.frames_done, 1)
         avg = self._budget_left() / left_frames
+        cx_scale = 1.0
+        if complexity is not None and complexity > 0:
+            mean = getattr(self, "_cx_mean", None)
+            if mean is None:
+                mean = complexity
+            self._cx_mean = 0.9 * mean + 0.1 * complexity
+            cx_scale = min(max(complexity / max(mean, 1e-9), 0.5), 2.0)
         if is_intra:
             target = avg * self.intra_ratio
             key = "I"
@@ -126,7 +141,7 @@ class RateControl:
             # sequences (HM keeps per-level models but encodes
             # hundreds of frames)
             key = "P"
-        target = max(target, 100.0)
+        target = max(target * cx_scale, 100.0)
         bpp = target / self.pixels
         m = self.models.setdefault(key, _Model())
         lam = min(max(m.lam(bpp), 0.1), 10000.0)

@@ -478,7 +478,12 @@ class Encoder:
             qpf = cfg.gop_qp_factors[gpos]
         qpf = lambda_qp_factor(qpf, qp, gop_depth(rel_poc, gop_size))
         if self.rc is not None:
-            _, lam, qp = self.rc.pick(False, (rel_poc - 1) % 4)
+            # preanalyzer activity steers the picture's share of the
+            # budget (TEncPreanalyzer::xPreanalyze -> bit allocation)
+            from hmtpu.encoder.preanalyze import activity_map
+            _, avg_act = activity_map(np.asarray(frame.y))
+            _, lam, qp = self.rc.pick(False, (rel_poc - 1) % 4,
+                                      complexity=avg_act)
             qpf = lam / 2.0 ** ((qp - 12) / 3.0)
         sh = SliceHeader(
             slice_type=SliceType.P, pps_id=0, slice_qp=qp,
@@ -582,7 +587,9 @@ class Encoder:
         is_idr = self._is_idr(poc) if ra is None else poc == 0
         qp_frame = cfg.qp
         if self.rc is not None and is_idr:
-            _, _, qp_frame = self.rc.pick(True)
+            from hmtpu.encoder.preanalyze import activity_map
+            _, avg_act = activity_map(np.asarray(frame.y))
+            _, _, qp_frame = self.rc.pick(True, complexity=avg_act)
         if poc == 0:
             nals += [write_vps(self.vps), write_sps(self.sps),
                      write_pps(self.pps)]

@@ -41,3 +41,23 @@ def test_uniform_picture_all_zero_offsets():
     y = np.full((64, 64), 128, np.int32)
     _, _, off = preanalyze(y, part=64)
     assert (off == 0).all()
+
+
+def test_activity_steers_rate_control_targets():
+    """The preanalyzer is a real rate-control input: a picture twice
+    as busy as the running mean draws a proportionally larger target
+    (clipped to [0.5, 2]) — the picture-level form of HM's
+    complexity-based bit allocation (TEncRCPic::xEstPicTargetBits)."""
+    from hmtpu.encoder.ratectrl import RateControl
+
+    def fresh():
+        rc = RateControl(600.0, 50.0, 416, 240, 50)
+        rc.pick(False, 0, complexity=100.0)   # seed the running mean
+        rc.update(12000)
+        return rc
+
+    base, _, _ = fresh().pick(False, 1, complexity=100.0)
+    busy, _, _ = fresh().pick(False, 1, complexity=220.0)
+    calm, _, _ = fresh().pick(False, 1, complexity=40.0)
+    assert busy > 1.5 * base
+    assert calm < 0.7 * base
